@@ -1,0 +1,21 @@
+"""FluidAudio-TPU: a TPU-native local audio AI stack in JAX/XLA/Pallas.
+
+Capability parity target: FluidInference/FluidAudio (Swift/CoreML/ANE) —
+ASR (batch + streaming), TTS, VAD, speaker diarization, speaker embedding/ID,
+and ITN. The opaque CoreML graphs of the reference become explicit JAX models;
+the decode loops become `lax.scan`/`lax.while_loop`; long-form audio is handled
+by windowing expressed as a batch dimension over a `jax.sharding.Mesh`.
+
+Layering (mirrors reference SURVEY.md §1, re-designed TPU-first):
+  registry/   model + dataset catalog, cache, offline mode
+  utils/      audio I/O, resampling, ring buffers, logging, timing
+  ops/        frontends (STFT/log-mel), decode loops (TDT/RNN-T/CTC), DSP
+  models/     explicit JAX networks (conformer, LSTM predictor+joint, VAD, ...)
+  parallel/   mesh construction, sharding rules, collectives, train step
+  asr/ vad/ diarizer/ tts/ itn/   workload managers (public API)
+  cli/        command-line dispatcher + benchmarks
+"""
+
+__version__ = "0.1.0"
+
+from fluidaudio_tpu.utils.logging import get_logger  # noqa: F401

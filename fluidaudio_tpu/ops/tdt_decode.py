@@ -1,0 +1,195 @@
+"""Batched greedy TDT / RNN-T decoding as a single compiled loop.
+
+TPU-native re-design of the reference's per-token host loop
+(`TDT/Decoder/TdtDecoderV3.swift:103-470`): instead of 2 CoreML calls per
+emitted token with host control flow, the whole decode is ONE
+`lax.while_loop` under jit. All rows of the batch advance together with
+done-masks (the reference's worker pool of 4 cloned managers becomes a batch
+dimension — SURVEY.md §2.10).
+
+Semantics preserved from the reference decoder:
+  - joint predicts (token, duration-bin); time advances by the predicted
+    duration for blank AND non-blank (TDT), with blank forcing >=1 frame
+  - the predictor (LSTM) only updates on non-blank emissions; its projection
+    is cached across blank steps (`TdtDecoderV3.swift:347-405`)
+  - force-blank anti-livelock: after `max_symbols_per_step` emissions on one
+    frame, time is force-advanced (`TdtConfig.maxSymbolsPerStep`)
+  - decode state (h, c, last_token, time_jump) can be carried across chunks
+    (`TdtDecoderState.swift:5-99`)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class TdtDecodeConfig:
+    blank_id: int = 8192
+    durations: tuple[int, ...] = (0, 1, 2, 3, 4)  # TdtConfig durationBins
+    max_symbols_per_step: int = 10
+    max_tokens: int = 512  # per window (TdtConfig.maxTokensPerChunk)
+    include_duration_confidence: bool = False
+
+
+class TdtDecodeState(NamedTuple):
+    """Per-row decoder state carried across windows (TdtDecoderState parity)."""
+
+    h: jax.Array  # [L, B, H]
+    c: jax.Array  # [L, B, H]
+    last_token: jax.Array  # [B] int32 (blank == SOS)
+    time_jump: jax.Array  # [B] int32: frames the previous window overshot
+
+
+class TdtResult(NamedTuple):
+    tokens: jax.Array  # [B, max_tokens] int32 (padded with blank)
+    token_times: jax.Array  # [B, max_tokens] int32 encoder frame of emission
+    counts: jax.Array  # [B] int32 number of emitted tokens
+    state: TdtDecodeState
+    confidences: jax.Array  # [B, max_tokens] f32 token prob
+
+
+def make_initial_state(cfg: TdtDecodeConfig, n_layers: int, hidden: int, batch: int,
+                       dtype=jnp.float32) -> TdtDecodeState:
+    z = jnp.zeros((n_layers, batch, hidden), dtype)
+    return TdtDecodeState(
+        h=z,
+        c=z,
+        last_token=jnp.full((batch,), cfg.blank_id, jnp.int32),
+        time_jump=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def tdt_greedy_decode(
+    cfg: TdtDecodeConfig,
+    predictor_step: Callable[[jax.Array, jax.Array, jax.Array], tuple[jax.Array, jax.Array, jax.Array]],
+    joint_logits: Callable[[jax.Array, jax.Array], jax.Array],
+    encoder_out: jax.Array,  # [B, T, D] float
+    encoder_lengths: jax.Array,  # [B] int32
+    state: TdtDecodeState | None = None,
+) -> TdtResult:
+    """Greedy TDT decode over a batch of encoder outputs.
+
+    `predictor_step(tokens, h, c) -> (g, h', c')`; `joint_logits(f, g) ->
+    [B, vocab+1+n_dur]`. Both must be jit-traceable (e.g. bound flax applies).
+    """
+    B, T, _ = encoder_out.shape
+    durations = jnp.asarray(cfg.durations, jnp.int32)
+    n_dur = len(cfg.durations)
+    is_tdt = n_dur > 0
+
+    if state is None:
+        raise ValueError("pass an explicit initial state (make_initial_state)")
+
+    # time_jump from the previous window shifts this window's start frame
+    t0 = jnp.maximum(state.time_jump, 0)
+
+    class Carry(NamedTuple):
+        t: jax.Array  # [B] current encoder frame
+        h: jax.Array
+        c: jax.Array
+        g: jax.Array  # [B, H] cached predictor output for last_token
+        last_token: jax.Array
+        sym_count: jax.Array  # [B] emissions on the current frame
+        tokens: jax.Array  # [B, max_tokens]
+        times: jax.Array
+        confs: jax.Array
+        count: jax.Array  # [B]
+
+    g0, h0, c0 = predictor_step(state.last_token, state.h, state.c)
+
+    init = Carry(
+        t=t0,
+        h=h0,
+        c=c0,
+        g=g0,
+        last_token=state.last_token,
+        sym_count=jnp.zeros((B,), jnp.int32),
+        tokens=jnp.full((B, cfg.max_tokens), cfg.blank_id, jnp.int32),
+        times=jnp.zeros((B, cfg.max_tokens), jnp.int32),
+        confs=jnp.zeros((B, cfg.max_tokens), jnp.float32),
+        count=jnp.zeros((B,), jnp.int32),
+    )
+
+    def cond(carry: Carry) -> jax.Array:
+        active = (carry.t < encoder_lengths) & (carry.count < cfg.max_tokens)
+        return jnp.any(active)
+
+    def body(carry: Carry) -> Carry:
+        active = (carry.t < encoder_lengths) & (carry.count < cfg.max_tokens)
+        t_safe = jnp.clip(carry.t, 0, T - 1)
+        f = jnp.take_along_axis(
+            encoder_out, t_safe[:, None, None], axis=1
+        )[:, 0, :]  # [B, D]
+
+        logits = joint_logits(f, carry.g)  # [B, V+1(+n_dur)]
+        if is_tdt:
+            token_logits = logits[:, : -n_dur]
+            dur_logits = logits[:, -n_dur:]
+            dur = durations[jnp.argmax(dur_logits, axis=-1)]
+        else:
+            token_logits = logits
+            dur = jnp.zeros((B,), jnp.int32)
+
+        k = jnp.argmax(token_logits, axis=-1).astype(jnp.int32)
+        probs = jax.nn.softmax(token_logits.astype(jnp.float32), axis=-1)
+        conf = jnp.take_along_axis(probs, k[:, None], axis=-1)[:, 0]
+
+        force_blank = carry.sym_count >= cfg.max_symbols_per_step
+        is_blank = (k == cfg.blank_id) | force_blank | ~active
+
+        # --- emission (non-blank rows) ---
+        emit = ~is_blank
+        pos = jnp.clip(carry.count, 0, cfg.max_tokens - 1)
+        row = jnp.arange(B)
+        tokens = carry.tokens.at[row, pos].set(
+            jnp.where(emit, k, carry.tokens[row, pos])
+        )
+        times = carry.times.at[row, pos].set(
+            jnp.where(emit, carry.t, carry.times[row, pos])
+        )
+        confs = carry.confs.at[row, pos].set(
+            jnp.where(emit, conf, carry.confs[row, pos])
+        )
+        count = carry.count + emit.astype(jnp.int32)
+
+        # --- predictor update (only where a token was emitted) ---
+        new_token = jnp.where(emit, k, carry.last_token)
+        g_new, h_new, c_new = predictor_step(new_token, carry.h, carry.c)
+        sel = emit[:, None]
+        g = jnp.where(sel, g_new, carry.g)
+        h = jnp.where(sel[None, :, :] if h_new.ndim == 3 else sel, h_new, carry.h)
+        c = jnp.where(sel[None, :, :] if c_new.ndim == 3 else sel, c_new, carry.c)
+        last_token = jnp.where(emit, k, carry.last_token)
+
+        # --- time advance (TDT semantics) ---
+        if is_tdt:
+            adv_blank = jnp.maximum(dur, 1)  # blank always moves on
+            adv_emit = dur  # token may emit again on same frame (dur 0)
+            adv = jnp.where(is_blank, adv_blank, adv_emit)
+        else:
+            adv = jnp.where(is_blank, 1, 0)  # classic RNN-T
+        adv = jnp.where(force_blank, jnp.maximum(adv, 1), adv)
+        adv = jnp.where(active, adv, 0)
+        t = carry.t + adv
+
+        sym_count = jnp.where(adv > 0, 0, carry.sym_count + emit.astype(jnp.int32))
+
+        return Carry(t, h, c, g, last_token, sym_count, tokens, times, confs, count)
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # frames the decode overshot past this window's end, carried to the next
+    time_jump = jnp.maximum(final.t - encoder_lengths, 0)
+
+    return TdtResult(
+        tokens=final.tokens,
+        token_times=final.times,
+        counts=final.count,
+        state=TdtDecodeState(final.h, final.c, final.last_token, time_jump),
+        confidences=final.confs,
+    )

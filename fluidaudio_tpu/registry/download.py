@@ -1,0 +1,114 @@
+"""Asset download with resume/retry/backoff, validation, and cache recovery.
+
+Behavioral parity: reference `DownloadUtils.swift:210-260,414-511,760-866` —
+HF listing walk, exponential-backoff retry, HTML-response artifact detection
+(`DownloadUtils.swift:103-143`), corrupt-asset auto-redownload, and typed
+offline errors. Network is optional: with `FLUID_OFFLINE` (or no egress) only
+the local cache is consulted.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+from fluidaudio_tpu.registry.model_names import Repo
+from fluidaudio_tpu.registry.registry import ModelRegistry, OfflineError, RegistryError
+from fluidaudio_tpu.utils.logging import get_logger
+
+logger = get_logger("registry")
+
+_MAX_RETRIES = 4
+_BACKOFF_BASE_S = 1.5
+
+
+def _looks_like_html(head: bytes) -> bool:
+    """HF serves an HTML error page on bad paths; never cache those as weights."""
+    stripped = head.lstrip()[:32].lower()
+    return stripped.startswith(b"<!doctype html") or stripped.startswith(b"<html")
+
+
+class DownloadUtils:
+    @staticmethod
+    def repo_dir(repo: Repo) -> Path:
+        return ModelRegistry.models_dir() / repo.folder_name
+
+    @staticmethod
+    def is_cached(repo: Repo, files: tuple[str, ...] = ()) -> bool:
+        d = DownloadUtils.repo_dir(repo)
+        if not d.is_dir():
+            return False
+        return all((d / f).exists() for f in files)
+
+    @staticmethod
+    def fetch_file(repo: Repo, remote_path: str, *, force: bool = False) -> Path:
+        """Download one file into the cache (resumable, validated). Returns path."""
+        dest = DownloadUtils.repo_dir(repo) / remote_path
+        if dest.exists() and not force:
+            return dest
+        if ModelRegistry.offline():
+            raise OfflineError(repo.spec.name, remote_path)
+
+        url = f"{ModelRegistry.base_url()}/{repo.spec.name}/resolve/main/{remote_path}"
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        tmp = dest.with_suffix(dest.suffix + ".part")
+
+        headers = {}
+        token = ModelRegistry.hf_token()
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+
+        last_err: Exception | None = None
+        for attempt in range(_MAX_RETRIES):
+            try:
+                offset = tmp.stat().st_size if tmp.exists() else 0
+                req_headers = dict(headers)
+                if offset:
+                    req_headers["Range"] = f"bytes={offset}-"
+                req = urllib.request.Request(url, headers=req_headers)
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    mode = "ab" if offset and resp.status == 206 else "wb"
+                    with open(tmp, mode) as f:
+                        shutil.copyfileobj(resp, f, length=1 << 20)
+                head = tmp.open("rb").read(64)
+                if _looks_like_html(head):
+                    tmp.unlink(missing_ok=True)
+                    raise RegistryError(f"HTML response cached for {url} (bad path or auth)")
+                tmp.rename(dest)
+                return dest
+            except (urllib.error.URLError, TimeoutError, OSError, RegistryError) as e:
+                last_err = e
+                wait = _BACKOFF_BASE_S * (2**attempt)
+                logger.warning("download %s attempt %d failed (%s); retry in %.1fs",
+                               remote_path, attempt + 1, e, wait)
+                time.sleep(wait)
+        raise RegistryError(f"failed to download {url}: {last_err}")
+
+    @staticmethod
+    def download_repo(repo: Repo, files: tuple[str, ...]) -> Path:
+        """Ensure the listed files exist in the cache; returns the repo dir."""
+        for f in files:
+            DownloadUtils.fetch_file(repo, f)
+        return DownloadUtils.repo_dir(repo)
+
+    @staticmethod
+    def clear_model_cache(repo: Repo | None = None) -> None:
+        target = DownloadUtils.repo_dir(repo) if repo else ModelRegistry.models_dir()
+        if target.exists():
+            shutil.rmtree(target)
+
+    @staticmethod
+    def load_json(repo: Repo, remote_path: str) -> dict:
+        """Fetch (or read cached) JSON with corrupt-file auto-redownload."""
+        path = DownloadUtils.fetch_file(repo, remote_path)
+        try:
+            return json.loads(path.read_text())
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            logger.warning("corrupt cached %s; re-downloading", path)
+            path.unlink(missing_ok=True)
+            path = DownloadUtils.fetch_file(repo, remote_path, force=True)
+            return json.loads(path.read_text())

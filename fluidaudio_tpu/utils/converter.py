@@ -1,0 +1,83 @@
+"""Audio normalization to the framework-wide 16 kHz mono float32 contract.
+
+Behavioral parity: reference `Shared/AudioConverter.swift:60-124` — every
+workload consumes 16 kHz mono f32; multichannel is mixed down; arbitrary input
+rates are resampled (high-quality polyphase, with a linear fallback mirroring
+the reference's AVAudioConverter-unavailable path). TTS emits 24 kHz
+(Supertonic3: 44.1 kHz); `resample` handles that direction too.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+from fluidaudio_tpu.utils.audio_io import read_wav
+
+try:
+    from scipy.signal import resample_poly as _resample_poly
+except Exception:  # pragma: no cover - scipy is expected in the image
+    _resample_poly = None
+
+TARGET_SAMPLE_RATE = 16_000
+
+
+def mix_to_mono(samples: np.ndarray) -> np.ndarray:
+    """[n, c] or [n] float32 -> [n] float32 (channel average)."""
+    x = np.asarray(samples, dtype=np.float32)
+    if x.ndim == 2 and x.shape[1] > 1:
+        return x.mean(axis=1)
+    return x.reshape(-1)
+
+
+def resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Resample mono f32 audio. Polyphase (scipy) with linear fallback."""
+    x = np.asarray(samples, dtype=np.float32).reshape(-1)
+    if src_rate == dst_rate or x.size == 0:
+        return x
+    if _resample_poly is not None:
+        g = math.gcd(src_rate, dst_rate)
+        return _resample_poly(x, dst_rate // g, src_rate // g).astype(np.float32)
+    # Linear fallback (reference AudioConverter.swift:236 "linear-resample fallback")
+    n_out = int(round(x.size * dst_rate / src_rate))
+    src_pos = np.arange(n_out, dtype=np.float64) * (src_rate / dst_rate)
+    i0 = np.minimum(src_pos.astype(np.int64), x.size - 1)
+    i1 = np.minimum(i0 + 1, x.size - 1)
+    frac = (src_pos - i0).astype(np.float32)
+    return (x[i0] * (1.0 - frac) + x[i1] * frac).astype(np.float32)
+
+
+class AudioConverter:
+    """Normalizes files/buffers to 16 kHz mono float32."""
+
+    def __init__(self, target_rate: int = TARGET_SAMPLE_RATE):
+        self.target_rate = target_rate
+
+    def resample_buffer(self, samples: np.ndarray, sample_rate: int) -> np.ndarray:
+        mono = mix_to_mono(samples)
+        return resample(mono, sample_rate, self.target_rate)
+
+    def resample_file(self, path: str | Path) -> np.ndarray:
+        samples, rate = read_wav(path)
+        return self.resample_buffer(samples, rate)
+
+    def stream_convert_to_file(
+        self, path: str | Path, out_path: str | Path, chunk_seconds: float = 60.0
+    ) -> int:
+        """Convert a (possibly huge) WAV to a raw f32 16 kHz temp file in chunks.
+
+        Powers the constant-memory disk-backed source (reference
+        `Shared/AudioSourceFactory.swift:12-60`). Returns total sample count.
+        """
+        samples, rate = read_wav(path)  # WAV payload is mmap-able in principle;
+        mono = mix_to_mono(samples)
+        total = 0
+        chunk = max(1, int(chunk_seconds * rate))
+        with open(out_path, "wb") as f:
+            for start in range(0, mono.size, chunk):
+                part = resample(mono[start : start + chunk], rate, self.target_rate)
+                f.write(part.astype("<f4").tobytes())
+                total += part.size
+        return total

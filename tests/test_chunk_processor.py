@@ -1,0 +1,189 @@
+"""ChunkProcessor: layout, starts, merge, seam collapse (host logic, no models).
+
+Mirrors reference `ChunkProcessorTests`/`ChunkMergeTests` coverage (SURVEY §4).
+"""
+
+import numpy as np
+
+from fluidaudio_tpu.asr.chunk import (
+    ChunkProcessor,
+    TokenWindow,
+    case_variant_canonical_ids,
+    is_splice_safe_piece,
+    splice_safe_token_ids,
+)
+from fluidaudio_tpu.utils.audio_source import ArrayAudioSource
+
+
+def make_cp(n_samples=1_000_000, audio=None):
+    if audio is None:
+        audio = np.zeros(n_samples, dtype=np.float32)
+    return ChunkProcessor(ArrayAudioSource(audio))
+
+
+def test_chunk_layout_reference_numbers():
+    cp = make_cp()
+    layout = cp.chunk_layout(mel_chunk_context=True)
+    assert layout.chunk_samples == 238_080  # Documentation/Architecture.md:160-186
+    assert layout.stride_samples == 238_080 - 32_000
+    assert layout.mel_context_samples == 1280
+    # no-context layout fills the encoder window
+    layout2 = cp.chunk_layout(mel_chunk_context=False)
+    assert layout2.chunk_samples == 239_360  # (240000-160) frame-aligned
+    assert layout2.mel_context_samples == 0
+
+
+def test_regular_chunk_starts_cover_everything():
+    cp = make_cp(500_000)
+    layout = cp.chunk_layout()
+    starts = cp.regular_chunk_starts(layout.stride_samples)
+    assert starts[0].start == 0
+    assert all(
+        b.start - a.start == layout.stride_samples for a, b in zip(starts, starts[1:])
+    )
+    assert starts[-1].start < 500_000
+    assert starts[-1].start + layout.chunk_samples >= 500_000
+
+
+def test_silence_aligned_starts_snap_to_gap():
+    """A loud tone with a silent gap: the second chunk start lands in the gap."""
+    sr = 16000
+    n = 300_000
+    audio = (0.5 * np.sin(2 * np.pi * 300 * np.arange(n) / sr)).astype(np.float32)
+    gap_center = 210_000
+    audio[gap_center - 8000 : gap_center + 8000] = 0.0
+    cp = make_cp(audio=audio)
+    layout = cp.chunk_layout()
+    starts = cp.silence_aligned_chunk_starts(
+        layout.chunk_samples, layout.stride_samples, can_use_warmup_prefix=False
+    )
+    assert len(starts) >= 2
+    second = starts[1].start
+    assert abs(second - gap_center) <= 8000 + 1280, f"start {second} not near gap"
+    assert second % 1280 == 0  # frame aligned
+
+
+def test_plan_windows_frame_offsets():
+    cp = make_cp(600_000)
+    layout, windows = cp.plan_windows()
+    assert layout.window_samples == 238_080 + 1280
+    assert windows[0].read_start == 0 and windows[0].frame_offset == 0
+    for w in windows[1:]:
+        # context prepend is exactly 1 encoder frame (80 ms), frame aligned
+        assert w.read_start % 1280 == 0
+        assert w.frame_offset == w.read_start // 1280
+        assert w.read_count <= layout.window_samples
+    assert windows[-1].is_last
+    assert windows[-1].read_start + windows[-1].read_count == 600_000
+
+
+VOCAB = {
+    0: "▁the",
+    1: "▁meeting",
+    2: "▁Meeting",
+    3: "ing",
+    4: "▁was",
+    5: ".",
+    6: "▁have",
+    7: "▁Have",
+    8: "▁a",
+    9: "s",
+    10: "▁don",
+    11: "'t",
+}
+
+
+def test_splice_safe_ids():
+    ids = splice_safe_token_ids(VOCAB)
+    assert 0 in ids and 5 in ids  # word-initial and punctuation
+    assert 3 not in ids and 9 not in ids  # continuations are unsafe
+    assert splice_safe_token_ids({}) is None
+    assert is_splice_safe_piece("...") and not is_splice_safe_piece("abc")
+
+
+def test_case_variant_canonical_ids():
+    canon = case_variant_canonical_ids(VOCAB)
+    assert canon[1] == canon[2] == 1  # lowercase wins
+    assert canon[6] == canon[7] == 6
+    assert 0 not in canon  # no twin
+    assert case_variant_canonical_ids({}) is None
+
+
+def test_merge_no_overlap_concatenates():
+    cp = make_cp()
+    left = [TokenWindow(0, 10), TokenWindow(4, 20)]
+    right = [TokenWindow(1, 100), TokenWindow(5, 110)]
+    assert cp.merge_chunks(left, right) == left + right
+
+
+def test_merge_exact_overlap_dedupes():
+    cp = make_cp()
+    # left window frames 0..200; right starts at frame 175 (overlap 25 frames = 2s)
+    shared = [TokenWindow(0, 180), TokenWindow(1, 185), TokenWindow(4, 190)]
+    left = [TokenWindow(6, 100), TokenWindow(8, 150)] + shared
+    right = shared + [TokenWindow(5, 195), TokenWindow(10, 210)]
+    merged = cp.merge_chunks(left, right)
+    tokens = [t.token for t in merged]
+    assert tokens == [6, 8, 0, 1, 4, 5, 10]
+
+
+def test_merge_case_variant_anchor():
+    cp = make_cp()
+    canon = case_variant_canonical_ids(VOCAB)
+    left = [TokenWindow(10, 170), TokenWindow(11, 172), TokenWindow(6, 180), TokenWindow(8, 184)]
+    # right heard "Have a" capitalized at the seam (timestamps within tolerance)
+    right = [TokenWindow(7, 181), TokenWindow(8, 185), TokenWindow(4, 200)]
+    merged = cp.merge_chunks(left, right, splice_safe_token_ids(VOCAB), canon)
+    tokens = [t.token for t in merged]
+    # the seam word anchors: left's lowercase copy kept once, right tail appended
+    assert tokens.count(6) + tokens.count(7) == 1
+    assert tokens[-1] == 4
+
+
+def test_collapse_seam_word_duplicates():
+    cp = make_cp()
+    # "... don 't have Have a" -> collapse to lowercase "have"
+    tokens = [
+        TokenWindow(10, 100),
+        TokenWindow(11, 101),
+        TokenWindow(6, 105),
+        TokenWindow(7, 110),
+        TokenWindow(8, 112),
+    ]
+    out = cp.collapse_seam_word_duplicates(tokens, VOCAB)
+    ids = [t.token for t in out]
+    assert ids == [10, 11, 6, 8]
+
+
+def test_collapse_keeps_sentence_boundary():
+    cp = make_cp()
+    vocab = {0: "▁you", 1: "▁You", 2: ".", 3: "▁thank"}
+    # "thank you. You said" -> legitimate, no collapse
+    tokens = [
+        TokenWindow(3, 90),
+        TokenWindow(0, 95),
+        TokenWindow(2, 96),
+        TokenWindow(1, 100),
+    ]
+    out = cp.collapse_seam_word_duplicates(tokens, vocab)
+    assert [t.token for t in out] == [3, 0, 2, 1]
+
+
+def test_collapse_keeps_genuine_repeat():
+    cp = make_cp()
+    vocab = {0: "▁that"}
+    tokens = [TokenWindow(0, 100), TokenWindow(0, 104)]
+    out = cp.collapse_seam_word_duplicates(tokens, vocab)
+    assert len(out) == 2  # same case => not a seam duplicate
+
+
+def test_merge_midpoint_respects_word_boundaries():
+    cp = make_cp()
+    safe = splice_safe_token_ids(VOCAB)
+    # no anchor matches -> midpoint fallback; cutoff splits "meeting|s" in left
+    # and orphans right's leading continuation "ing"
+    left = [TokenWindow(1, 80), TokenWindow(9, 84)]
+    right = [TokenWindow(3, 83), TokenWindow(4, 110)]
+    merged = cp.merge_chunks(left, right, safe)
+    tokens = [t.token for t in merged]
+    assert tokens == [1, 9, 4]  # left word completed; orphaned "ing" dropped
