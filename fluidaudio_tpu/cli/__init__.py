@@ -1,0 +1,3 @@
+from fluidaudio_tpu.cli.main import main
+
+__all__ = ["main"]

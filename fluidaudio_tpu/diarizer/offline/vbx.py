@@ -1,0 +1,178 @@
+"""VBx clustering: variational EM over rho features (diagonal PLDA).
+
+Behavioral parity: reference `Offline/Clustering/VBxClustering.swift:6-100,
+167,685` (BUT VBx): gamma responsibilities, pi weights, ELBO convergence,
+Fa/Fb scaling, and `refineWithConstraints` honoring num/min/max speakers via
+`SpeakerCountConstraints`.
+
+Model: rho_n ~ N(V z_s, I) with V = diag(sqrt(psi)), z_s ~ N(0, I).
+TPU design: the EM loop is batched jnp linear algebra over [N, S] matrices —
+one fused update per iteration; host only checks the ELBO scalar.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidaudio_tpu.diarizer.offline.types import VBxOptions
+from fluidaudio_tpu.utils.logging import get_logger
+
+logger = get_logger("diarizer.vbx")
+
+
+@dataclass
+class VBxResult:
+    labels: np.ndarray  # [N] hard assignment
+    gamma: np.ndarray  # [N, S]
+    pi: np.ndarray  # [S]
+    elbo_trace: list[float]
+
+
+def _vbx_iteration(rho, v, gamma, pi, fa, fb):
+    """One VB iteration. rho [N, D], v [D] (sqrt psi), gamma [N, S], pi [S]."""
+    # speaker posterior: precision P_s = 1 + Fa * N_s * psi (diag)
+    psi = v**2
+    n_s = fa * jnp.sum(gamma, axis=0)  # [S]
+    f_s = fa * gamma.T @ rho  # [S, D]
+    precision = 1.0 + n_s[:, None] * psi[None, :]  # [S, D]
+    inv_l = 1.0 / precision
+    mu = inv_l * (f_s * v[None, :])  # posterior mean of z_s [S, D]
+
+    # per-frame log-likelihoods (dropping x'x const shared across speakers)
+    #   ln p_ns = x' V mu_s - 0.5 (mu_s^2 + inv_l) psi
+    cross = rho @ (mu * v[None, :]).T  # [N, S]
+    quad = 0.5 * jnp.sum((mu**2 + inv_l) * psi[None, :], axis=1)  # [S]
+    log_p = fa * (cross - quad[None, :])
+
+    log_post = (log_p + jnp.log(jnp.maximum(pi, 1e-10))[None, :]) / fb
+    log_post = log_post - jax.scipy.special.logsumexp(log_post, axis=1, keepdims=True)
+    new_gamma = jnp.exp(log_post)
+
+    new_pi = jnp.maximum(jnp.sum(new_gamma, axis=0), 1e-10)
+    new_pi = new_pi / jnp.sum(new_pi)
+
+    # ELBO surrogate: data term + entropy - KL(z)
+    data_term = jnp.sum(new_gamma * log_p)
+    entropy = -jnp.sum(new_gamma * jnp.log(jnp.maximum(new_gamma, 1e-10)))
+    kl_z = 0.5 * jnp.sum(mu**2 + inv_l - jnp.log(inv_l) - 1.0)
+    prior_term = jnp.sum(new_gamma * jnp.log(jnp.maximum(pi, 1e-10))[None, :])
+    elbo = data_term + entropy + prior_term - kl_z
+    return new_gamma, new_pi, elbo
+
+
+class VBxClustering:
+    def __init__(self, options: VBxOptions | None = None):
+        self.options = options or VBxOptions()
+        self._step = jax.jit(_vbx_iteration, static_argnums=(4, 5))
+
+    def refine(
+        self,
+        rho: np.ndarray,
+        psi: np.ndarray,
+        initial_labels: np.ndarray,
+    ) -> VBxResult:
+        """Refine AHC warm-start labels with VB EM."""
+        opt = self.options
+        n = rho.shape[0]
+        labels = np.asarray(initial_labels, np.int64)
+        n_spk = max(1, int(labels.max()) + 1 if labels.size else 1)
+
+        gamma = np.full((n, n_spk), 0.05 / max(1, n_spk - 1), np.float32)
+        gamma[np.arange(n), labels] = 0.95 if n_spk > 1 else 1.0
+        gamma /= gamma.sum(axis=1, keepdims=True)
+        pi = gamma.sum(axis=0) / n
+
+        rho_j = jnp.asarray(rho, jnp.float32)
+        v = jnp.sqrt(jnp.maximum(jnp.asarray(psi, jnp.float32), 1e-6))
+        gamma_j = jnp.asarray(gamma)
+        pi_j = jnp.asarray(pi, jnp.float32)
+
+        trace: list[float] = []
+        for it in range(opt.max_iterations):
+            gamma_j, pi_j, elbo = self._step(rho_j, v, gamma_j, pi_j, opt.fa, opt.fb)
+            e = float(elbo)
+            trace.append(e)
+            if len(trace) >= 2 and abs(trace[-1] - trace[-2]) < opt.epsilon * max(1.0, abs(trace[-2])):
+                break
+
+        gamma_np = np.asarray(gamma_j)
+        pi_np = np.asarray(pi_j)
+        # drop empty speakers
+        active = pi_np > 1e-3
+        if not active.all() and active.any():
+            gamma_np = gamma_np[:, active]
+            gamma_np /= np.maximum(gamma_np.sum(axis=1, keepdims=True), 1e-10)
+            pi_np = pi_np[active] / pi_np[active].sum()
+        return VBxResult(
+            labels=np.argmax(gamma_np, axis=1),
+            gamma=gamma_np,
+            pi=pi_np,
+            elbo_trace=trace,
+        )
+
+    def refine_with_constraints(
+        self,
+        rho: np.ndarray,
+        psi: np.ndarray,
+        initial_labels: np.ndarray,
+        num_speakers: int = -1,
+        min_speakers: int = 1,
+        max_speakers: int = 20,
+    ) -> VBxResult:
+        """VBx + SpeakerCountConstraints (reference VBxClustering.swift:685)."""
+        result = self.refine(rho, psi, initial_labels)
+        labels = result.labels
+        k = len(np.unique(labels))
+        target = num_speakers if num_speakers > 0 else None
+
+        def merge_closest(labels: np.ndarray) -> np.ndarray:
+            uniq = np.unique(labels)
+            cents = np.stack([rho[labels == u].mean(axis=0) for u in uniq])
+            best, pair = np.inf, (0, 1)
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    d = float(np.linalg.norm(cents[i] - cents[j]))
+                    if d < best:
+                        best, pair = d, (i, j)
+            out = labels.copy()
+            out[out == uniq[pair[1]]] = uniq[pair[0]]
+            # renumber
+            _, out = np.unique(out, return_inverse=True)
+            return out
+
+        def split_largest(labels: np.ndarray) -> np.ndarray:
+            uniq, counts = np.unique(labels, return_counts=True)
+            big = uniq[np.argmax(counts)]
+            idx = np.where(labels == big)[0]
+            if idx.size < 2:
+                return labels
+            sub = rho[idx]
+            center = sub.mean(axis=0)
+            d = sub @ (sub[np.argmax(np.linalg.norm(sub - center, axis=1))])
+            out = labels.copy()
+            new_label = labels.max() + 1
+            out[idx[d < np.median(d)]] = new_label
+            return out
+
+        limit_low = max(min_speakers, 1) if target is None else target
+        limit_high = max_speakers if target is None else target
+        guard = 0
+        while len(np.unique(labels)) > limit_high and guard < 64:
+            labels = merge_closest(labels)
+            guard += 1
+        while len(np.unique(labels)) < limit_low and guard < 128:
+            new = split_largest(labels)
+            if len(np.unique(new)) == len(np.unique(labels)):
+                break
+            labels = new
+            guard += 1
+
+        if not np.array_equal(labels, result.labels):
+            logger.info("VBx constraints adjusted speakers %d -> %d", k, len(np.unique(labels)))
+            result = VBxResult(labels=labels, gamma=result.gamma, pi=result.pi,
+                               elbo_trace=result.elbo_trace)
+        return result

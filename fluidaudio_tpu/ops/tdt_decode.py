@@ -34,6 +34,10 @@ class TdtDecodeConfig:
     max_symbols_per_step: int = 10
     max_tokens: int = 512  # per window (TdtConfig.maxTokensPerChunk)
     include_duration_confidence: bool = False
+    # end-of-utterance token (reference RnntDecoder.swift:31-32: eou 1024,
+    # blank 1026 for the EOU 120M model). Treated as blank for decode state;
+    # sets the per-row eou_detected flag. None disables.
+    eou_id: int | None = None
 
 
 class TdtDecodeState(NamedTuple):
@@ -51,6 +55,8 @@ class TdtResult(NamedTuple):
     counts: jax.Array  # [B] int32 number of emitted tokens
     state: TdtDecodeState
     confidences: jax.Array  # [B, max_tokens] f32 token prob
+    eou_detected: jax.Array = None  # [B] bool (when cfg.eou_id is set)
+    eou_frame: jax.Array = None  # [B] int32 frame of first EOU (-1 if none)
 
 
 def make_initial_state(cfg: TdtDecodeConfig, n_layers: int, hidden: int, batch: int,
@@ -99,6 +105,8 @@ def tdt_greedy_decode(
         times: jax.Array
         confs: jax.Array
         count: jax.Array  # [B]
+        eou: jax.Array  # [B] bool
+        eou_frame: jax.Array  # [B] int32
 
     g0, h0, c0 = predictor_step(state.last_token, state.h, state.c)
 
@@ -113,6 +121,8 @@ def tdt_greedy_decode(
         times=jnp.zeros((B, cfg.max_tokens), jnp.int32),
         confs=jnp.zeros((B, cfg.max_tokens), jnp.float32),
         count=jnp.zeros((B,), jnp.int32),
+        eou=jnp.zeros((B,), bool),
+        eou_frame=jnp.full((B,), -1, jnp.int32),
     )
 
     def cond(carry: Carry) -> jax.Array:
@@ -140,7 +150,12 @@ def tdt_greedy_decode(
         conf = jnp.take_along_axis(probs, k[:, None], axis=-1)[:, 0]
 
         force_blank = carry.sym_count >= cfg.max_symbols_per_step
-        is_blank = (k == cfg.blank_id) | force_blank | ~active
+        is_eou = (
+            (k == cfg.eou_id) & active
+            if cfg.eou_id is not None
+            else jnp.zeros_like(active)
+        )
+        is_blank = (k == cfg.blank_id) | force_blank | ~active | is_eou
 
         # --- emission (non-blank rows) ---
         emit = ~is_blank
@@ -179,7 +194,11 @@ def tdt_greedy_decode(
 
         sym_count = jnp.where(adv > 0, 0, carry.sym_count + emit.astype(jnp.int32))
 
-        return Carry(t, h, c, g, last_token, sym_count, tokens, times, confs, count)
+        eou = carry.eou | is_eou
+        eou_frame = jnp.where(is_eou & (carry.eou_frame < 0), carry.t, carry.eou_frame)
+
+        return Carry(t, h, c, g, last_token, sym_count, tokens, times, confs, count,
+                     eou, eou_frame)
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -192,4 +211,6 @@ def tdt_greedy_decode(
         counts=final.count,
         state=TdtDecodeState(final.h, final.c, final.last_token, time_jump),
         confidences=final.confs,
+        eou_detected=final.eou,
+        eou_frame=final.eou_frame,
     )

@@ -1,0 +1,62 @@
+"""End-to-end AsrManager on the tiny fixture model (hermetic, CPU)."""
+
+import numpy as np
+import pytest
+
+from fluidaudio_tpu.asr.config import ASRConfig, TdtConfig
+from fluidaudio_tpu.asr.manager import AsrManager
+from fluidaudio_tpu.models.zoo import AsrModels
+
+
+@pytest.fixture(scope="module")
+def manager():
+    models = AsrModels.load("test-tiny", allow_random_init=True)
+    return AsrManager(models, ASRConfig(parallel_chunk_batch=2,
+                                        tdt=TdtConfig(max_tokens_per_chunk=128)))
+
+
+def test_transcribe_short_array(manager):
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(24_000) * 0.1).astype(np.float32)  # 1.5 s
+    result = manager.transcribe(audio)
+    assert result.duration == pytest.approx(1.5)
+    assert result.processing_time > 0
+    assert isinstance(result.text, str)
+    # token timings are ordered and within the audio span
+    times = [t.start_time for t in result.token_timings]
+    assert times == sorted(times)
+    if times:
+        assert times[-1] <= result.duration + 0.2
+
+
+def test_transcribe_too_short_returns_empty(manager):
+    result = manager.transcribe(np.zeros(100, np.float32))
+    assert result.text == ""
+    assert result.confidence == 0.0
+
+
+def test_transcribe_resamples_other_rates(manager):
+    rng = np.random.RandomState(1)
+    audio = (rng.randn(48_000) * 0.1).astype(np.float32)  # 1 s at 48 kHz
+    result = manager.transcribe(audio, sample_rate=48_000)
+    assert result.duration == pytest.approx(1.0, abs=0.01)
+
+
+def test_transcribe_long_uses_chunking(manager):
+    rng = np.random.RandomState(2)
+    audio = (rng.randn(300_000) * 0.1).astype(np.float32)  # 18.75 s > 15 s cap
+    result = manager.transcribe(audio)
+    assert result.duration == pytest.approx(18.75)
+    # chunked path: timestamps are near-monotonic (seam splices may locally
+    # invert by <= 1 encoder frame, like the reference's merge output)
+    times = [t.start_time for t in result.token_timings]
+    assert all(b - a >= -0.081 for a, b in zip(times, times[1:]))
+    assert times[-1] > 15.0  # tokens from the second window exist
+
+
+def test_deterministic(manager):
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(20_000) * 0.1).astype(np.float32)
+    r1 = manager.transcribe(audio)
+    r2 = manager.transcribe(audio)
+    assert r1.text == r2.text

@@ -1,0 +1,98 @@
+"""Native library: fastcluster vs scipy golden, ITN rules, sysinfo."""
+
+import numpy as np
+import pytest
+
+from fluidaudio_tpu.native import load_native
+from fluidaudio_tpu.native.fastcluster import centroid_linkage, cut_tree, native_available
+from fluidaudio_tpu.native.sysinfo import current_rss_bytes, peak_rss_bytes
+from fluidaudio_tpu.itn import TextNormalizer
+
+needs_native = pytest.mark.skipif(not native_available(), reason="native lib not built")
+
+
+def test_native_lib_loads():
+    assert load_native() is not None, "libfluidaudio_native.so must be built (cmake -S native -B native/build)"
+
+
+@needs_native
+def test_centroid_linkage_matches_scipy():
+    from scipy.cluster.hierarchy import linkage
+
+    rng = np.random.RandomState(0)
+    # three well-separated gaussian blobs
+    pts = np.concatenate([
+        rng.randn(10, 8) * 0.05 + 0,
+        rng.randn(10, 8) * 0.05 + 3,
+        rng.randn(10, 8) * 0.05 - 3,
+    ])
+    ours = centroid_linkage(pts)
+    golden = linkage(pts, method="centroid")
+    assert ours.shape == golden.shape
+    # merge distances must match (order of equal-distance merges may differ)
+    np.testing.assert_allclose(np.sort(ours[:, 2]), np.sort(golden[:, 2]), rtol=1e-8)
+    # sizes of the last merge must cover everything
+    assert ours[-1, 3] == 30
+
+
+@needs_native
+def test_cut_tree_recovers_blobs():
+    rng = np.random.RandomState(1)
+    pts = np.concatenate([
+        rng.randn(12, 4) * 0.05,
+        rng.randn(12, 4) * 0.05 + 5,
+    ])
+    Z = centroid_linkage(pts)
+    labels = cut_tree(Z, len(pts), threshold=1.0)
+    assert len(set(labels[:12])) == 1
+    assert len(set(labels[12:])) == 1
+    assert labels[0] != labels[12]
+    # labels renumbered in order of first appearance
+    assert labels[0] == 0 and labels[12] == 1
+
+
+@needs_native
+def test_centroid_linkage_rejects_nan():
+    from fluidaudio_tpu.native.fastcluster import FastClusterError
+
+    pts = np.zeros((4, 2))
+    pts[1, 0] = np.nan
+    with pytest.raises(FastClusterError, match="NaN"):
+        centroid_linkage(pts)
+
+
+@needs_native
+@pytest.mark.parametrize(
+    "spoken,written",
+    [
+        ("I have twenty three apples", "I have 23 apples"),
+        ("one hundred and five people", "105 people"),
+        ("three thousand two hundred", "3200"),
+        ("five percent", "5%"),
+        ("five dollars", "$5"),
+        ("the twenty fifth of May", "the 25th of May"),
+        ("minus forty degrees", "-40 degrees"),
+        ("three point one four", "3.14"),
+        ("call five five five one two one two now", "call 5551212 now"),
+        ("no numbers here", "no numbers here"),
+    ],
+)
+def test_itn_english(spoken, written):
+    tn = TextNormalizer("en")
+    assert tn.is_native_available
+    assert tn.normalize(spoken) == written
+
+
+@needs_native
+def test_itn_passthrough_other_language():
+    tn = TextNormalizer("de")
+    assert tn.normalize("einundzwanzig") == "einundzwanzig"
+    assert not tn.supports("de") and tn.supports("en")
+
+
+def test_sysinfo_rss():
+    peak = peak_rss_bytes()
+    cur = current_rss_bytes()
+    assert peak > 10 * 1024 * 1024  # a python+jax process is >10MB
+    assert cur > 10 * 1024 * 1024
+    assert peak >= cur / 2  # peak is at least in the vicinity

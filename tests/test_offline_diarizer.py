@@ -1,0 +1,116 @@
+"""Offline diarization: VBx EM on synthetic rho features, weight interpolation,
+k-means, reconstruction, pipeline smoke."""
+
+import numpy as np
+import pytest
+
+from fluidaudio_tpu.diarizer.offline.ahc import ahc_cluster, cosine_to_euclidean_threshold
+from fluidaudio_tpu.diarizer.offline.embedding import interpolate_weights
+from fluidaudio_tpu.diarizer.offline.kmeans import kmeans_cluster
+from fluidaudio_tpu.diarizer.offline.types import OfflineDiarizerConfig, VBxOptions
+from fluidaudio_tpu.diarizer.offline.vbx import VBxClustering
+
+
+def make_blobs(n_per, centers, dim=128, scale=0.3, seed=0):
+    rng = np.random.RandomState(seed)
+    X, y = [], []
+    for i, c in enumerate(centers):
+        X.append(rng.randn(n_per, dim) * scale + c)
+        y += [i] * n_per
+    return np.concatenate(X).astype(np.float32), np.array(y)
+
+
+def test_cosine_to_euclidean():
+    # cos distance 0 (identical unit vecs) -> euclidean 0
+    assert cosine_to_euclidean_threshold(0.0) == pytest.approx(0.0)
+    # cos distance 1 (orthogonal) -> sqrt(2)
+    assert cosine_to_euclidean_threshold(1.0) == pytest.approx(np.sqrt(2))
+
+
+def test_ahc_separates_blobs():
+    rng = np.random.RandomState(0)
+    a = rng.randn(10, 16) * 0.01 + np.array([1.0] + [0] * 15)
+    b = rng.randn(10, 16) * 0.01 + np.array([0, 1.0] + [0] * 14)
+    labels = ahc_cluster(np.concatenate([a, b]), cosine_threshold=0.5)
+    assert len(set(labels[:10])) == 1 and len(set(labels[10:])) == 1
+    assert labels[0] != labels[10]
+
+
+def test_vbx_recovers_clusters():
+    centers = [np.zeros(128), np.zeros(128), np.zeros(128)]
+    centers[0][0] = 4.0
+    centers[1][1] = 4.0
+    centers[2][2] = 4.0
+    X, y = make_blobs(30, centers)
+    psi = np.full(128, 4.0, np.float32)
+    # noisy warm start: 20% corrupted labels
+    rng = np.random.RandomState(1)
+    warm = y.copy()
+    corrupt = rng.choice(len(y), len(y) // 5, replace=False)
+    warm[corrupt] = rng.randint(0, 3, corrupt.size)
+    # fa=1/fb=1 = unscaled EM: synthetic blobs are one observation per frame,
+    # unlike the dense x-vector streams the production fa=0.07 is tuned for
+    vbx = VBxClustering(VBxOptions(fa=1.0, fb=1.0, max_iterations=30))
+    result = vbx.refine(X, psi, warm)
+    # VBx must fix the corrupted labels (up to permutation)
+    from scipy.optimize import linear_sum_assignment
+
+    k = result.labels.max() + 1
+    conf = np.zeros((3, k))
+    for t, p in zip(y, result.labels):
+        conf[t, p] += 1
+    rows, cols = linear_sum_assignment(-conf)
+    acc = conf[rows, cols].sum() / len(y)
+    assert acc > 0.95, f"VBx accuracy {acc}"
+    # ELBO is monotone non-decreasing (within tolerance)
+    t = result.elbo_trace
+    assert all(b >= a - abs(a) * 1e-3 for a, b in zip(t, t[1:]))
+
+
+def test_vbx_speaker_count_constraints():
+    centers = [np.zeros(128), np.zeros(128)]
+    centers[0][0] = 4.0
+    centers[1][1] = 4.0
+    X, y = make_blobs(20, centers, seed=3)
+    psi = np.full(128, 4.0, np.float32)
+    vbx = VBxClustering()
+    # force exactly 1 speaker
+    r1 = vbx.refine_with_constraints(X, psi, y, num_speakers=1)
+    assert len(np.unique(r1.labels)) == 1
+    # force at least 3
+    r3 = vbx.refine_with_constraints(X, psi, y, num_speakers=3)
+    assert len(np.unique(r3.labels)) == 3
+
+
+def test_weight_interpolation_half_pixel():
+    w = np.array([0.0, 1.0, 0.0], np.float32)
+    out = interpolate_weights(w, 6)
+    assert out.shape == (6,)
+    assert out.max() <= 1.0 and out.min() >= 0.0
+    # peak stays centered
+    assert np.argmax(out) in (2, 3)
+    # identity when lengths match
+    np.testing.assert_array_equal(interpolate_weights(w, 3), w)
+
+
+def test_kmeans_recovers_blobs():
+    centers = [np.zeros(16), np.zeros(16)]
+    centers[0][0] = 5.0
+    centers[1][1] = 5.0
+    X, y = make_blobs(15, centers, dim=16, seed=2)
+    labels, cents = kmeans_cluster(X, 2)
+    assert cents.shape == (2, 16)
+    assert len(set(labels[:15])) == 1 and len(set(labels[15:])) == 1
+
+
+def test_offline_pipeline_smoke():
+    from fluidaudio_tpu.diarizer.offline import OfflineDiarizerManager
+
+    mgr = OfflineDiarizerManager()
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(12 * 16000) * 0.1).astype(np.float32)  # 12 s
+    result = mgr.process(audio)
+    assert result.timings.segmentation_seconds > 0
+    for seg in result.segments:
+        assert seg.speaker_id.startswith("S")
+        assert 0 <= seg.start_time < seg.end_time <= 12.5

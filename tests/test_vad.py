@@ -1,0 +1,151 @@
+"""VAD: hysteresis segmentation + streaming state machine (synthetic probs),
+plus a model-level smoke test. Mirrors reference VadSegmentationTests /
+VadStreamingTests driven via `VadManager(skipModelLoading:)`."""
+
+import numpy as np
+import pytest
+
+from fluidaudio_tpu.vad.manager import VadManager
+from fluidaudio_tpu.vad.segmentation import detect_speech_sample_ranges
+from fluidaudio_tpu.vad.types import (
+    CHUNK_SIZE,
+    SAMPLE_RATE,
+    VadConfig,
+    VadSegmentationConfig,
+    VadState,
+    VadStreamState,
+)
+
+
+@pytest.fixture(scope="module")
+def logic_manager():
+    return VadManager(VadConfig(), skip_model_loading=True)
+
+
+def chunks_seconds(n_sec):
+    return int(n_sec * SAMPLE_RATE / CHUNK_SIZE)
+
+
+def test_basic_segmentation():
+    cfg = VadSegmentationConfig()
+    # 2 s silence, 3 s speech, 2 s silence
+    probs = [0.0] * chunks_seconds(2) + [0.95] * chunks_seconds(3) + [0.0] * chunks_seconds(2)
+    total = len(probs) * CHUNK_SIZE
+    ranges = detect_speech_sample_ranges(probs, total, 0.85, cfg)
+    assert len(ranges) == 1
+    start, end = ranges[0]
+    # speech starts at 2 s minus 0.1 s padding
+    assert start == pytest.approx(2 * SAMPLE_RATE - 0.1 * SAMPLE_RATE, abs=CHUNK_SIZE)
+    assert end > start
+
+
+def test_min_speech_duration_filters_blips():
+    cfg = VadSegmentationConfig()
+    probs = [0.0] * 10 + [0.95] + [0.0] * 10  # one 256 ms blip > minSpeech 0.15s
+    ranges = detect_speech_sample_ranges(probs, len(probs) * CHUNK_SIZE, 0.85, cfg)
+    assert len(ranges) == 1  # 256 ms >= 150 ms, kept
+    cfg2 = VadSegmentationConfig(min_speech_duration=0.3)
+    ranges2 = detect_speech_sample_ranges(probs, len(probs) * CHUNK_SIZE, 0.85, cfg2)
+    assert ranges2 == []
+
+
+def test_short_silence_does_not_split():
+    cfg = VadSegmentationConfig()  # min_silence 0.75 s
+    probs = (
+        [0.95] * chunks_seconds(2)
+        + [0.0] * chunks_seconds(0.5)  # below min silence
+        + [0.95] * chunks_seconds(2)
+    )
+    ranges = detect_speech_sample_ranges(probs, len(probs) * CHUNK_SIZE, 0.85, cfg)
+    assert len(ranges) == 1
+
+
+def test_long_silence_splits():
+    cfg = VadSegmentationConfig()
+    probs = (
+        [0.95] * chunks_seconds(2)
+        + [0.0] * chunks_seconds(1.5)
+        + [0.95] * chunks_seconds(2)
+    )
+    ranges = detect_speech_sample_ranges(probs, len(probs) * CHUNK_SIZE, 0.85, cfg)
+    assert len(ranges) == 2
+
+
+def test_max_speech_splits_at_best_silence():
+    cfg = VadSegmentationConfig(max_speech_duration=5.0)
+    # 10 s of speech with a dip at 4 s (prob 0.1 for ~0.26 s)
+    probs = []
+    for i in range(chunks_seconds(10)):
+        t = i * CHUNK_SIZE / SAMPLE_RATE
+        probs.append(0.1 if 4.0 <= t < 4.3 else 0.95)
+    ranges = detect_speech_sample_ranges(probs, len(probs) * CHUNK_SIZE, 0.85, cfg)
+    assert len(ranges) >= 2
+    # first segment must end near the 4 s dip, not at the 5 s hard limit
+    assert ranges[0][1] / SAMPLE_RATE == pytest.approx(4.0, abs=0.5)
+
+
+def test_hysteresis_negative_threshold():
+    cfg = VadSegmentationConfig()
+    # prob falls to 0.75 (>= negative 0.70) -> should NOT end the segment
+    probs = [0.95] * 8 + [0.75] * chunks_seconds(2) + [0.95] * 8
+    ranges = detect_speech_sample_ranges(probs, len(probs) * CHUNK_SIZE, 0.85, cfg)
+    assert len(ranges) == 1
+
+
+def test_streaming_events(logic_manager):
+    cfg = VadSegmentationConfig()
+    state = VadStreamState.initial()
+    model_state = VadState.initial()
+    events = []
+    # 1 s silence, 2 s speech, 2 s silence
+    seq = [0.0] * chunks_seconds(1) + [0.95] * chunks_seconds(2) + [0.0] * chunks_seconds(2)
+    for p in seq:
+        result = logic_manager.streaming_state_machine(
+            probability=p,
+            chunk_sample_count=CHUNK_SIZE,
+            model_state=model_state,
+            state=state,
+            config=cfg,
+            return_seconds=True,
+        )
+        state = result.state
+        if result.event:
+            events.append(result.event)
+    kinds = [e.kind for e in events]
+    assert kinds == ["speech_start", "speech_end"]
+    # silence = 3 chunks (0.768 s); start event = speech onset - padding(0.1)
+    assert events[0].time == pytest.approx(0.668, abs=0.15)
+    # speech = 7 chunks ending at 2.56 s; end fires after 0.75 s silence,
+    # reported at silence start + padding
+    assert events[1].time == pytest.approx(2.66, abs=0.3)
+
+
+def test_streaming_no_event_on_short_silence(logic_manager):
+    cfg = VadSegmentationConfig()
+    state = VadStreamState.initial()
+    ms = VadState.initial()
+    seq = [0.95] * 8 + [0.0] * 2 + [0.95] * 8  # 0.5 s dip < min silence
+    events = []
+    for p in seq:
+        r = logic_manager.streaming_state_machine(p, CHUNK_SIZE, ms, state, cfg)
+        state = r.state
+        if r.event:
+            events.append(r.event.kind)
+    assert events == ["speech_start"]
+
+
+def test_model_smoke_deterministic():
+    m = VadManager(VadConfig())  # random-init params
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(SAMPLE_RATE) * 0.1).astype(np.float32)  # 1 s
+    r1 = m.process(audio)
+    r2 = m.process(audio)
+    assert len(r1) == -(-SAMPLE_RATE // CHUNK_SIZE)
+    assert all(0.0 <= r.probability <= 1.0 for r in r1)
+    assert [a.probability for a in r1] == [b.probability for b in r2]
+    # state threading: second call starting from final state differs from fresh
+    out = m.process_chunk(audio[:CHUNK_SIZE])
+    out2 = m.process_chunk(audio[:CHUNK_SIZE], out.output_state)
+    assert out.probability != out2.probability or not np.allclose(
+        out.output_state.hidden_state, out2.output_state.hidden_state
+    )
