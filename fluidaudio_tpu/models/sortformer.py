@@ -1,0 +1,254 @@
+"""Sortformer-style end-to-end streaming diarizer (4 fixed speaker slots).
+
+Explicit JAX equivalent of the reference's Sortformer CoreML graphs
+(`Sortformer/SortformerDiarizer.swift:12`, `SortformerModelInference.swift:
+24-46`): chunked conformer encoder + transformer head over
+[speaker-cache | FIFO | chunk] context producing per-frame 4-speaker sigmoid
+activities; carried state = spkcache [188, D] (compressed history) + FIFO
+[40, D] (recent frames). Offline variant: one fused pass per 30.72 s window,
+no state (`Sortformer/Offline/OfflineSortformerDiarizer.swift:215`).
+
+TPU design: the chunk step (encode + transformer + prediction + cache/FIFO
+update incl. top-K compression) is ONE jitted function; caches are fixed-shape
+carried arrays with valid-length masks (SURVEY §5 "fixed-shape ring/FIFO
+caches as pure carried arrays").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_SPEAKERS = 4
+FRAME_SECONDS = 0.08  # 80 ms encoder frames
+
+
+@dataclass(frozen=True)
+class SortformerConfig:
+    n_mels: int = 128
+    d_model: int = 192  # transformer/context width (post-projection)
+    encoder_d_model: int = 512
+    n_encoder_layers: int = 17
+    n_transformer_layers: int = 18
+    n_heads: int = 8
+    spkcache_len: int = 188
+    fifo_len: int = 40
+    chunk_frames: int = 6  # encoder frames per streaming step (~0.48 s)
+    update_period: int = 31  # fifo pops before a spkcache compression
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def per_speaker_quota(self) -> int:
+        return self.spkcache_len // NUM_SPEAKERS  # 47
+
+
+# presets (reference SortformerTypes.swift:9-180)
+SORTFORMER_V2 = SortformerConfig()
+SORTFORMER_TEST = SortformerConfig(
+    n_mels=16, d_model=32, encoder_d_model=32, n_encoder_layers=1,
+    n_transformer_layers=2, n_heads=4, spkcache_len=16, fifo_len=8,
+    chunk_frames=4, update_period=2,
+)
+
+
+class SortformerState(NamedTuple):
+    spkcache: jax.Array  # [B, spkcache_len, D]
+    spkcache_preds: jax.Array  # [B, spkcache_len, 4] scores used for compression
+    spkcache_mask: jax.Array  # [B, spkcache_len] bool (valid slots; non-contiguous)
+    fifo: jax.Array  # [B, fifo_len, D]
+    fifo_preds: jax.Array  # [B, fifo_len, 4]
+    fifo_len_valid: jax.Array  # [B]
+
+
+def init_state(cfg: SortformerConfig, batch: int) -> SortformerState:
+    dt = cfg.compute_dtype
+    return SortformerState(
+        spkcache=jnp.zeros((batch, cfg.spkcache_len, cfg.d_model), dt),
+        spkcache_preds=jnp.zeros((batch, cfg.spkcache_len, NUM_SPEAKERS), jnp.float32),
+        spkcache_mask=jnp.zeros((batch, cfg.spkcache_len), bool),
+        fifo=jnp.zeros((batch, cfg.fifo_len, cfg.d_model), dt),
+        fifo_preds=jnp.zeros((batch, cfg.fifo_len, NUM_SPEAKERS), jnp.float32),
+        fifo_len_valid=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+class _TfBlock(nn.Module):
+    d: int
+    heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        x = x + nn.SelfAttention(num_heads=self.heads, dtype=self.dtype)(h, mask=mask)
+        f = nn.LayerNorm(dtype=self.dtype)(x)
+        f = nn.Dense(self.d * 4, dtype=self.dtype)(f)
+        f = nn.gelu(f)
+        return x + nn.Dense(self.d, dtype=self.dtype)(f)
+
+
+class SortformerModel(nn.Module):
+    """Shared trunk for streaming and offline passes."""
+
+    cfg: SortformerConfig = SORTFORMER_V2
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        # compact conformer-ish frame encoder: mel (8x subsampled outside) ->
+        # d_model frames. We take mel frames already stacked by 8 (640-d for
+        # 80-mel) — here a conv stack over raw mel with stride 8 total.
+        self.stem = nn.Conv(cfg.encoder_d_model, (9,), strides=(4,), padding="SAME", dtype=dt)
+        self.stem2 = nn.Conv(cfg.encoder_d_model, (5,), strides=(2,), padding="SAME", dtype=dt)
+        self.enc_blocks = [
+            _TfBlock(cfg.encoder_d_model, self.cfg.n_heads, dt) for _ in range(cfg.n_encoder_layers)
+        ]
+        self.proj = nn.Dense(cfg.d_model, dtype=dt)
+        self.tf_blocks = [
+            _TfBlock(cfg.d_model, cfg.n_heads, dt) for _ in range(cfg.n_transformer_layers)
+        ]
+        self.head = nn.Dense(NUM_SPEAKERS, dtype=dt)
+
+    def encode_frames(self, mel: jax.Array) -> jax.Array:
+        """mel [B, n_mels, T_mel] -> frames [B, T_mel//8, d_model]."""
+        x = jnp.transpose(mel, (0, 2, 1)).astype(self.cfg.compute_dtype)
+        x = nn.relu(self.stem(x))
+        x = nn.relu(self.stem2(x))
+        T = x.shape[1]
+        mask = jnp.ones((x.shape[0], 1, T, T), bool)
+        for blk in self.enc_blocks:
+            x = blk(x, mask)
+        return self.proj(x)
+
+    def predict(self, context: jax.Array, context_mask: jax.Array) -> jax.Array:
+        """context [B, N, d_model] (+bool mask [B, N]) -> sigmoid preds [B, N, 4]."""
+        att = context_mask[:, None, None, :] & context_mask[:, None, :, None]
+        x = context
+        for blk in self.tf_blocks:
+            x = blk(x, att)
+        logits = self.head(x)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        """Offline fused pass: mel [B, n_mels, T] -> preds [B, T//8, 4]."""
+        frames = self.encode_frames(mel)
+        B, T, _ = frames.shape
+        return self.predict(frames, jnp.ones((B, T), bool))
+
+
+def streaming_step(
+    model: SortformerModel,
+    params,
+    mel_chunk: jax.Array,
+    state: SortformerState,
+    cfg: SortformerConfig,
+) -> tuple[jax.Array, SortformerState]:
+    """One chunk: returns (chunk preds [B, chunk_frames, 4], new state).
+
+    Context = [spkcache | fifo | chunk]; after prediction the chunk enters the
+    FIFO; overflow frames are compressed into the speaker cache by keeping the
+    top-scoring frames per speaker (NeMo SortformerStateUpdater semantics,
+    update period handled by quota-based eviction).
+    """
+    frames = model.apply(params, mel_chunk, method=SortformerModel.encode_frames)
+    B, T, D = frames.shape
+    S, F = cfg.spkcache_len, cfg.fifo_len
+
+    context = jnp.concatenate([state.spkcache, state.fifo, frames], axis=1)
+    pos = jnp.arange(S + F + T)[None, :]
+    fifo_region = (pos >= S) & (pos < S + state.fifo_len_valid[:, None])
+    chunk_region = jnp.broadcast_to(pos >= S + F, (B, S + F + T))
+    spk_region = jnp.concatenate(
+        [state.spkcache_mask, jnp.zeros((B, F + T), bool)], axis=1
+    )
+    mask = spk_region | fifo_region | chunk_region
+    preds = model.apply(params, context, mask, method=SortformerModel.predict)
+    chunk_preds = preds[:, S + F :]
+
+    # refresh cached scores with this pass's predictions
+    spk_preds = preds[:, :S]
+    fifo_preds = preds[:, S : S + F]
+
+    # --- FIFO update: append chunk, pop overflow into the compressor -------
+    # Valid FIFO frames stay left-compacted: logical content j is fifo[j] for
+    # j < valid_len, else frames[j - valid_len] (the padded fifo tail never
+    # enters the logical stream).
+    valid_len = state.fifo_len_valid  # [B]
+    j = jnp.arange(F + T)[None, :]  # [1, F+T]
+    from_fifo = jnp.take_along_axis(
+        state.fifo, jnp.clip(j, 0, F - 1)[..., None], axis=1
+    )
+    from_frames = jnp.take_along_axis(
+        frames, jnp.clip(j - valid_len[:, None], 0, T - 1)[..., None], axis=1
+    )
+    in_fifo = (j < valid_len[:, None])[..., None]
+    in_frames = (j < (valid_len[:, None] + T))[..., None]
+    content = jnp.where(in_fifo, from_fifo, jnp.where(in_frames, from_frames, 0.0))
+
+    fp_from_fifo = jnp.take_along_axis(
+        state.fifo_preds, jnp.clip(j, 0, F - 1)[..., None], axis=1
+    )
+    fp_from_frames = jnp.take_along_axis(
+        chunk_preds, jnp.clip(j - valid_len[:, None], 0, T - 1)[..., None], axis=1
+    )
+    content_preds = jnp.where(in_fifo, fp_from_fifo, jnp.where(in_frames, fp_from_frames, 0.0))
+
+    total = valid_len + T
+    overflow = jnp.maximum(total - F, 0)  # [B]
+    new_fifo_valid = jnp.minimum(total, F)
+    i = jnp.arange(F)[None, :]
+    shifted = jnp.clip(i + overflow[:, None], 0, F + T - 1)
+    new_fifo = jnp.take_along_axis(content, shifted[..., None], axis=1)
+    new_fifo_preds = jnp.take_along_axis(content_preds, shifted[..., None], axis=1)
+    fifo_keep = (i < new_fifo_valid[:, None])[..., None]
+    new_fifo = jnp.where(fifo_keep, new_fifo, 0.0)
+    new_fifo_preds = jnp.where(fifo_keep, new_fifo_preds, 0.0)
+
+    # popped frames: the first `overflow` entries of the logical content
+    max_pop = T  # at most T frames pop per step
+    pop_idx = jnp.arange(max_pop)[None, :]
+    popped_valid = pop_idx < overflow[:, None]
+    popped = content[:, :max_pop]
+    popped_preds = content_preds[:, :max_pop]
+
+    # --- speaker-cache compression: keep top-quota frames per speaker ------
+    quota = cfg.per_speaker_quota
+    cand = jnp.concatenate([state.spkcache, popped], axis=1)  # [B, S+P, D]
+    cand_preds = jnp.concatenate([spk_preds, popped_preds], axis=1)
+    cand_valid = jnp.concatenate([state.spkcache_mask, popped_valid], axis=1)
+    scores = jnp.where(cand_valid[..., None], cand_preds, -1.0)  # [B, S+P, 4]
+
+    def build_cache(scores_b, cand_b, preds_b):
+        slots, slot_preds, slot_valid = [], [], []
+        for s in range(NUM_SPEAKERS):
+            _, top = jax.lax.top_k(scores_b[:, s], quota)
+            order = jnp.sort(top)  # keep temporal order within the slot block
+            slots.append(cand_b[order])
+            slot_preds.append(preds_b[order])
+            slot_valid.append(scores_b[order, s] >= 0.0)
+        return (
+            jnp.concatenate(slots, axis=0),
+            jnp.concatenate(slot_preds, axis=0),
+            jnp.concatenate(slot_valid, axis=0),
+        )
+
+    new_spk, new_spk_preds, new_spk_mask = jax.vmap(build_cache)(scores, cand, cand_preds)
+
+    new_state = SortformerState(
+        spkcache=new_spk,
+        spkcache_preds=new_spk_preds,
+        spkcache_mask=new_spk_mask,
+        fifo=new_fifo,
+        fifo_preds=new_fifo_preds,
+        fifo_len_valid=new_fifo_valid,
+    )
+    return chunk_preds, new_state

@@ -1,0 +1,102 @@
+"""TTS input normalization: written form -> spoken form (English).
+
+Behavioral parity: reference `TTS/EnglishTextNormalizer` (176 LoC): digits,
+ordinals, currency, percentages, years, decimals -> number words so the
+phonemizer never sees raw digits.
+"""
+
+from __future__ import annotations
+
+import re
+
+_ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+         "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+         "sixteen", "seventeen", "eighteen", "nineteen"]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+         "eighty", "ninety"]
+_SCALE = [(10**9, "billion"), (10**6, "million"), (10**3, "thousand"), (100, "hundred")]
+_ORDINAL_SPECIAL = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def number_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        tens, rem = divmod(n, 10)
+        return _TENS[tens] + (" " + _ONES[rem] if rem else "")
+    for scale, name in _SCALE:
+        if n >= scale:
+            major, rem = divmod(n, scale)
+            out = number_to_words(major) + " " + name
+            if rem:
+                out += " " + number_to_words(rem)
+            return out
+    return str(n)
+
+
+def ordinal_to_words(n: int) -> str:
+    words = number_to_words(n)
+    parts = words.rsplit(" ", 1)
+    last = parts[-1]
+    if last in _ORDINAL_SPECIAL:
+        parts[-1] = _ORDINAL_SPECIAL[last]
+    elif last.endswith("y"):
+        parts[-1] = last[:-1] + "ieth"
+    else:
+        parts[-1] = last + "th"
+    return " ".join(parts)
+
+
+def year_to_words(n: int) -> str:
+    if 1100 <= n <= 1999 and n % 100:
+        hi, lo = divmod(n, 100)
+        lo_words = ("oh " + _ONES[lo]) if lo < 10 else number_to_words(lo)
+        return f"{number_to_words(hi)} {lo_words}"
+    if 2000 <= n <= 2009:
+        return number_to_words(n)
+    if 2010 <= n <= 2099:
+        return f"{number_to_words(20)} {number_to_words(n - 2000)}"
+    return number_to_words(n)
+
+
+_CURRENCY = {"$": "dollars", "€": "euros", "£": "pounds", "¥": "yen"}
+
+
+def normalize_for_tts(text: str) -> str:
+    t = text
+
+    def currency(m):
+        sym, amount = m.group(1), m.group(2)
+        unit = _CURRENCY[sym]
+        if "." in amount:
+            whole, cents = amount.split(".")
+            return (
+                f"{number_to_words(int(whole))} {unit} "
+                f"and {number_to_words(int(cents))} cents"
+            )
+        n = int(amount.replace(",", ""))
+        return f"{number_to_words(n)} {unit}"
+
+    t = re.sub(r"([$€£¥])([\d,]+(?:\.\d+)?)", currency, t)
+    t = re.sub(r"(\d+(?:\.\d+)?)\s*%", lambda m: _decimal_words(m.group(1)) + " percent", t)
+    t = re.sub(r"\b(\d+)(st|nd|rd|th)\b", lambda m: ordinal_to_words(int(m.group(1))), t)
+    # years: standalone 4-digit numbers in a plausible range
+    t = re.sub(
+        r"\b(1[1-9]\d\d|20\d\d)\b", lambda m: year_to_words(int(m.group(1))), t
+    )
+    t = re.sub(r"\b\d+\.\d+\b", lambda m: _decimal_words(m.group(0)), t)
+    t = re.sub(r"\b\d[\d,]*\b", lambda m: number_to_words(int(m.group(0).replace(",", ""))), t)
+    return re.sub(r"\s+", " ", t).strip()
+
+
+def _decimal_words(s: str) -> str:
+    if "." not in s:
+        return number_to_words(int(s))
+    whole, frac = s.split(".")
+    digits = " ".join(_ONES[int(d)] for d in frac)
+    return f"{number_to_words(int(whole))} point {digits}"

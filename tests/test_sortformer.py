@@ -1,0 +1,63 @@
+"""Sortformer: streaming state machine (FIFO/compression), offline stitcher."""
+
+import numpy as np
+import pytest
+
+from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+from fluidaudio_tpu.models.sortformer import SORTFORMER_TEST, NUM_SPEAKERS
+
+
+@pytest.fixture(scope="module")
+def diarizer():
+    return SortformerDiarizer(SORTFORMER_TEST, threshold=0.5)
+
+
+def test_streaming_state_carry(diarizer):
+    rng = np.random.RandomState(0)
+    chunk_samples = diarizer.cfg.chunk_frames * 1280
+    state = diarizer.make_state()
+    fifo_lens = []
+    for i in range(6):
+        preds, state = diarizer.process_chunk(
+            (rng.randn(chunk_samples) * 0.1).astype(np.float32), state
+        )
+        assert preds.shape == (diarizer.cfg.chunk_frames, NUM_SPEAKERS)
+        assert np.all((preds >= 0) & (preds <= 1))
+        fifo_lens.append(int(state.fifo_len_valid[0]))
+    # FIFO fills then saturates at its capacity
+    assert fifo_lens[0] == diarizer.cfg.chunk_frames
+    assert fifo_lens[-1] == diarizer.cfg.fifo_len
+    # speaker cache accumulated something once FIFO overflowed
+    assert bool(state.spkcache_mask[0].any())
+
+
+def test_streaming_full_process(diarizer):
+    rng = np.random.RandomState(1)
+    audio = (rng.randn(16000 * 4) * 0.1).astype(np.float32)
+    result = diarizer.process(audio)
+    for seg in result.segments:
+        assert seg.speaker_id.startswith("spk")
+        assert 0 <= seg.start_time < seg.end_time <= 4.2
+
+
+def test_offline_with_stitching(diarizer):
+    rng = np.random.RandomState(2)
+    audio = (rng.randn(16000 * 35) * 0.1).astype(np.float32)  # > one window
+    result = diarizer.process_offline(audio)
+    assert result.timings.total_seconds > 0
+    for seg in result.segments:
+        assert seg.end_time <= 35.5
+
+
+def test_stitcher_permutation_alignment(diarizer):
+    # window 2's slots are a permutation of window 1's; stitcher must align
+    T = 20
+    rng = np.random.RandomState(3)
+    base = (rng.rand(T, NUM_SPEAKERS) > 0.5).astype(np.float32)
+    perm = [2, 0, 3, 1]
+    w1 = (0, base[:12])
+    w2 = (8, base[8:, perm])  # overlaps frames 8..12
+    stitched = diarizer._stitch([w1, w2])
+    # after alignment the overlap region should agree with base
+    np.testing.assert_allclose(stitched[8:12], base[8:12], atol=0.51)
+    np.testing.assert_allclose(stitched[12:], base[12:], atol=1e-6)
