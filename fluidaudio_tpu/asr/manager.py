@@ -41,7 +41,7 @@ from fluidaudio_tpu.ops.tdt_decode import (
 from fluidaudio_tpu.utils.audio_source import ArrayAudioSource, AudioSampleSource, make_audio_source
 from fluidaudio_tpu.utils.converter import AudioConverter
 from fluidaudio_tpu.utils.logging import get_logger
-from fluidaudio_tpu.utils.timing import PerformanceMetrics
+from fluidaudio_tpu.utils.timing import PerformanceMetrics, ProgressEmitter
 
 logger = get_logger("asr")
 
@@ -58,6 +58,9 @@ class AsrManager:
         vocab = models.tokenizer.vocabulary
         self._splice_safe = splice_safe_token_ids(vocab)
         self._case_canon = case_variant_canonical_ids(vocab)
+        # per-session progress stream for long transcriptions (reference
+        # ProgressEmitter wiring, AsrManager.swift:101-107)
+        self.progress = ProgressEmitter()
 
     # ------------------------------------------------------------- pipeline
 
@@ -165,6 +168,7 @@ class AsrManager:
         fn = self._get_pipeline(B, W)
 
         merged: list[TokenWindow] = []
+        n_groups = -(-len(windows) // B)
         for i in range(0, len(windows), B):
             group = windows[i : i + B]
             audio = np.zeros((B, W), np.float32)
@@ -178,6 +182,7 @@ class AsrManager:
                 merged = cp.merge_chunks(
                     merged, window_tokens, self._splice_safe, self._case_canon
                 )
+            self.progress.emit((i // B + 1) / n_groups)
         return merged
 
     def _extract_tokens(self, result, row: int, frame_offset: int) -> list[TokenWindow]:
