@@ -33,7 +33,7 @@ def main() -> None:
     from fluidaudio_tpu.asr.manager import AsrManager
     from fluidaudio_tpu.models.zoo import AsrModels
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64  # v5e sweep: 64 -> 5207x, 32 -> 4867x, 8 -> 2483x
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128  # v5e sweep: 128 -> 5739x, 64 -> 5207x, 32 -> 4867x
     window = 240_000  # 15 s @ 16 kHz
     iters = 5
 

@@ -1,0 +1,155 @@
+"""CtcKeywordSpotter: mel + encoder + CTC head -> keyword spotting manager.
+
+Behavioral parity: reference `WordSpotting/CtcKeywordSpotter.swift:11-60`
+(+Inference): 15 s chunks with 2 s overlap, temperature + blank-bias
+preprocessing of the CTC log-probs, per-keyword DP spotting
+(ops in custom_vocab/ctc_spotter.py), results merged across chunks.
+
+Pairs with `VocabularyRescorer` for the full CTC-WS boosting flow
+(Earnings22 benchmark path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidaudio_tpu.asr.custom_vocab.context import CustomVocabularyContext
+from fluidaudio_tpu.asr.custom_vocab.ctc_spotter import KeywordSpot, spot_keywords
+from fluidaudio_tpu.models.conformer import ConformerConfig, ConformerEncoder
+from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+from fluidaudio_tpu.registry import DownloadUtils, Repo
+from fluidaudio_tpu.utils.checkpoint import load_params
+from fluidaudio_tpu.utils.logging import get_logger
+
+logger = get_logger("asr.kws")
+
+CHUNK_SAMPLES = 240_000  # 15 s
+OVERLAP_SAMPLES = 32_000  # 2 s
+FRAME_SECONDS = 0.08
+
+
+@dataclass(frozen=True)
+class KeywordSpotterConfig:
+    vocab_size: int = 1024  # CTC vocab (blank last)
+    temperature: float = 1.0
+    blank_bias: float = 0.0
+    min_score: float = -2.5
+
+    @property
+    def blank_id(self) -> int:
+        return self.vocab_size
+
+
+class CtcKeywordSpotter:
+    def __init__(
+        self,
+        context: CustomVocabularyContext,
+        config: KeywordSpotterConfig | None = None,
+        encoder_cfg: ConformerConfig | None = None,
+        *,
+        checkpoint_dir: str | Path | None = None,
+        rng_seed: int = 0,
+    ):
+        self.context = context
+        self.cfg = config or KeywordSpotterConfig()
+        enc_cfg = encoder_cfg or ConformerConfig(d_model=512, n_layers=17)
+        self.encoder = ConformerEncoder(enc_cfg)
+        self.mel = MelFrontend(MelConfig(normalize="per_feature"))
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))
+        dummy_mel = jnp.zeros((1, 128, 101), jnp.float32)
+        self.enc_params = jax.jit(self.encoder.init)(
+            k1, dummy_mel, jnp.array([101], jnp.int32)
+        )
+        self.ctc_head = jax.random.normal(
+            k2, (enc_cfg.d_model, self.cfg.vocab_size + 1), jnp.float32
+        ) * 0.02
+        base = (
+            Path(checkpoint_dir) if checkpoint_dir
+            else DownloadUtils.repo_dir(Repo.PARAKEET_CTC_0_6B)
+        )
+        if (base / "encoder.npz").exists():
+            self.enc_params = load_params(base / "encoder.npz", self.enc_params)
+        if (base / "ctc_head.npz").exists():
+            self.ctc_head = jnp.asarray(np.load(base / "ctc_head.npz")["head"])
+        self._fn_cache: dict[int, object] = {}
+
+    def _log_probs_fn(self, width: int):
+        if width not in self._fn_cache:
+            def run(enc_params, head, audio, lengths):
+                mel, mel_len = self.mel(audio, lengths)
+                enc, enc_len = self.encoder.apply(enc_params, mel, mel_len)
+                logits = enc @ head
+                return jax.nn.log_softmax(logits, axis=-1), enc_len
+
+            self._fn_cache[width] = jax.jit(run)
+        return self._fn_cache[width]
+
+    def spot(self, samples: np.ndarray) -> list[KeywordSpot]:
+        """Spot all context terms across the recording (chunked, merged)."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        keywords = {
+            t.text: t.ctc_token_ids
+            for t in self.context.terms
+            if t.ctc_token_ids
+        }
+        if not keywords:
+            logger.warning("no pre-tokenized terms; call context.pretokenize()")
+            return []
+
+        stride = CHUNK_SAMPLES - OVERLAP_SAMPLES
+        fn = self._log_probs_fn(CHUNK_SAMPLES)
+        spots: list[KeywordSpot] = []
+        for start in range(0, max(1, samples.size), stride):
+            seg = samples[start : start + CHUNK_SAMPLES]
+            if seg.size < 4000 and start > 0:
+                break
+            buf = np.zeros(CHUNK_SAMPLES, np.float32)
+            buf[: seg.size] = seg
+            lp, enc_len = fn(
+                self.enc_params, self.ctc_head,
+                jnp.asarray(buf)[None, :], jnp.array([seg.size], jnp.int32),
+            )
+            n = int(enc_len[0])
+            chunk_spots = spot_keywords(
+                np.asarray(lp[0][:n]), keywords, self.cfg.blank_id,
+                min_score=self.cfg.min_score, temperature=self.cfg.temperature,
+                blank_bias=self.cfg.blank_bias,
+            )
+            frame_offset = start // 1280
+            for s in chunk_spots:
+                spots.append(
+                    KeywordSpot(
+                        keyword=s.keyword,
+                        start_frame=s.start_frame + frame_offset,
+                        end_frame=s.end_frame + frame_offset,
+                        score=s.score,
+                        raw_score=s.raw_score,
+                    )
+                )
+            if start + CHUNK_SAMPLES >= samples.size:
+                break
+        return _dedupe_spots(spots)
+
+
+def _dedupe_spots(spots: list[KeywordSpot]) -> list[KeywordSpot]:
+    """Overlapping chunks can re-spot the same occurrence; keep the best."""
+    spots.sort(key=lambda s: (s.keyword, s.start_frame))
+    out: list[KeywordSpot] = []
+    for s in spots:
+        if (
+            out
+            and out[-1].keyword == s.keyword
+            and s.start_frame <= out[-1].end_frame
+        ):
+            if s.score > out[-1].score:
+                out[-1] = s
+        else:
+            out.append(s)
+    out.sort(key=lambda s: s.start_frame)
+    return out

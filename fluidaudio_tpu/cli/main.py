@@ -190,6 +190,22 @@ def cmd_benchmark(args: argparse.Namespace) -> int:
         results.append({"metric": "vad_rtfx", "value": round(60 / dt, 1),
                         "unit": "x_realtime"})
 
+    if args.workload in ("streaming", "all"):
+        from fluidaudio_tpu.asr.streaming_eou import StreamingEouAsrManager
+
+        mgr = StreamingEouAsrManager(chunk_ms=320)
+        state = mgr.make_state()
+        chunk = (rng.randn(5360) * 0.1).astype(np.float32)
+        mgr.process(chunk, state)  # warm/compile
+        latencies = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            mgr.process(chunk, state)
+            latencies.append(time.perf_counter() - t0)
+        p50 = sorted(latencies)[len(latencies) // 2] * 1e3
+        results.append({"metric": "eou_streaming_p50_chunk_latency",
+                        "value": round(p50, 2), "unit": "ms_per_320ms_chunk"})
+
     if args.workload in ("diarizer", "all"):
         from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
 
@@ -257,7 +273,7 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_normalize)
 
     p = sub.add_parser("benchmark", help="synthetic throughput benchmarks")
-    p.add_argument("--workload", choices=["asr", "vad", "diarizer", "all"], default="asr")
+    p.add_argument("--workload", choices=["asr", "vad", "diarizer", "streaming", "all"], default="asr")
     p.add_argument("--batch", type=int, default=32)
     p.set_defaults(fn=cmd_benchmark)
 
