@@ -1,0 +1,164 @@
+"""Multi-stream streaming ASR: N live streams batched into one chunk step.
+
+Behavioral parity: reference multi-stream paths (`MultiStreamCommand.swift`,
+`NemotronMultilingualMultiStreamBench.swift`) which run N independent manager
+instances. TPU re-design (SURVEY §2.10): the N streams' conformer caches and
+decode states stack on the batch axis, so every chunk tick is ONE device call
+for all streams — throughput scales with N at near-constant latency.
+
+Streams advance in lockstep ticks; a stream with insufficient buffered audio
+is stepped with a zero chunk and masked out of its transcript (its caches
+still advance deterministically, mirroring a silent input).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidaudio_tpu.asr.streaming_eou import (
+    EOU_BLANK_ID,
+    EOU_TOKEN_ID,
+    MEL_HOP,
+    MEL_WIN,
+    SAMPLE_RATE,
+)
+from fluidaudio_tpu.models.conformer_streaming import (
+    EOU_120M,
+    StreamingConformerConfig,
+    StreamingConformerEncoder,
+    init_caches,
+)
+from fluidaudio_tpu.models.predictor import PredictorConfig, RnntJoint, RnntPredictor
+from fluidaudio_tpu.models.zoo import _placeholder_vocab
+from fluidaudio_tpu.asr.tokenizer import Tokenizer
+from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+from fluidaudio_tpu.ops.tdt_decode import TdtDecodeConfig, make_initial_state, tdt_greedy_decode
+from fluidaudio_tpu.utils.logging import get_logger
+
+logger = get_logger("asr.multistream")
+
+
+@dataclass
+class _PerStream:
+    pending: np.ndarray
+    last_sample: float = 0.0
+    tokens: list[int] = field(default_factory=list)
+    ended: bool = False
+
+
+class MultiStreamEouManager:
+    def __init__(
+        self,
+        n_streams: int,
+        chunk_ms: int = 320,
+        *,
+        enc_cfg: StreamingConformerConfig | None = None,
+        rng_seed: int = 0,
+    ):
+        self.n = n_streams
+        self.chunk_samples = chunk_ms * SAMPLE_RATE // 1000
+        self.mel_frames = self.chunk_samples // MEL_HOP
+        self.enc_cfg = enc_cfg or EOU_120M
+        self.encoder = StreamingConformerEncoder(self.enc_cfg)
+        self.pred_cfg = PredictorConfig(
+            vocab_size=EOU_BLANK_ID, pred_hidden=640, n_layers=1,
+            enc_hidden=self.enc_cfg.d_model, joint_hidden=640, n_durations=0,
+        )
+        self.predictor = RnntPredictor(self.pred_cfg)
+        self.joint = RnntJoint(self.pred_cfg)
+        self.dcfg = TdtDecodeConfig(
+            blank_id=EOU_BLANK_ID, durations=(), max_tokens=64, eou_id=EOU_TOKEN_ID
+        )
+        self.mel = MelFrontend(MelConfig(center=False, normalize=None))
+        self.tokenizer = Tokenizer(_placeholder_vocab(EOU_TOKEN_ID))
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
+        caches = init_caches(self.enc_cfg, self.n)
+        mel = jnp.zeros((self.n, self.enc_cfg.n_mels, self.mel_frames), jnp.float32)
+        self.params = {
+            "encoder": jax.jit(self.encoder.init)(k1, mel, caches),
+            "predictor": jax.jit(self.predictor.init)(
+                k2, jnp.zeros((self.n,), jnp.int32),
+                jnp.zeros((1, self.n, self.pred_cfg.pred_hidden)),
+                jnp.zeros((1, self.n, self.pred_cfg.pred_hidden)),
+            ),
+            "joint": jax.jit(self.joint.init)(
+                k3, jnp.zeros((self.n, self.pred_cfg.enc_hidden)),
+                jnp.zeros((self.n, self.pred_cfg.pred_hidden)),
+            ),
+        }
+        self.caches = caches
+        self.dec_state = make_initial_state(
+            self.dcfg, self.pred_cfg.n_layers, self.pred_cfg.pred_hidden, self.n
+        )
+        self.streams = [
+            _PerStream(pending=np.zeros(0, np.float32)) for _ in range(self.n)
+        ]
+        self._step = jax.jit(self._chunk_step)
+
+    def _chunk_step(self, params, mel_chunk, caches, dec_state):
+        enc, new_caches = self.encoder.apply(params["encoder"], mel_chunk, caches)
+        lengths = jnp.full((self.n,), enc.shape[1], jnp.int32)
+        result = tdt_greedy_decode(
+            self.dcfg,
+            lambda t, h, c: self.predictor.apply(params["predictor"], t, h, c),
+            lambda f, g: self.joint.apply(params["joint"], f, g),
+            enc, lengths, dec_state,
+        )
+        return result, new_caches
+
+    def feed(self, stream_idx: int, audio: np.ndarray) -> None:
+        s = self.streams[stream_idx]
+        s.pending = np.concatenate([s.pending, np.asarray(audio, np.float32).reshape(-1)])
+
+    def end_stream(self, stream_idx: int) -> None:
+        self.streams[stream_idx].ended = True
+
+    @property
+    def ready(self) -> bool:
+        """True when any live stream has a full chunk buffered."""
+        need = self.chunk_samples + (MEL_WIN - MEL_HOP)
+        return any(
+            s.pending.size >= need for s in self.streams if not s.ended
+        )
+
+    def tick(self) -> list[list[int]]:
+        """One batched chunk step; returns new token ids per stream."""
+        need = self.chunk_samples + (MEL_WIN - MEL_HOP)
+        window = np.zeros((self.n, need), np.float32)
+        last = np.zeros((self.n,), np.float32)
+        active = np.zeros((self.n,), bool)
+        for i, s in enumerate(self.streams):
+            if s.ended or s.pending.size < need:
+                continue  # silent zero chunk keeps the cache cadence
+            window[i] = s.pending[:need]
+            last[i] = s.last_sample
+            active[i] = True
+
+        mel, _ = self.mel(jnp.asarray(window), last_samples=jnp.asarray(last))
+        mel = mel[:, :, : self.mel_frames]
+        result, self.caches = self._step(self.params, mel, self.caches, self.dec_state)
+        self.dec_state = result.state._replace(
+            time_jump=jnp.zeros_like(result.state.time_jump)
+        )
+
+        counts = np.asarray(result.counts)
+        tokens = np.asarray(result.tokens)
+        out: list[list[int]] = []
+        for i, s in enumerate(self.streams):
+            if active[i]:
+                ids = [int(t) for t in tokens[i][: int(counts[i])]]
+                s.tokens.extend(ids)
+                s.last_sample = float(s.pending[self.chunk_samples - 1])
+                s.pending = s.pending[self.chunk_samples :]
+                out.append(ids)
+            else:
+                out.append([])
+        return out
+
+    def transcript(self, stream_idx: int) -> str:
+        return self.tokenizer.decode(self.streams[stream_idx].tokens)

@@ -147,6 +147,21 @@ def cmd_normalize(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tts_asr_verify(args: argparse.Namespace) -> int:
+    """TTS -> ASR round-trip consistency check (reference tts-asr-verify)."""
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.zoo import AsrModels
+    from fluidaudio_tpu.tts import KokoroManager, tts_asr_roundtrip
+
+    tts = KokoroManager()
+    asr = AsrManager(AsrModels.load(args.version, allow_random_init=args.allow_random_init))
+    result = tts_asr_roundtrip(tts, asr, args.text, voice=args.voice)
+    print(f"text:       {result.text}")
+    print(f"transcript: {result.transcript}")
+    print(f"wer: {result.wer:.3f}  audio: {result.audio_seconds:.2f}s")
+    return 0 if result.wer <= args.max_wer else 1
+
+
 def cmd_benchmark(args: argparse.Namespace) -> int:
     """Synthetic-throughput benchmarks per workload (one JSON line each)."""
     import jax
@@ -271,6 +286,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("text", nargs="+")
     p.add_argument("--language", default="en")
     p.set_defaults(fn=cmd_normalize)
+
+    p = sub.add_parser("tts-asr-verify", help="TTS->ASR round-trip check")
+    p.add_argument("text")
+    p.add_argument("--voice", default="af_heart")
+    p.add_argument("--version", default="v3")
+    p.add_argument("--max-wer", type=float, default=1.0)
+    p.add_argument("--allow-random-init", action="store_true")
+    p.set_defaults(fn=cmd_tts_asr_verify)
 
     p = sub.add_parser("benchmark", help="synthetic throughput benchmarks")
     p.add_argument("--workload", choices=["asr", "vad", "diarizer", "streaming", "all"], default="asr")

@@ -62,6 +62,13 @@ ASR_VERSIONS: dict[str, AsrVersionSpec] = {
                                   pred_hidden=640, joint_hidden=640),
         mel=MelConfig(normalize="per_feature"),
     ),
+    "tdt-ja": AsrVersionSpec(
+        name="tdt-ja",
+        repo=Repo.PARAKEET_JA,
+        conformer=ConformerConfig(d_model=1024, n_layers=24, n_heads=8),
+        predictor=PredictorConfig(vocab_size=3072, n_layers=1, enc_hidden=1024),
+        mel=MelConfig(normalize="per_feature"),
+    ),
     # tiny fixture for hermetic tests / fast compiles
     "test-tiny": AsrVersionSpec(
         name="test-tiny",

@@ -89,6 +89,40 @@ class DownloadUtils:
         raise RegistryError(f"failed to download {url}: {last_err}")
 
     @staticmethod
+    def list_repo_files(repo: Repo, subdir: str = "") -> list[str]:
+        """Walk the HF listing API (`/api/models/<id>/tree/main[/<dir>]`).
+
+        Reference `DownloadUtils.downloadSubdirectory` listing walk.
+        """
+        if ModelRegistry.offline():
+            raise OfflineError(repo.spec.name, f"listing {subdir or '/'}")
+        base = ModelRegistry.base_url()
+        url = f"{base}/api/models/{repo.spec.name}/tree/main"
+        if subdir:
+            url += f"/{subdir.strip('/')}"
+        headers = {}
+        token = ModelRegistry.hf_token()
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(url, headers=headers)
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            entries = json.loads(resp.read().decode())
+        files: list[str] = []
+        for entry in entries:
+            if entry.get("type") == "file":
+                files.append(entry["path"])
+            elif entry.get("type") == "directory":
+                files.extend(DownloadUtils.list_repo_files(repo, entry["path"]))
+        return files
+
+    @staticmethod
+    def download_subdirectory(repo: Repo, subdir: str) -> Path:
+        """Fetch every file under a repo subdirectory into the cache."""
+        for f in DownloadUtils.list_repo_files(repo, subdir):
+            DownloadUtils.fetch_file(repo, f)
+        return DownloadUtils.repo_dir(repo) / subdir
+
+    @staticmethod
     def download_repo(repo: Repo, files: tuple[str, ...]) -> Path:
         """Ensure the listed files exist in the cache; returns the repo dir."""
         for f in files:
