@@ -20,9 +20,8 @@ the manager stacks into a batch for ONE pjit'd encoder+decode call
 
 from __future__ import annotations
 
-import math
 import unicodedata
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -8,11 +8,12 @@ from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
 
 
 def parse_rttm(path_or_text: str | Path) -> list[TimedSpeakerSegment]:
-    text = (
-        Path(path_or_text).read_text()
-        if isinstance(path_or_text, Path) or "\n" not in str(path_or_text) and Path(str(path_or_text)).exists()
-        else str(path_or_text)
-    )
+    if isinstance(path_or_text, Path):
+        text = path_or_text.read_text()
+    else:
+        s = str(path_or_text)
+        # a single-line string naming an existing file is treated as a path
+        text = Path(s).read_text() if "\n" not in s and Path(s).exists() else s
     segments = []
     for line in text.splitlines():
         parts = line.split()

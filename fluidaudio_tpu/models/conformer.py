@@ -91,6 +91,7 @@ class GLUConv(nn.Module):
             kernel_size=(cfg.conv_kernel,),
             feature_group_count=d,
             padding="SAME",
+            use_bias=False,  # NeMo depthwise_conv has no bias
             dtype=cfg.compute_dtype,
             name="depthwise",
         )(x)

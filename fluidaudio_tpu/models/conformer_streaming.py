@@ -148,6 +148,7 @@ class _StreamConv(nn.Module):
         full = jnp.concatenate([tail, xs], axis=1)  # [B, k-1+T, D]
         y = nn.Conv(
             d, (cfg.conv_kernel,), feature_group_count=d, padding="VALID",
+            use_bias=False,  # NeMo depthwise_conv has no bias
             dtype=dt, name="depthwise",
         )(full)
         scale = self.param("bn_scale", nn.initializers.ones, (d,), jnp.float32)

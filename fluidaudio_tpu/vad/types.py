@@ -7,8 +7,7 @@ ASR window, padding 0.1 s, hysteresis negative offset 0.15).
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 
 import numpy as np
 

@@ -1,0 +1,139 @@
+"""NeMo->npz converter: structural + shape match against the real flax trees,
+and the converted params must actually run the pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fluidaudio_tpu.convert.parakeet import convert_parakeet_state_dict
+from fluidaudio_tpu.models.zoo import ASR_VERSIONS, AsrModels
+
+
+def synthetic_nemo_state_dict(ccfg, pcfg, rng):
+    """Torch-layout state dict with NeMo FastConformer-TDT key names."""
+    d, c = ccfg.d_model, ccfg.subsampling_channels
+    f8 = ccfg.n_mels // 8
+    ff = d * ccfg.ffn_expansion
+    H, Dh = ccfg.n_heads, ccfg.head_dim
+    sd = {
+        "encoder.pre_encode.conv.0.weight": rng.randn(c, 1, 3, 3),
+        "encoder.pre_encode.conv.0.bias": rng.randn(c),
+        "encoder.pre_encode.conv.2.weight": rng.randn(c, 1, 3, 3),
+        "encoder.pre_encode.conv.2.bias": rng.randn(c),
+        "encoder.pre_encode.conv.3.weight": rng.randn(c, c, 1, 1),
+        "encoder.pre_encode.conv.3.bias": rng.randn(c),
+        "encoder.pre_encode.conv.5.weight": rng.randn(c, 1, 3, 3),
+        "encoder.pre_encode.conv.5.bias": rng.randn(c),
+        "encoder.pre_encode.conv.6.weight": rng.randn(c, c, 1, 1),
+        "encoder.pre_encode.conv.6.bias": rng.randn(c),
+        "encoder.pre_encode.out.weight": rng.randn(d, c * f8),
+        "encoder.pre_encode.out.bias": rng.randn(d),
+    }
+    for i in range(ccfg.n_layers):
+        b = f"encoder.layers.{i}"
+        sd.update({
+            f"{b}.norm_feed_forward1.weight": rng.randn(d),
+            f"{b}.norm_feed_forward1.bias": rng.randn(d),
+            f"{b}.feed_forward1.linear1.weight": rng.randn(ff, d),
+            f"{b}.feed_forward1.linear1.bias": rng.randn(ff),
+            f"{b}.feed_forward1.linear2.weight": rng.randn(d, ff),
+            f"{b}.feed_forward1.linear2.bias": rng.randn(d),
+            f"{b}.norm_self_att.weight": rng.randn(d),
+            f"{b}.norm_self_att.bias": rng.randn(d),
+            f"{b}.self_attn.linear_q.weight": rng.randn(d, d),
+            f"{b}.self_attn.linear_q.bias": rng.randn(d),
+            f"{b}.self_attn.linear_k.weight": rng.randn(d, d),
+            f"{b}.self_attn.linear_k.bias": rng.randn(d),
+            f"{b}.self_attn.linear_v.weight": rng.randn(d, d),
+            f"{b}.self_attn.linear_v.bias": rng.randn(d),
+            f"{b}.self_attn.linear_out.weight": rng.randn(d, d),
+            f"{b}.self_attn.linear_out.bias": rng.randn(d),
+            f"{b}.self_attn.linear_pos.weight": rng.randn(d, d),
+            f"{b}.self_attn.pos_bias_u": rng.randn(H, Dh),
+            f"{b}.self_attn.pos_bias_v": rng.randn(H, Dh),
+            f"{b}.norm_conv.weight": rng.randn(d),
+            f"{b}.norm_conv.bias": rng.randn(d),
+            f"{b}.conv.pointwise_conv1.weight": rng.randn(2 * d, d, 1),
+            f"{b}.conv.pointwise_conv1.bias": rng.randn(2 * d),
+            f"{b}.conv.depthwise_conv.weight": rng.randn(d, 1, ccfg.conv_kernel),
+            f"{b}.conv.batch_norm.weight": np.abs(rng.randn(d)) + 0.5,
+            f"{b}.conv.batch_norm.bias": rng.randn(d),
+            f"{b}.conv.batch_norm.running_mean": rng.randn(d) * 0.1,
+            f"{b}.conv.batch_norm.running_var": np.abs(rng.randn(d)) + 0.5,
+            f"{b}.conv.pointwise_conv2.weight": rng.randn(d, d, 1),
+            f"{b}.conv.pointwise_conv2.bias": rng.randn(d),
+            f"{b}.norm_feed_forward2.weight": rng.randn(d),
+            f"{b}.norm_feed_forward2.bias": rng.randn(d),
+            f"{b}.feed_forward2.linear1.weight": rng.randn(ff, d),
+            f"{b}.feed_forward2.linear1.bias": rng.randn(ff),
+            f"{b}.feed_forward2.linear2.weight": rng.randn(d, ff),
+            f"{b}.feed_forward2.linear2.bias": rng.randn(d),
+            f"{b}.norm_out.weight": rng.randn(d),
+            f"{b}.norm_out.bias": rng.randn(d),
+        })
+    V, P, J, E = pcfg.vocab_size, pcfg.pred_hidden, pcfg.joint_hidden, pcfg.enc_hidden
+    sd.update({
+        "decoder.prediction.embed.weight": rng.randn(V + 1, P),
+    })
+    for l in range(pcfg.n_layers):
+        in_dim = P
+        sd.update({
+            f"decoder.prediction.dec_rnn.lstm.weight_ih_l{l}": rng.randn(4 * P, in_dim),
+            f"decoder.prediction.dec_rnn.lstm.weight_hh_l{l}": rng.randn(4 * P, P),
+            f"decoder.prediction.dec_rnn.lstm.bias_ih_l{l}": rng.randn(4 * P),
+            f"decoder.prediction.dec_rnn.lstm.bias_hh_l{l}": rng.randn(4 * P),
+        })
+    n_out = pcfg.num_token_logits + pcfg.n_durations
+    sd.update({
+        "joint.enc.weight": rng.randn(J, E),
+        "joint.enc.bias": rng.randn(J),
+        "joint.pred.weight": rng.randn(J, P),
+        "joint.pred.bias": rng.randn(J),
+        "joint.joint_net.2.weight": rng.randn(n_out, J),
+        "joint.joint_net.2.bias": rng.randn(n_out),
+    })
+    return {k: (v * 0.05).astype(np.float32) if v.dtype != np.float32 else v
+            for k, v in sd.items()}
+
+
+def tree_shapes(tree):
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        out[key] = tuple(np.shape(leaf))
+    return out
+
+
+def test_converted_tree_matches_flax_structure():
+    spec = ASR_VERSIONS["test-tiny"]
+    models = AsrModels.load("test-tiny", allow_random_init=True)
+    rng = np.random.RandomState(0)
+    sd = synthetic_nemo_state_dict(spec.conformer, spec.predictor, rng)
+    converted = convert_parakeet_state_dict(sd, spec.conformer, spec.predictor)
+
+    for part in ("encoder", "predictor", "joint"):
+        want = tree_shapes(models.params[part])
+        got = tree_shapes(converted[part])
+        assert want == got, (
+            f"{part} mismatch:\n missing={set(want) - set(got)}\n"
+            f" extra={set(got) - set(want)}\n"
+            f" shapes={[k for k in want if k in got and want[k] != got[k]]}"
+        )
+
+
+def test_converted_params_run_pipeline():
+    from fluidaudio_tpu.asr.config import ASRConfig, TdtConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+
+    spec = ASR_VERSIONS["test-tiny"]
+    models = AsrModels.load("test-tiny", allow_random_init=True)
+    rng = np.random.RandomState(1)
+    sd = synthetic_nemo_state_dict(spec.conformer, spec.predictor, rng)
+    models.params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x),
+        convert_parakeet_state_dict(sd, spec.conformer, spec.predictor),
+    )
+    manager = AsrManager(models, ASRConfig(tdt=TdtConfig(max_tokens_per_chunk=64)))
+    result = manager.transcribe((rng.randn(16000) * 0.1).astype(np.float32))
+    assert result.duration == pytest.approx(1.0)
