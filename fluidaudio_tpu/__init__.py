@@ -19,3 +19,13 @@ Layering (mirrors reference SURVEY.md §1, re-designed TPU-first):
 __version__ = "0.1.0"
 
 from fluidaudio_tpu.utils.logging import get_logger  # noqa: F401
+
+# Persistent XLA compilation cache, on by default: first compiles of the big
+# pipelines are minutes-scale on this class of hardware; every later process
+# must start warm. FLUID_NO_JAX_CACHE=1 opts out. (Measured: 46 s -> 11 s for
+# a mid-size pipeline's first call; 240 s -> ~1 s for the 0.6B long-form
+# pipeline.)
+from fluidaudio_tpu.utils.compilation_cache import enable_compilation_cache as _ecc
+
+_ecc()
+del _ecc

@@ -14,10 +14,15 @@ _ENABLED = False
 
 
 def enable_compilation_cache(cache_dir: str | Path | None = None) -> None:
+    """Idempotent; set FLUID_NO_JAX_CACHE=1 to opt out."""
     global _ENABLED
-    if _ENABLED:
+    if _ENABLED or os.environ.get("FLUID_NO_JAX_CACHE"):
         return
     import jax
+
+    if cache_dir is None and jax.config.jax_compilation_cache_dir:
+        _ENABLED = True  # caller (e.g. tests) already configured a cache
+        return
 
     path = Path(
         cache_dir
