@@ -248,6 +248,36 @@ class DiarizerManager:
                 out.append(seg)
         return out
 
+    # ------------------------------------------------ protocol-parity methods
+    # (reference DiarizerProtocol.swift:6: addAudio/process/processComplete/
+    #  enrollSpeaker/finalizeSession/reset/cleanup)
+
+    def add_audio(self, samples: np.ndarray) -> None:
+        """Accumulate audio for a later `process_complete` call."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        buf = getattr(self, "_pending", None)
+        self._pending = samples if buf is None else np.concatenate([buf, samples])
+
+    def process_complete(self) -> DiarizationResult:
+        """Diarize everything accumulated via `add_audio`."""
+        pending = getattr(self, "_pending", None)
+        self._pending = None
+        if pending is None or pending.size == 0:
+            return DiarizationResult(segments=[], speaker_count=0)
+        return self.process(pending)
+
+    def finalize_session(self) -> DiarizationResult:
+        result = self.process_complete()
+        return result
+
+    def reset(self) -> None:
+        self._pending = None
+        self.speaker_manager.reset(keep_if_permanent=True)
+
+    def cleanup(self) -> None:
+        self.reset()
+        self.speaker_manager.reset(keep_if_permanent=False)
+
     # -------------------------------------------------------------- enrollment
 
     def extract_speaker_embedding(self, samples: np.ndarray) -> np.ndarray:
