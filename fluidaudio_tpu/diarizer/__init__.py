@@ -8,6 +8,8 @@ from fluidaudio_tpu.diarizer.types import (
 )
 from fluidaudio_tpu.diarizer.speaker_manager import SpeakerManager
 from fluidaudio_tpu.diarizer.manager import DiarizerManager
+from fluidaudio_tpu.diarizer.timeline import DiarizerTimeline, TimelineConfig
+from fluidaudio_tpu.diarizer.metrics import compute_der, DerResult
 
 __all__ = [
     "DiarizerConfig",
@@ -18,4 +20,8 @@ __all__ = [
     "TimedSpeakerSegment",
     "SpeakerManager",
     "DiarizerManager",
+    "DiarizerTimeline",
+    "TimelineConfig",
+    "compute_der",
+    "DerResult",
 ]
