@@ -1,0 +1,177 @@
+"""Mandarin G2P: segmentation + pinyin lookup + tone sandhi + erhua + numbers.
+
+Behavioral parity: reference `KokoroAne/G2P/Mandarin/` (11 files, ~2.2k LoC):
+jieba-HMM-style segmentation (here: greedy longest-match over the lexicon),
+third-tone sandhi, 不/一 sandhi, erhua (儿化) merging, and Mandarin number
+reading (两 vs 二, unit grouping). The seed lexicon covers common words; a
+full dictionary loads from the registry cache (`mandarin_lexicon.json`:
+word -> pinyin-with-tone-number sequence).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+# word -> space-separated pinyin with tone numbers (seed; full dict from assets)
+_SEED_LEXICON: dict[str, str] = {
+    "你好": "ni3 hao3", "你": "ni3", "好": "hao3", "我": "wo3", "他": "ta1",
+    "她": "ta1", "们": "men5", "我们": "wo3 men5", "是": "shi4", "不": "bu4",
+    "不是": "bu4 shi4", "一": "yi1", "二": "er4", "三": "san1", "四": "si4",
+    "五": "wu3", "六": "liu4", "七": "qi1", "八": "ba1", "九": "jiu3",
+    "十": "shi2", "百": "bai3", "千": "qian1", "万": "wan4", "亿": "yi4",
+    "零": "ling2", "两": "liang3", "个": "ge4", "人": "ren2", "中国": "zhong1 guo2",
+    "中": "zhong1", "国": "guo2", "说": "shuo1", "话": "hua4", "说话": "shuo1 hua4",
+    "很": "hen3", "很好": "hen3 hao3", "谢谢": "xie4 xie5", "再见": "zai4 jian4",
+    "天": "tian1", "今天": "jin1 tian1", "明天": "ming2 tian1", "点": "dian3",
+    "儿": "er5", "花": "hua1", "花儿": "hua1 er5", "玩": "wan2", "玩儿": "wan2 er5",
+    "想": "xiang3", "要": "yao4", "去": "qu4", "来": "lai2", "吃": "chi1",
+    "饭": "fan4", "吃饭": "chi1 fan4", "水": "shui3", "喝": "he1",
+}
+
+_DIGITS = "零一二三四五六七八九"
+_UNITS = ["", "十", "百", "千"]
+_GROUPS = ["", "万", "亿"]
+
+
+def number_to_mandarin(n: int) -> str:
+    """Integer -> Mandarin reading (两 for leading 2 before units, 零 rules)."""
+    if n == 0:
+        return "零"
+    if n < 0:
+        return "负" + number_to_mandarin(-n)
+    groups = []
+    while n > 0:
+        groups.append(n % 10_000)
+        n //= 10_000
+    parts: list[str] = []
+    for gi in range(len(groups) - 1, -1, -1):
+        g = groups[gi]
+        if g == 0:
+            continue
+        text = _group_to_mandarin(g, full=gi < len(groups) - 1)
+        parts.append(text + _GROUPS[gi])
+        # 零 between non-adjacent groups
+        if gi > 0 and groups[gi - 1] != 0 and groups[gi - 1] < 1000:
+            parts.append("零")
+    out = "".join(parts)
+    # 一十X -> 十X at the very front
+    if out.startswith("一十"):
+        out = out[1:]
+    return out.rstrip("零") or "零"
+
+
+def _group_to_mandarin(g: int, full: bool) -> str:
+    digits = [int(d) for d in str(g)]
+    out = []
+    zero_pending = False
+    for i, d in enumerate(digits):
+        unit = _UNITS[len(digits) - 1 - i]
+        if d == 0:
+            zero_pending = bool(out)
+            continue
+        if zero_pending:
+            out.append("零")
+            zero_pending = False
+        reading = "两" if (d == 2 and unit in ("百", "千")) else _DIGITS[d]
+        out.append(reading + unit)
+    return "".join(out)
+
+
+class MandarinG2P:
+    def __init__(self, lexicon_path: str | Path | None = None):
+        self.lexicon = dict(_SEED_LEXICON)
+        if lexicon_path and Path(lexicon_path).exists():
+            self.lexicon.update(json.loads(Path(lexicon_path).read_text()))
+        self._max_word = max(len(w) for w in self.lexicon)
+
+    # -------------------------------------------------------------- segmenter
+
+    def segment(self, text: str) -> list[str]:
+        """Greedy longest-match segmentation over the lexicon (jieba-dict role)."""
+        out: list[str] = []
+        i = 0
+        while i < len(text):
+            for ln in range(min(self._max_word, len(text) - i), 0, -1):
+                cand = text[i : i + ln]
+                if cand in self.lexicon or ln == 1:
+                    out.append(cand)
+                    i += ln
+                    break
+        return out
+
+    # ---------------------------------------------------------------- pinyin
+
+    def word_to_pinyin(self, word: str) -> list[str]:
+        if word in self.lexicon:
+            return self.lexicon[word].split()
+        out: list[str] = []
+        for ch in word:
+            if ch in self.lexicon:
+                out.extend(self.lexicon[ch].split())
+            elif ch.isdigit():
+                num = number_to_mandarin(int(ch))
+                out.extend(self.word_to_pinyin(num))
+            # unknown hanzi dropped (full dict resolves them)
+        return out
+
+    # ------------------------------------------------------------ tone sandhi
+
+    @staticmethod
+    def apply_tone_sandhi(syllables: list[str]) -> list[str]:
+        """Third-tone chains (3+3 -> 2+3), 不 (bu4 -> bu2 before tone 4),
+        一 (yi1 -> yi4 before 1/2/3, yi2 before 4)."""
+        out = list(syllables)
+
+        def tone(s: str) -> int:
+            return int(s[-1]) if s and s[-1].isdigit() else 5
+
+        def retone(s: str, t: int) -> str:
+            return (s[:-1] if s[-1].isdigit() else s) + str(t)
+
+        # third-tone sandhi against the ORIGINAL tones so chains resolve
+        # as 3 3 3 -> 2 2 3 (我很好 -> wo2 hen2 hao3)
+        orig_tones = [tone(s) for s in out]
+        for i in range(len(out) - 1):
+            if orig_tones[i] == 3 and orig_tones[i + 1] == 3:
+                out[i] = retone(out[i], 2)
+        # 不 sandhi
+        for i, s in enumerate(out[:-1]):
+            if s.startswith("bu") and tone(s) == 4 and tone(out[i + 1]) == 4:
+                out[i] = retone(s, 2)
+        # 一 sandhi
+        for i, s in enumerate(out[:-1]):
+            if s in ("yi1",):
+                nxt = tone(out[i + 1])
+                out[i] = "yi2" if nxt == 4 else ("yi4" if nxt in (1, 2, 3) else s)
+        return out
+
+    # ---------------------------------------------------------------- erhua
+
+    @staticmethod
+    def apply_erhua(syllables: list[str]) -> list[str]:
+        """Merge neutral-tone 儿 (er5) into the preceding syllable: huar."""
+        out: list[str] = []
+        for s in syllables:
+            if s == "er5" and out:
+                prev = out.pop()
+                tone_ch = prev[-1] if prev[-1].isdigit() else ""
+                core = prev[:-1] if tone_ch else prev
+                out.append(core + "r" + tone_ch)
+            else:
+                out.append(s)
+        return out
+
+    # ----------------------------------------------------------------- public
+
+    def phonemize(self, text: str) -> str:
+        """zh text -> tone-numbered pinyin string (sandhi + erhua applied)."""
+        # expand numbers first
+        text = re.sub(r"\d+", lambda m: number_to_mandarin(int(m.group(0))), text)
+        syllables: list[str] = []
+        for word in self.segment(text):
+            syllables.extend(self.word_to_pinyin(word))
+        syllables = self.apply_tone_sandhi(syllables)
+        syllables = self.apply_erhua(syllables)
+        return " ".join(syllables)
