@@ -33,7 +33,7 @@ def main() -> None:
     from fluidaudio_tpu.asr.manager import AsrManager
     from fluidaudio_tpu.models.zoo import AsrModels
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128  # v5e sweep: 128 -> 5739x, 64 -> 5207x, 32 -> 4867x
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128  # v5e sweep(HIGHEST-mel): 128 -> 6038x; rfft-mel: 128 -> 5739x, 64 -> 5207x
     window = 240_000  # 15 s @ 16 kHz
     iters = 5
 

@@ -10,14 +10,16 @@ Behavioral parity: reference `Shared/AudioMelSpectrogram.swift:2-17,59-330`
   - log with additive floor 2^-24 (or clamped mode)
   - optional NeMo 'per_feature' normalization (ddof=1 over valid frames)
 
-TPU design: framing is a strided gather; the windowed STFT uses XLA's FFT
-(`jnp.fft.rfft`) because measured on v5e it matches the MXU-matmul DFT in
-speed (1.9 vs 1.4 ms per 8x15 s batch — both >>10000x RT) while being ~7
-orders of magnitude more accurate on cancellation-prone bins (p99 rel err
-2e-6 vs matmul's blowups near the log floor; MXU f32 is bf16-pass-based).
-The [T, bins] x [bins, n_mels] filterbank matmul still rides the MXU. All
-static-shape, jit/vmap/pjit-compatible. Set `use_fft=False` to get the pure
-matmul-DFT variant.
+TPU design: framing is a strided gather; the windowed STFT is ONE
+[T, win] x [win, 2*bins] MXU matmul at `Precision.HIGHEST` (the default MXU
+f32 is bf16-pass-based and blows up on cancellation-prone near-silence bins;
+HIGHEST restores true-f32 accumulation). Measured on v5e vs `jnp.fft.rfft`
+per 32x15 s batch: 8.3 ms vs 10.9 ms with max log-domain deviation 0.008 —
+faster AND f32-accurate, so the matmul is the default. `use_fft=True`
+selects rfft; `use_fft="ct"` is a two-stage Cooley-Tukey matmul variant
+(fastest, but default-precision MXU passes make it inaccurate on device).
+The [T, bins] x [bins, n_mels] filterbank matmul also runs at HIGHEST.
+All static-shape, jit/vmap/pjit-compatible.
 """
 
 from __future__ import annotations
@@ -186,10 +188,14 @@ class MelFrontend:
     so power = re^2 + im^2 comes from one frames@W matmul.
     """
 
-    def __init__(self, cfg: MelConfig = MelConfig(), use_fft: bool = True):
+    def __init__(self, cfg: MelConfig = MelConfig(), use_fft: bool | str = False):
+        """use_fft: False (default) = windowed-DFT matmul at Precision.HIGHEST;
+        True = jnp.fft.rfft; "ct" = Cooley-Tukey two-stage matmul FFT."""
         self.cfg = cfg
         self.use_fft = use_fft
         self._window = jnp.asarray(hann_window(cfg.win_length, cfg.window_periodic))
+        if use_fft == "ct":
+            self._ct = _cooley_tukey_matrices(cfg)
         win = hann_window(cfg.win_length, cfg.window_periodic).astype(np.float64)
         off = (cfg.n_fft - cfg.win_length) // 2
         f = np.arange(cfg.n_freq_bins, dtype=np.float64)
@@ -245,7 +251,15 @@ class MelFrontend:
         frames = xp[:, gather_idx]  # [B, T, win]
 
         nb = cfg.n_freq_bins
-        if self.use_fft:
+        if self.use_fft == "ct":
+            # two-stage matmul FFT (power is shift-invariant, so the windowed
+            # frame goes at offset 0 with trailing zeros)
+            windowed = frames * self._window[None, None, :]
+            windowed = jnp.pad(
+                windowed, ((0, 0), (0, 0), (0, cfg.n_fft - cfg.win_length))
+            )
+            power = _ct_power(windowed, self._ct)
+        elif self.use_fft:
             windowed = frames * self._window[None, None, :]
             lpad = off
             rpad = cfg.n_fft - cfg.win_length - off
@@ -254,13 +268,17 @@ class MelFrontend:
             power = jnp.real(spec_c) ** 2 + jnp.imag(spec_c) ** 2
         else:
             spec = jnp.einsum(
-                "btw,wf->btf", frames, self._dft, preferred_element_type=jnp.float32
+                "btw,wf->btf", frames, self._dft,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [B, T, 2*bins]
             power = spec[..., :nb] ** 2 + spec[..., nb:] ** 2
         if cfg.mag_power != 2.0:
             power = power ** (cfg.mag_power / 2.0)
         mel = jnp.einsum(
-            "btf,fm->btm", power, self._melfb_t, preferred_element_type=jnp.float32
+            "btf,fm->btm", power, self._melfb_t,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [B, T, n_mels]
 
         if cfg.log_floor_mode == "additive":
@@ -284,3 +302,64 @@ class MelFrontend:
 
         logmel = jnp.where(frame_valid[..., None], logmel, 0.0)
         return jnp.transpose(logmel, (0, 2, 1)), mel_lengths  # [B, n_mels, T]
+
+
+# ---------------------------------------------------------------------------
+# Cooley-Tukey two-stage matmul FFT (N = N1 x N2, decimation in time)
+# ---------------------------------------------------------------------------
+
+
+def _cooley_tukey_matrices(cfg: MelConfig, n1: int = 16):
+    """Matrices for X[k] = sum_b W_N^{bk} * (sum_a x[N2*a+b] W_{N1}^{a(k%N1)}).
+
+    Returns (C16 [n1,n1], S16, G_re [N,bins], G_im) with the outer stage's
+    m==k%n1 selection folded into sparse [N, bins] matmul operands — every
+    stage is an MXU matmul; per-output accumulation is n1 + N/n1 terms instead
+    of the naive DFT's win_length, which is what restores precision on the
+    bf16-pass MXU.
+    """
+    N = cfg.n_fft
+    n2 = N // n1
+    nb = cfg.n_freq_bins
+    a = np.arange(n1)
+    m = np.arange(n1)
+    ang1 = 2.0 * np.pi * np.outer(a, m) / n1
+    C16 = np.cos(ang1).astype(np.float32)
+    S16 = (-np.sin(ang1)).astype(np.float32)
+
+    b = np.arange(n2)
+    k = np.arange(nb)
+    ang2 = 2.0 * np.pi * np.outer(b, k) / N  # [n2, nb]
+    M_re = np.cos(ang2)
+    M_im = -np.sin(ang2)
+    G_re = np.zeros((n2 * n1, nb), np.float32)
+    G_im = np.zeros((n2 * n1, nb), np.float32)
+    mmap = k % n1
+    for bb in range(n2):
+        G_re[bb * n1 + mmap, k] = M_re[bb, k]
+        G_im[bb * n1 + mmap, k] = M_im[bb, k]
+    return (
+        jnp.asarray(C16), jnp.asarray(S16), jnp.asarray(G_re), jnp.asarray(G_im), n1, n2,
+    )
+
+
+def _ct_power(x512: jax.Array, mats) -> jax.Array:
+    """x512 [B, T, N] real -> power [B, T, bins] via two matmul FFT stages."""
+    C16, S16, G_re, G_im, n1, n2 = mats
+    B, T, N = x512.shape
+    # n = n2*a + b: reshape to [B, T, a(n1), b(n2)] then inner DFT over a
+    x3 = x512.reshape(B, T, n1, n2)
+    xt = jnp.swapaxes(x3, 2, 3)  # [B, T, b, a]
+    A_re = jnp.einsum("ztca,am->ztcm", xt, C16, preferred_element_type=jnp.float32)
+    A_im = jnp.einsum("ztca,am->ztcm", xt, S16, preferred_element_type=jnp.float32)
+    Ar = A_re.reshape(B, T, n2 * n1)
+    Ai = A_im.reshape(B, T, n2 * n1)
+    X_re = (
+        jnp.einsum("ztn,nk->ztk", Ar, G_re, preferred_element_type=jnp.float32)
+        - jnp.einsum("ztn,nk->ztk", Ai, G_im, preferred_element_type=jnp.float32)
+    )
+    X_im = (
+        jnp.einsum("ztn,nk->ztk", Ar, G_im, preferred_element_type=jnp.float32)
+        + jnp.einsum("ztn,nk->ztk", Ai, G_re, preferred_element_type=jnp.float32)
+    )
+    return X_re**2 + X_im**2
