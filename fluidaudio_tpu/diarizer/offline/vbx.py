@@ -5,9 +5,12 @@ Behavioral parity: reference `Offline/Clustering/VBxClustering.swift:6-100,
 Fa/Fb scaling, and `refineWithConstraints` honoring num/min/max speakers via
 `SpeakerCountConstraints`.
 
-Model: rho_n ~ N(V z_s, I) with V = diag(sqrt(psi)), z_s ~ N(0, I).
-TPU design: the EM loop is batched jnp linear algebra over [N, S] matrices —
-one fused update per iteration; host only checks the ELBO scalar.
+Model: rho_n ~ N(V z_s, I) with V = diag(sqrt(psi)), z_s ~ N(0, I), and a
+sticky HMM over the frame sequence (stay prob = loop_probability, uniform
+switching) smoothing the responsibilities via forward-backward.
+TPU design: the EM loop is batched jnp linear algebra + two lax.scans
+(forward/backward) per iteration, all inside one jit; host only checks the
+ELBO scalar.
 """
 
 from __future__ import annotations
@@ -32,8 +35,48 @@ class VBxResult:
     elbo_trace: list[float]
 
 
-def _vbx_iteration(rho, v, gamma, pi, fa, fb):
-    """One VB iteration. rho [N, D], v [D] (sqrt psi), gamma [N, S], pi [S]."""
+def _hmm_forward_backward(log_p, log_pi, loop_prob):
+    """Sticky-HMM smoothing of per-frame speaker log-likelihoods.
+
+    log_p [N, S] (already Fa/Fb-scaled), log_pi [S] -> (gamma [N, S],
+    log-evidence scalar). Transition: stay with `loop_prob`, switch uniformly.
+    """
+    N, S = log_p.shape
+    stay = jnp.log(loop_prob)
+    switch = jnp.log(jnp.maximum((1.0 - loop_prob) / jnp.maximum(S - 1, 1), 1e-10))
+    log_a = jnp.full((S, S), switch).at[jnp.arange(S), jnp.arange(S)].set(stay)
+
+    def fwd(alpha, lp_t):
+        nxt = lp_t + jax.scipy.special.logsumexp(
+            alpha[:, None] + log_a, axis=0
+        )
+        return nxt, nxt
+
+    alpha0 = log_pi + log_p[0]
+    _, alphas = jax.lax.scan(fwd, alpha0, log_p[1:])
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # [N, S]
+
+    def bwd(beta, lp_next):
+        prev = jax.scipy.special.logsumexp(
+            log_a + (lp_next + beta)[None, :], axis=1
+        )
+        return prev, prev
+
+    betaN = jnp.zeros((S,))
+    _, betas_rev = jax.lax.scan(bwd, betaN, log_p[1:][::-1])
+    betas = jnp.concatenate([betas_rev[::-1], betaN[None]], axis=0)
+
+    log_gamma = alphas + betas
+    log_gamma = log_gamma - jax.scipy.special.logsumexp(log_gamma, axis=1, keepdims=True)
+    evidence = jax.scipy.special.logsumexp(alphas[-1])
+    return jnp.exp(log_gamma), evidence
+
+
+def _vbx_iteration(rho, v, gamma, pi, fa, fb, loop_prob):
+    """One VB iteration (BUT VBx: diagonal PLDA + sticky HMM over frames).
+
+    rho [N, D], v [D] (sqrt psi), gamma [N, S], pi [S].
+    """
     # speaker posterior: precision P_s = 1 + Fa * N_s * psi (diag)
     psi = v**2
     n_s = fa * jnp.sum(gamma, axis=0)  # [S]
@@ -46,28 +89,24 @@ def _vbx_iteration(rho, v, gamma, pi, fa, fb):
     #   ln p_ns = x' V mu_s - 0.5 (mu_s^2 + inv_l) psi
     cross = rho @ (mu * v[None, :]).T  # [N, S]
     quad = 0.5 * jnp.sum((mu**2 + inv_l) * psi[None, :], axis=1)  # [S]
-    log_p = fa * (cross - quad[None, :])
+    log_p = fa * (cross - quad[None, :]) / fb
 
-    log_post = (log_p + jnp.log(jnp.maximum(pi, 1e-10))[None, :]) / fb
-    log_post = log_post - jax.scipy.special.logsumexp(log_post, axis=1, keepdims=True)
-    new_gamma = jnp.exp(log_post)
+    log_pi = jnp.log(jnp.maximum(pi, 1e-10))
+    new_gamma, evidence = _hmm_forward_backward(log_p, log_pi, loop_prob)
 
     new_pi = jnp.maximum(jnp.sum(new_gamma, axis=0), 1e-10)
     new_pi = new_pi / jnp.sum(new_pi)
 
-    # ELBO surrogate: data term + entropy - KL(z)
-    data_term = jnp.sum(new_gamma * log_p)
-    entropy = -jnp.sum(new_gamma * jnp.log(jnp.maximum(new_gamma, 1e-10)))
+    # ELBO: HMM evidence - KL(z posterior || prior)
     kl_z = 0.5 * jnp.sum(mu**2 + inv_l - jnp.log(inv_l) - 1.0)
-    prior_term = jnp.sum(new_gamma * jnp.log(jnp.maximum(pi, 1e-10))[None, :])
-    elbo = data_term + entropy + prior_term - kl_z
+    elbo = evidence - kl_z
     return new_gamma, new_pi, elbo
 
 
 class VBxClustering:
     def __init__(self, options: VBxOptions | None = None):
         self.options = options or VBxOptions()
-        self._step = jax.jit(_vbx_iteration, static_argnums=(4, 5))
+        self._step = jax.jit(_vbx_iteration, static_argnums=(4, 5, 6))
 
     def refine(
         self,
@@ -93,7 +132,9 @@ class VBxClustering:
 
         trace: list[float] = []
         for it in range(opt.max_iterations):
-            gamma_j, pi_j, elbo = self._step(rho_j, v, gamma_j, pi_j, opt.fa, opt.fb)
+            gamma_j, pi_j, elbo = self._step(
+                rho_j, v, gamma_j, pi_j, opt.fa, opt.fb, opt.loop_probability
+            )
             e = float(elbo)
             trace.append(e)
             if len(trace) >= 2 and abs(trace[-1] - trace[-2]) < opt.epsilon * max(1.0, abs(trace[-2])):

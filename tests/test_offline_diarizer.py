@@ -114,3 +114,34 @@ def test_offline_pipeline_smoke():
     for seg in result.segments:
         assert seg.speaker_id.startswith("S")
         assert 0 <= seg.start_time < seg.end_time <= 12.5
+
+
+def test_vbx_hmm_smooths_isolated_flips():
+    """The sticky HMM (loop_probability) must absorb isolated single-frame
+    label flips inside long same-speaker runs — temporal smoothing that a
+    pure iid mixture cannot provide when the flipped frame's acoustics are
+    genuinely ambiguous (placed midway between both speakers)."""
+    rng = np.random.RandomState(7)
+    dim = 64
+    c0 = np.zeros(dim); c0[0] = 3.0
+    c1 = np.zeros(dim); c1[1] = 3.0
+    mid = (c0 + c1) / 2
+    # 40 frames spk0, 40 frames spk1; frame 20 is acoustically ambiguous
+    X = np.concatenate([
+        rng.randn(40, dim) * 0.3 + c0,
+        rng.randn(40, dim) * 0.3 + c1,
+    ]).astype(np.float32)
+    X[20] = mid + rng.randn(dim) * 0.05
+    y = np.array([0] * 40 + [1] * 40)
+    warm = y.copy()
+    warm[20] = 1  # warm start got the ambiguous frame wrong
+    psi = np.full(dim, 4.0, np.float32)
+
+    vbx = VBxClustering(VBxOptions(fa=1.0, fb=1.0, loop_probability=0.95,
+                                   max_iterations=20))
+    result = vbx.refine(X, psi, warm)
+    labels = result.labels
+    # HMM context pulls the ambiguous frame to its run's speaker
+    assert labels[20] == labels[19] == labels[21]
+    # and the two runs stay distinct
+    assert labels[0] != labels[-1]
