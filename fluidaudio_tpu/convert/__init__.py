@@ -2,5 +2,14 @@ from fluidaudio_tpu.convert.parakeet import (
     convert_parakeet_state_dict,
     convert_nemo_file,
 )
+from fluidaudio_tpu.convert.wespeaker import (
+    convert_wespeaker_state_dict,
+    convert_wespeaker_file,
+)
 
-__all__ = ["convert_parakeet_state_dict", "convert_nemo_file"]
+__all__ = [
+    "convert_parakeet_state_dict",
+    "convert_nemo_file",
+    "convert_wespeaker_state_dict",
+    "convert_wespeaker_file",
+]

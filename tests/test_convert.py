@@ -137,3 +137,109 @@ def test_converted_params_run_pipeline():
     manager = AsrManager(models, ASRConfig(tdt=TdtConfig(max_tokens_per_chunk=64)))
     result = manager.transcribe((rng.randn(16000) * 0.1).astype(np.float32))
     assert result.duration == pytest.approx(1.0)
+
+
+def synthetic_wespeaker_state_dict(cfg, rng):
+    """Torch-layout state dict with wespeaker ResNet key names."""
+    chans = cfg.channels
+
+    def bn(c):
+        return {
+            "weight": np.abs(rng.randn(c)) + 0.5,
+            "bias": rng.randn(c),
+            "running_mean": rng.randn(c) * 0.1,
+            "running_var": np.abs(rng.randn(c)) + 0.5,
+        }
+
+    sd = {"conv1.weight": rng.randn(chans[0], 1, 3, 3)}
+    sd.update({f"bn1.{k}": v for k, v in bn(chans[0]).items()})
+    in_ch = chans[0]
+    for si, depth in enumerate(cfg.blocks_per_stage):
+        ch = chans[si]
+        for bi in range(depth):
+            t = f"layer{si + 1}.{bi}"
+            blk_in = in_ch if bi == 0 else ch
+            stride_change = bi == 0 and si > 0
+            sd[f"{t}.conv1.weight"] = rng.randn(ch, blk_in, 3, 3)
+            sd.update({f"{t}.bn1.{k}": v for k, v in bn(ch).items()})
+            sd[f"{t}.conv2.weight"] = rng.randn(ch, ch, 3, 3)
+            sd.update({f"{t}.bn2.{k}": v for k, v in bn(ch).items()})
+            if stride_change or blk_in != ch:
+                sd[f"{t}.shortcut.0.weight"] = rng.randn(ch, blk_in, 1, 1)
+                sd.update({f"{t}.shortcut.1.{k}": v for k, v in bn(ch).items()})
+        in_ch = ch
+    # trunk output freq bins: n_mels / 2^3 (three strided stages)
+    stats = 2 * (cfg.n_mels // 8) * chans[-1]
+    sd["seg_1.weight"] = rng.randn(cfg.embedding_dim, stats)
+    sd["seg_1.bias"] = rng.randn(cfg.embedding_dim)
+    return {k: np.asarray(v, np.float32) * (0.05 if v_is_w(k) else 1.0)
+            for k, v in sd.items()}
+
+
+def v_is_w(key):
+    return key.endswith(".weight") and "bn" not in key and "shortcut.1" not in key
+
+
+def test_wespeaker_converted_tree_matches_flax_structure():
+    import jax.numpy as jnp
+    from fluidaudio_tpu.convert.wespeaker import convert_wespeaker_state_dict
+    from fluidaudio_tpu.models.wespeaker import WeSpeakerConfig, WeSpeakerEmbedder
+
+    cfg = WeSpeakerConfig.tiny()
+    model = WeSpeakerEmbedder(cfg)
+    mel = jnp.zeros((1, 64, cfg.n_mels))
+    weights = jnp.ones((1, 64))
+    live = jax.jit(model.init)(jax.random.PRNGKey(0), mel, weights)["params"]
+
+    rng = np.random.RandomState(0)
+    sd = synthetic_wespeaker_state_dict(cfg, rng)
+    converted = convert_wespeaker_state_dict(sd, cfg)
+
+    want, got = tree_shapes(live), tree_shapes(converted)
+    assert want == got, (
+        f"missing={set(want) - set(got)}\n extra={set(got) - set(want)}\n"
+        f" shapes={[k for k in want if k in got and want[k] != got[k]]}"
+    )
+
+
+def test_wespeaker_bn_fold_matches_torch_batchnorm():
+    """Folded affine == torch BatchNorm2d eval mode on the same stats."""
+    import torch
+
+    from fluidaudio_tpu.convert.wespeaker import convert_wespeaker_state_dict
+    from fluidaudio_tpu.models.wespeaker import WeSpeakerConfig, WeSpeakerEmbedder
+
+    cfg = WeSpeakerConfig.tiny()
+    rng = np.random.RandomState(3)
+    sd = synthetic_wespeaker_state_dict(cfg, rng)
+    params = convert_wespeaker_state_dict(sd, cfg)
+
+    c = cfg.channels[0]
+    bn = torch.nn.BatchNorm2d(c).eval()
+    with torch.no_grad():
+        bn.weight.copy_(torch.tensor(sd["bn1.weight"]))
+        bn.bias.copy_(torch.tensor(sd["bn1.bias"]))
+        bn.running_mean.copy_(torch.tensor(sd["bn1.running_mean"]))
+        bn.running_var.copy_(torch.tensor(sd["bn1.running_var"]))
+        x = torch.randn(2, c, 5, 7)
+        ref = bn(x).numpy()
+    scale = params["stem_bn"]["bn_scale"][None, :, None, None]
+    bias = params["stem_bn"]["bn_bias"][None, :, None, None]
+    ours = x.numpy() * scale + bias
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_wespeaker_converted_params_run():
+    import jax.numpy as jnp
+    from fluidaudio_tpu.convert.wespeaker import convert_wespeaker_state_dict
+    from fluidaudio_tpu.models.wespeaker import WeSpeakerConfig, WeSpeakerEmbedder
+
+    cfg = WeSpeakerConfig.tiny()
+    rng = np.random.RandomState(1)
+    params = convert_wespeaker_state_dict(synthetic_wespeaker_state_dict(cfg, rng), cfg)
+    model = WeSpeakerEmbedder(cfg)
+    mel = jnp.asarray(rng.randn(2, 64, cfg.n_mels), jnp.float32)
+    weights = jnp.ones((2, 64))
+    emb = jax.jit(model.apply)({"params": params}, mel, weights)
+    assert emb.shape == (2, cfg.embedding_dim)
+    assert np.all(np.isfinite(np.asarray(emb)))
