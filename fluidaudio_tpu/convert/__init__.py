@@ -6,10 +6,18 @@ from fluidaudio_tpu.convert.wespeaker import (
     convert_wespeaker_state_dict,
     convert_wespeaker_file,
 )
+from fluidaudio_tpu.convert.pyannote import (
+    convert_pyannote_state_dict,
+    convert_pyannote_file,
+    materialize_sinc_filters,
+)
 
 __all__ = [
     "convert_parakeet_state_dict",
     "convert_nemo_file",
     "convert_wespeaker_state_dict",
     "convert_wespeaker_file",
+    "convert_pyannote_state_dict",
+    "convert_pyannote_file",
+    "materialize_sinc_filters",
 ]

@@ -57,6 +57,7 @@ class DiarizerManager:
         *,
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
+        segmentation_arch: str = "attention",
     ):
         self.config = config or DiarizerConfig()
         c = self.config
@@ -66,7 +67,15 @@ class DiarizerManager:
             min_speech_duration=c.min_speech_duration,
             min_embedding_update_duration=c.min_embedding_update_duration,
         )
-        self.segmentation = PyannoteSegmentation()
+        # "attention": TPU-first redesign (parallel context ops);
+        # "pyannet": upstream-exact PyanNet, loadable from converted
+        # pyannote/segmentation-3.0 checkpoints (convert/pyannote.py)
+        if segmentation_arch == "pyannet":
+            from fluidaudio_tpu.models.pyannote_seg import PyanNet
+
+            self.segmentation = PyanNet()
+        else:
+            self.segmentation = PyannoteSegmentation()
         self.embedder = WeSpeakerEmbedder()
         self.fbank = make_fbank_frontend()
         self._init_params(checkpoint_dir, rng_seed)

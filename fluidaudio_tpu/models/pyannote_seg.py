@@ -95,6 +95,122 @@ class PyannoteSegmentation(nn.Module):
         return nn.Dense(POWERSET_CLASSES, dtype=dt, name="head")(x).astype(jnp.float32)
 
 
+# --------------------------------------------------------------------------
+# Checkpoint-convertible PyanNet (upstream pyannote/segmentation-3.0 layout)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PyanNetConfig:
+    """pyannote.audio PyanNet hyperparameters (segmentation-3.0)."""
+
+    sinc_filters: int = 80
+    sinc_kernel: int = 251
+    sinc_stride: int = 10
+    conv_channels: int = 60
+    conv_kernel: int = 5
+    pool: int = 3
+    lstm_hidden: int = 128
+    lstm_layers: int = 4
+    linear_dims: tuple[int, ...] = (128, 128)
+    n_classes: int = POWERSET_CLASSES
+    dtype: str = "float32"
+
+
+class _InstanceNorm(nn.Module):
+    """InstanceNorm1d(affine=True) at inference: per-sample, per-channel
+    normalization over time (pyannote's SincNet uses track_running_stats=False,
+    so train and eval both normalize with batch-item statistics)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, C]
+        scale = self.param("scale", nn.initializers.ones, (self.ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,), jnp.float32)
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class _LstmLayer(nn.Module):
+    """Unidirectional full-sequence LSTM via nn.scan (torch i,f,g,o gates)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, I] -> [B, T, H]
+        class Step(nn.Module):
+            hidden: int
+
+            @nn.compact
+            def __call__(self, carry, xt):
+                h, c = carry
+                z = (nn.Dense(4 * self.hidden, name="ih")(xt)
+                     + nn.Dense(4 * self.hidden, name="hh")(h))
+                i, f, g, o = jnp.split(z, 4, axis=-1)
+                c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+                return (h2, c2), h2
+
+        scan = nn.scan(Step, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        B = x.shape[0]
+        zeros = jnp.zeros((B, self.hidden), x.dtype)
+        _, ys = scan(self.hidden, name="cell")((zeros, zeros), x)
+        return ys
+
+
+class PyanNet(nn.Module):
+    """Exact pyannote PyanNet: waveform [B, 160000] -> logits [B, 589, 7].
+
+    Convertible from upstream torch checkpoints via `convert/pyannote.py`
+    (SincNet filters materialized from low_hz_/band_hz_ at conversion time).
+    Forward order matches pyannote.audio `models/blocks/sincnet.py` /
+    `models/segmentation/PyanNet.py`: wav-instancenorm, then per block
+    conv -> (abs on block 0) -> maxpool -> instancenorm -> leaky_relu; then
+    4-layer BiLSTM, two leaky_relu linears, classifier. Upstream applies
+    log_softmax; we return logits (argmax-invariant for powerset decoding).
+    """
+
+    cfg: PyanNetConfig = PyanNetConfig()
+
+    @nn.compact
+    def __call__(self, waveform: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        x = waveform[:, :, None].astype(dt)  # [B, T, 1]
+        x = _InstanceNorm(1, name="wav_norm")(x)
+
+        # block 0: sinc conv (materialized) -> |.| -> pool -> norm -> leaky
+        x = nn.Conv(cfg.sinc_filters, (cfg.sinc_kernel,),
+                    strides=(cfg.sinc_stride,), padding="VALID",
+                    use_bias=False, dtype=dt, name="sinc")(x)
+        x = jnp.abs(x)
+        x = nn.max_pool(x, (cfg.pool,), strides=(cfg.pool,))
+        x = nn.leaky_relu(_InstanceNorm(cfg.sinc_filters, name="norm0")(x))
+
+        # blocks 1-2: conv5 -> pool -> norm -> leaky
+        for i in (1, 2):
+            x = nn.Conv(cfg.conv_channels, (cfg.conv_kernel,), padding="VALID",
+                        dtype=dt, name=f"conv{i}")(x)
+            x = nn.max_pool(x, (cfg.pool,), strides=(cfg.pool,))
+            x = nn.leaky_relu(_InstanceNorm(cfg.conv_channels, name=f"norm{i}")(x))
+
+        # 4-layer BiLSTM
+        for l in range(cfg.lstm_layers):
+            fwd = _LstmLayer(cfg.lstm_hidden, name=f"lstm{l}_fwd")(x)
+            bwd = _LstmLayer(cfg.lstm_hidden, name=f"lstm{l}_bwd")(
+                x[:, ::-1])[:, ::-1]
+            x = jnp.concatenate([fwd, bwd], axis=-1)
+
+        for i, dim in enumerate(cfg.linear_dims):
+            x = nn.leaky_relu(nn.Dense(dim, dtype=dt, name=f"linear{i}")(x))
+        return nn.Dense(cfg.n_classes, dtype=dt,
+                        name="classifier")(x).astype(jnp.float32)
+
+
 def powerset_to_binary(logits: jax.Array) -> jax.Array:
     """[B, T, 7] powerset logits -> [B, T, 3] binary speaker activity (argmax)."""
     classes = jnp.argmax(logits, axis=-1)  # [B, T]

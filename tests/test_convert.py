@@ -243,3 +243,105 @@ def test_wespeaker_converted_params_run():
     emb = jax.jit(model.apply)({"params": params}, mel, weights)
     assert emb.shape == (2, cfg.embedding_dim)
     assert np.all(np.isfinite(np.asarray(emb)))
+
+
+def synthetic_pyannote_state_dict(cfg, rng):
+    """Torch-layout state dict with pyannote PyanNet key names."""
+    F, C, H = cfg.sinc_filters, cfg.conv_channels, cfg.lstm_hidden
+    sd = {
+        "sincnet.wav_norm1d.weight": rng.randn(1),
+        "sincnet.wav_norm1d.bias": rng.randn(1),
+        "sincnet.conv1d.0.filterbank.low_hz_": np.abs(rng.randn(F, 1)) * 500,
+        "sincnet.conv1d.0.filterbank.band_hz_": np.abs(rng.randn(F, 1)) * 200,
+        "sincnet.norm1d.0.weight": rng.randn(F),
+        "sincnet.norm1d.0.bias": rng.randn(F),
+        "sincnet.conv1d.1.weight": rng.randn(C, F, cfg.conv_kernel) * 0.05,
+        "sincnet.conv1d.1.bias": rng.randn(C) * 0.05,
+        "sincnet.norm1d.1.weight": rng.randn(C),
+        "sincnet.norm1d.1.bias": rng.randn(C),
+        "sincnet.conv1d.2.weight": rng.randn(C, C, cfg.conv_kernel) * 0.05,
+        "sincnet.conv1d.2.bias": rng.randn(C) * 0.05,
+        "sincnet.norm1d.2.weight": rng.randn(C),
+        "sincnet.norm1d.2.bias": rng.randn(C),
+        "linear.0.weight": rng.randn(cfg.linear_dims[0], 2 * H) * 0.05,
+        "linear.0.bias": rng.randn(cfg.linear_dims[0]) * 0.05,
+        "linear.1.weight": rng.randn(cfg.linear_dims[1], cfg.linear_dims[0]) * 0.05,
+        "linear.1.bias": rng.randn(cfg.linear_dims[1]) * 0.05,
+        "classifier.weight": rng.randn(cfg.n_classes, cfg.linear_dims[-1]) * 0.05,
+        "classifier.bias": rng.randn(cfg.n_classes) * 0.05,
+    }
+    for l in range(cfg.lstm_layers):
+        in_dim = C if l == 0 else 2 * H
+        for sfx in ("", "_reverse"):
+            sd[f"lstm.weight_ih_l{l}{sfx}"] = rng.randn(4 * H, in_dim) * 0.05
+            sd[f"lstm.weight_hh_l{l}{sfx}"] = rng.randn(4 * H, H) * 0.05
+            sd[f"lstm.bias_ih_l{l}{sfx}"] = rng.randn(4 * H) * 0.05
+            sd[f"lstm.bias_hh_l{l}{sfx}"] = rng.randn(4 * H) * 0.05
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def test_pyannet_converted_tree_matches_and_runs():
+    import jax.numpy as jnp
+    from fluidaudio_tpu.convert.pyannote import convert_pyannote_state_dict
+    from fluidaudio_tpu.models.pyannote_seg import (
+        NUM_FRAMES, POWERSET_CLASSES, PyanNet, PyanNetConfig,
+    )
+
+    cfg = PyanNetConfig(lstm_layers=2)  # smaller for test speed
+    model = PyanNet(cfg)
+    wav = jnp.zeros((1, 160_000))
+    live = jax.jit(model.init)(jax.random.PRNGKey(0), wav)["params"]
+
+    rng = np.random.RandomState(0)
+    converted = convert_pyannote_state_dict(synthetic_pyannote_state_dict(cfg, rng), cfg)
+    want, got = tree_shapes(live), tree_shapes(converted)
+    assert want == got, (
+        f"missing={set(want) - set(got)}\n extra={set(got) - set(want)}\n"
+        f" shapes={[k for k in want if k in got and want[k] != got[k]]}"
+    )
+
+    wav = jnp.asarray(rng.randn(1, 160_000) * 0.1, jnp.float32)
+    logits = jax.jit(model.apply)({"params": converted}, wav)
+    assert logits.shape == (1, NUM_FRAMES, POWERSET_CLASSES)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_sinc_filters_are_bandpass():
+    from fluidaudio_tpu.convert.pyannote import materialize_sinc_filters
+
+    low_hz = np.array([[200.0], [1000.0]])
+    band_hz = np.array([[300.0], [500.0]])
+    filt = materialize_sinc_filters(low_hz, band_hz, 251)
+    assert filt.shape == (2, 251)
+    # bandpass: near-zero DC response, peak magnitude inside the band
+    spectrum = np.abs(np.fft.rfft(filt, n=4096, axis=1))
+    freqs = np.fft.rfftfreq(4096, d=1 / 16000)
+    for i, (lo, bw) in enumerate([(250.0, 350.0), (1050.0, 550.0)]):
+        assert spectrum[i, 0] < 0.05 * spectrum[i].max()
+        peak = freqs[np.argmax(spectrum[i])]
+        assert lo - 100 < peak < lo + bw + 100, f"filter {i} peak {peak}"
+
+
+def test_pyannet_bilstm_matches_torch():
+    """One BiLSTM layer through converted weights == torch.nn.LSTM."""
+    import jax.numpy as jnp
+    import torch
+
+    from fluidaudio_tpu.convert.pyannote import _lstm_dir
+    from fluidaudio_tpu.models.pyannote_seg import _LstmLayer
+
+    rng = np.random.RandomState(5)
+    I, H, T = 12, 16, 9
+    lstm = torch.nn.LSTM(I, H, num_layers=1, bidirectional=True, batch_first=True)
+    sd = {f"lstm.{k}": v.detach().numpy() for k, v in lstm.state_dict().items()}
+    x = rng.randn(2, T, I).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = lstm(torch.tensor(x))
+    fwd_params = _lstm_dir(sd, 0, reverse=False)
+    bwd_params = _lstm_dir(sd, 0, reverse=True)
+    layer = _LstmLayer(H)
+    xf = jnp.asarray(x)
+    fwd = layer.apply({"params": fwd_params}, xf)
+    bwd = layer.apply({"params": bwd_params}, xf[:, ::-1])[:, ::-1]
+    ours = np.concatenate([np.asarray(fwd), np.asarray(bwd)], axis=-1)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-4, atol=1e-5)
