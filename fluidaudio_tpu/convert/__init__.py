@@ -6,6 +6,10 @@ from fluidaudio_tpu.convert.wespeaker import (
     convert_wespeaker_state_dict,
     convert_wespeaker_file,
 )
+from fluidaudio_tpu.convert.silero import (
+    convert_silero_state_dict,
+    convert_silero_file,
+)
 from fluidaudio_tpu.convert.pyannote import (
     convert_pyannote_state_dict,
     convert_pyannote_file,
@@ -20,4 +24,6 @@ __all__ = [
     "convert_pyannote_state_dict",
     "convert_pyannote_file",
     "materialize_sinc_filters",
+    "convert_silero_state_dict",
+    "convert_silero_file",
 ]

@@ -114,3 +114,59 @@ class _LstmCellDense(nn.Module):
         c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
         return h2, c2
+
+
+# --------------------------------------------------------------------------
+# Checkpoint-convertible Silero v5 (upstream jit key layout)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SileroV5Config:
+    """Upstream silero-vad v5 topology (from the published jit state dict:
+    stft.forward_basis_buffer [258,1,256]; encoder.{0..3}.reparam_conv;
+    decoder.rnn LSTMCell(128); decoder.decoder.2 Conv1d(128,1,1))."""
+
+    context_size: int = 64
+    frame_size: int = 512
+    stft_kernel: int = 256
+    stft_stride: int = 128
+    stft_pad: int = 64  # reflect pad both sides before the basis conv
+    encoder_dims: tuple[int, ...] = (128, 64, 64, 128)
+    encoder_strides: tuple[int, ...] = (1, 2, 2, 1)
+    hidden: int = 128
+
+
+class SileroVadV5(nn.Module):
+    """One 32 ms frame step, upstream-exact graph:
+    (frame [B, 576] = 64 context + 512 new, h [B,128], c [B,128])
+    -> (prob [B], h', c').
+
+    Convertible from the silero-vad v5 jit checkpoint via `convert/silero.py`
+    (the 258-filter STFT basis is a fixed conv kernel; first 129 rows are the
+    real part, last 129 the imaginary part — magnitude feeds the encoder).
+    """
+
+    cfg: SileroV5Config = SileroV5Config()
+
+    @nn.compact
+    def __call__(self, frame: jax.Array, h: jax.Array, c: jax.Array):
+        cfg = self.cfg
+        n_bins = cfg.stft_kernel // 2 + 1  # 129
+
+        x = jnp.pad(frame, ((0, 0), (cfg.stft_pad, cfg.stft_pad)), mode="reflect")
+        basis = nn.Conv(2 * n_bins, (cfg.stft_kernel,), strides=(cfg.stft_stride,),
+                        padding="VALID", use_bias=False, name="stft_basis")
+        spec = basis(x[:, :, None])  # [B, T, 258]
+        mag = jnp.sqrt(spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2 + 1e-12)
+
+        y = mag
+        for i, (d, s) in enumerate(zip(cfg.encoder_dims, cfg.encoder_strides)):
+            y = nn.relu(nn.Conv(d, (3,), strides=(s,), padding=((1, 1),),
+                                name=f"enc{i}")(y))
+        feat = y.mean(axis=1)  # collapse any residual time -> [B, 128]
+
+        h2, c2 = _LstmCellDense(cfg.hidden, name="lstm")(feat, h, c)
+        head = nn.Dense(1, name="head")
+        prob = jax.nn.sigmoid(head(nn.relu(h2))[:, 0])
+        return prob, h2, c2

@@ -345,3 +345,83 @@ def test_pyannet_bilstm_matches_torch():
     bwd = layer.apply({"params": bwd_params}, xf[:, ::-1])[:, ::-1]
     ours = np.concatenate([np.asarray(fwd), np.asarray(bwd)], axis=-1)
     np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def synthetic_silero_state_dict(cfg, rng):
+    """Torch-layout state dict with silero-vad v5 jit key names."""
+    n_bins = cfg.stft_kernel // 2 + 1
+    sd = {"_model.stft.forward_basis_buffer":
+          rng.randn(2 * n_bins, 1, cfg.stft_kernel) * 0.05}
+    in_ch = n_bins
+    for i, d in enumerate(cfg.encoder_dims):
+        sd[f"_model.encoder.{i}.reparam_conv.weight"] = rng.randn(d, in_ch, 3) * 0.05
+        sd[f"_model.encoder.{i}.reparam_conv.bias"] = rng.randn(d) * 0.05
+        in_ch = d
+    H = cfg.hidden
+    sd.update({
+        "_model.decoder.rnn.weight_ih": rng.randn(4 * H, H) * 0.05,
+        "_model.decoder.rnn.weight_hh": rng.randn(4 * H, H) * 0.05,
+        "_model.decoder.rnn.bias_ih": rng.randn(4 * H) * 0.05,
+        "_model.decoder.rnn.bias_hh": rng.randn(4 * H) * 0.05,
+        "_model.decoder.decoder.2.weight": rng.randn(1, H, 1) * 0.05,
+        "_model.decoder.decoder.2.bias": rng.randn(1) * 0.05,
+    })
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def test_silero_v5_converted_tree_matches_and_runs():
+    import jax.numpy as jnp
+    from fluidaudio_tpu.convert.silero import convert_silero_state_dict
+    from fluidaudio_tpu.models.silero_vad import SileroV5Config, SileroVadV5
+
+    cfg = SileroV5Config()
+    model = SileroVadV5(cfg)
+    frame = jnp.zeros((2, cfg.context_size + cfg.frame_size))
+    h = jnp.zeros((2, cfg.hidden))
+    live = jax.jit(model.init)(jax.random.PRNGKey(0), frame, h, h)["params"]
+
+    rng = np.random.RandomState(0)
+    converted = convert_silero_state_dict(synthetic_silero_state_dict(cfg, rng), cfg)
+    want, got = tree_shapes(live), tree_shapes(converted)
+    assert want == got, (
+        f"missing={set(want) - set(got)}\n extra={set(got) - set(want)}\n"
+        f" shapes={[k for k in want if k in got and want[k] != got[k]]}"
+    )
+
+    frame = jnp.asarray(rng.randn(2, 576) * 0.1, jnp.float32)
+    prob, h2, c2 = jax.jit(model.apply)({"params": converted}, frame, h, h)
+    assert prob.shape == (2,) and h2.shape == (2, cfg.hidden)
+    assert np.all((np.asarray(prob) >= 0) & (np.asarray(prob) <= 1))
+    # state must actually evolve
+    assert not np.allclose(np.asarray(h2), 0)
+
+
+def test_silero_lstm_cell_matches_torch():
+    import jax.numpy as jnp
+    import torch
+
+    from fluidaudio_tpu.convert.silero import convert_silero_state_dict
+    from fluidaudio_tpu.models.silero_vad import SileroV5Config, _LstmCellDense
+
+    cfg = SileroV5Config()
+    rng = np.random.RandomState(2)
+    sd = synthetic_silero_state_dict(cfg, rng)
+    params = convert_silero_state_dict(sd, cfg)
+
+    H = cfg.hidden
+    cell = torch.nn.LSTMCell(H, H)
+    with torch.no_grad():
+        cell.weight_ih.copy_(torch.tensor(sd["_model.decoder.rnn.weight_ih"]))
+        cell.weight_hh.copy_(torch.tensor(sd["_model.decoder.rnn.weight_hh"]))
+        cell.bias_ih.copy_(torch.tensor(sd["_model.decoder.rnn.bias_ih"]))
+        cell.bias_hh.copy_(torch.tensor(sd["_model.decoder.rnn.bias_hh"]))
+        x = torch.randn(3, H)
+        h0 = torch.randn(3, H)
+        c0 = torch.randn(3, H)
+        h_ref, c_ref = cell(x, (h0, c0))
+    lstm = _LstmCellDense(H)
+    h_j, c_j = lstm.apply({"params": params["lstm"]},
+                          jnp.asarray(x.numpy()), jnp.asarray(h0.numpy()),
+                          jnp.asarray(c0.numpy()))
+    np.testing.assert_allclose(np.asarray(h_j), h_ref.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_j), c_ref.numpy(), rtol=1e-5, atol=1e-6)
