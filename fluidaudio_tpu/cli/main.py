@@ -300,6 +300,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch", type=int, default=32)
     p.set_defaults(fn=cmd_benchmark)
 
+    from fluidaudio_tpu.cli.benchmarks import register as register_benchmarks
+
+    register_benchmarks(sub)
+
     args = parser.parse_args(argv)
     try:
         code = args.fn(args)
