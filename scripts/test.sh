@@ -1,5 +1,9 @@
-#!/bin/bash
-# Fast test runner: disables the axon remote-compile relay (sitecustomize),
-# which otherwise adds >1s latency to every XLA compile. Must be done via env
-# before the interpreter starts; see tests/conftest.py.
-exec env PALLAS_AXON_POOL_IPS= python -m pytest "${@:-tests/ -q}"
+#!/usr/bin/env bash
+# Fast hermetic test run: bypass the axon remote-compile relay (tests force
+# JAX_PLATFORMS=cpu in conftest; the relay would add >1s per XLA compile).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+if [ "$#" -eq 0 ]; then
+    set -- tests/ -q
+fi
+exec env PALLAS_AXON_POOL_IPS= python -m pytest "$@"
