@@ -183,3 +183,64 @@ def register(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--collar", type=float, default=0.25)
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_diarization_benchmark)
+
+    p = sub.add_parser(
+        "emission-delay-benchmark",
+        help="streaming token emission-delay distribution (EOU pipeline)",
+    )
+    p.add_argument("--audio", help="wav file (default: synthetic tone bursts)")
+    p.add_argument("--chunk-ms", type=int, default=160, choices=[160, 320, 1280])
+    p.add_argument("--synthetic-seconds", type=float, default=8.0)
+    p.set_defaults(fn=cmd_emission_delay_benchmark)
+
+
+def cmd_emission_delay_benchmark(args: argparse.Namespace) -> int:
+    """Streaming emission-delay benchmark (reference EmissionDelayBenchmark):
+    for each token, delay = audio-time available when it was emitted minus the
+    token's own audio timestamp; plus per-chunk compute latency."""
+    import numpy as np
+
+    from fluidaudio_tpu.asr.streaming_eou import StreamingEouAsrManager
+
+    manager = StreamingEouAsrManager(chunk_ms=args.chunk_ms)
+    chunk_ms = args.chunk_ms
+
+    if args.audio:
+        from fluidaudio_tpu.utils.converter import AudioConverter
+
+        samples = AudioConverter().resample_file(args.audio)
+    else:
+        rng = np.random.RandomState(0)
+        t = np.arange(int(16000 * args.synthetic_seconds)) / 16000.0
+        # modulated tone bursts — produces nonzero mel energy patterns
+        samples = (np.sin(2 * np.pi * 220 * t) * (np.sin(2 * np.pi * 1.5 * t) > 0)
+                   * 0.3 + rng.randn(t.size) * 0.01).astype(np.float32)
+
+    state = manager.make_state()
+    feed = int(16000 * chunk_ms / 1000)
+    delays, chunk_walls = [], []
+    fed_ms = 0.0
+    seen_tokens = 0
+    for off in range(0, samples.size - feed + 1, feed):
+        t0 = time.perf_counter()
+        results = manager.process(samples[off : off + feed], state)
+        chunk_walls.append((time.perf_counter() - t0) * 1000)
+        fed_ms += chunk_ms
+        for r in results:
+            for ts in r.timestamps_ms[seen_tokens:]:
+                delays.append(fed_ms - ts)
+            seen_tokens = len(r.timestamps_ms)
+    final = manager.finish(state)
+
+    summary = {
+        "tokens": len(delays),
+        "emission_delay_p50_ms": round(float(np.percentile(delays, 50)), 1) if delays else None,
+        "emission_delay_p90_ms": round(float(np.percentile(delays, 90)), 1) if delays else None,
+        "emission_delay_mean_ms": round(float(np.mean(delays)), 1) if delays else None,
+        "chunk_ms": chunk_ms,
+        "chunk_compute_mean_ms": round(float(np.mean(chunk_walls)), 2) if chunk_walls else None,
+        "audio_seconds": round(samples.size / 16000, 2),
+        "final_text_len": len(final.text),
+    }
+    print(json.dumps(summary))
+    return 0

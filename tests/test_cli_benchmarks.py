@@ -76,3 +76,15 @@ def test_diarization_benchmark_summary(rttm_dir, capsys):
 def test_diarization_benchmark_requires_input(capsys):
     rc = main(["diarization-benchmark"])
     assert rc == 1
+
+
+def test_emission_delay_benchmark(capsys):
+    rc = main(["emission-delay-benchmark", "--synthetic-seconds", "2",
+               "--chunk-ms", "160"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["chunk_ms"] == 160
+    assert summary["audio_seconds"] == 2.0
+    # emission delay can never beat the chunk size + mel lookahead
+    if summary["tokens"]:
+        assert summary["emission_delay_p50_ms"] >= 0
