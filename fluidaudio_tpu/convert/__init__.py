@@ -6,6 +6,10 @@ from fluidaudio_tpu.convert.wespeaker import (
     convert_wespeaker_state_dict,
     convert_wespeaker_file,
 )
+from fluidaudio_tpu.convert.sortformer import (
+    convert_sortformer_state_dict,
+    convert_sortformer_file,
+)
 from fluidaudio_tpu.convert.silero import (
     convert_silero_state_dict,
     convert_silero_file,
@@ -26,4 +30,6 @@ __all__ = [
     "materialize_sinc_filters",
     "convert_silero_state_dict",
     "convert_silero_file",
+    "convert_sortformer_state_dict",
+    "convert_sortformer_file",
 ]

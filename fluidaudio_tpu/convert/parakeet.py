@@ -61,13 +61,14 @@ def _dense(sd, key):
     return out
 
 
-def convert_parakeet_state_dict(
-    sd: dict, ccfg: ConformerConfig, pcfg: PredictorConfig
+def convert_conformer_encoder(
+    sd: dict, ccfg: ConformerConfig, prefix: str = "encoder."
 ) -> dict:
-    """torch state dict -> {"encoder","predictor","joint"} flax param trees."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    """NeMo FastConformer encoder keys (`{prefix}pre_encode.*`,
+    `{prefix}layers.{i}.*`) -> flax tree for models/conformer.ConformerEncoder.
+    Shared by the Parakeet and Sortformer converters (both wrap the same
+    NeMo encoder class)."""
 
-    # ---------------------------------------------------------- subsampling
     def conv2d(key, depthwise=False):
         w = sd[f"{key}.weight"]  # [O, I, kH, kW]
         if depthwise:
@@ -80,17 +81,17 @@ def convert_parakeet_state_dict(
         return out
 
     subsampling = {
-        "stem": conv2d("encoder.pre_encode.conv.0"),
-        "dw0": conv2d("encoder.pre_encode.conv.2", depthwise=True),
-        "pw0": conv2d("encoder.pre_encode.conv.3"),
-        "dw1": conv2d("encoder.pre_encode.conv.5", depthwise=True),
-        "pw1": conv2d("encoder.pre_encode.conv.6"),
-        "proj": _dense(sd, "encoder.pre_encode.out"),
+        "stem": conv2d(f"{prefix}pre_encode.conv.0"),
+        "dw0": conv2d(f"{prefix}pre_encode.conv.2", depthwise=True),
+        "pw0": conv2d(f"{prefix}pre_encode.conv.3"),
+        "dw1": conv2d(f"{prefix}pre_encode.conv.5", depthwise=True),
+        "pw1": conv2d(f"{prefix}pre_encode.conv.6"),
+        "proj": _dense(sd, f"{prefix}pre_encode.out"),
     }
 
     encoder = {"subsampling": subsampling}
     for i in range(ccfg.n_layers):
-        base = f"encoder.layers.{i}"
+        base = f"{prefix}layers.{i}"
         bn_scale, bn_bias = _fold_bn(sd, f"{base}.conv.batch_norm")
         dw = sd[f"{base}.conv.depthwise_conv.weight"]  # [C, 1, k]
         pw1_w = sd[f"{base}.conv.pointwise_conv1.weight"][:, :, 0].T  # [d, 2d]
@@ -131,6 +132,15 @@ def convert_parakeet_state_dict(
             "final_ln": _ln(sd, f"{base}.norm_out"),
         }
         encoder[f"block{i}"] = block
+    return encoder
+
+
+def convert_parakeet_state_dict(
+    sd: dict, ccfg: ConformerConfig, pcfg: PredictorConfig
+) -> dict:
+    """torch state dict -> {"encoder","predictor","joint"} flax param trees."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    encoder = convert_conformer_encoder(sd, ccfg, prefix="encoder.")
 
     # ------------------------------------------------------------- predictor
     predictor = {

@@ -81,53 +81,76 @@ def init_state(cfg: SortformerConfig, batch: int) -> SortformerState:
     )
 
 
-class _TfBlock(nn.Module):
+class _NemoTfBlock(nn.Module):
+    """NeMo TransformerEncoder layer (post-LN default): separate q/k/v/out
+    projections (`first_sub_layer.{query,key,value}_net/out_projection`),
+    then ReLU feed-forward (`second_sub_layer.dense_in/dense_out`), each
+    sublayer followed by its layer norm on the residual sum. Convertible via
+    `convert/sortformer.py`."""
+
     d: int
     heads: int
     dtype: jnp.dtype
 
     @nn.compact
     def __call__(self, x, mask):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
-        x = x + nn.SelfAttention(num_heads=self.heads, dtype=self.dtype)(h, mask=mask)
-        f = nn.LayerNorm(dtype=self.dtype)(x)
-        f = nn.Dense(self.d * 4, dtype=self.dtype)(f)
-        f = nn.gelu(f)
-        return x + nn.Dense(self.d, dtype=self.dtype)(f)
+        dt = self.dtype
+        B, N, _ = x.shape
+        hd = self.d // self.heads
+        q = nn.Dense(self.d, dtype=dt, name="q")(x).reshape(B, N, self.heads, hd)
+        k = nn.Dense(self.d, dtype=dt, name="k")(x).reshape(B, N, self.heads, hd)
+        v = nn.Dense(self.d, dtype=dt, name="v")(x).reshape(B, N, self.heads, hd)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+        scores = jnp.where(mask, scores, jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+        att = jnp.einsum("bhnm,bmhd->bnhd", probs, v).reshape(B, N, self.d)
+        x = nn.LayerNorm(dtype=dt, name="ln1")(
+            x + nn.Dense(self.d, dtype=dt, name="out")(att))
+        f = nn.relu(nn.Dense(self.d * 4, dtype=dt, name="ffn_in")(x))
+        return nn.LayerNorm(dtype=dt, name="ln2")(
+            x + nn.Dense(self.d, dtype=dt, name="ffn_out")(f))
 
 
 class SortformerModel(nn.Module):
-    """Shared trunk for streaming and offline passes."""
+    """Shared trunk for streaming and offline passes — NeMo Sortformer layout:
+    FastConformer encoder (reuses models/conformer.ConformerEncoder, the same
+    NeMo-parity blocks the Parakeet converter targets) -> encoder_proj ->
+    NeMo transformer encoder stack -> first_hidden_to_hidden ReLU ->
+    single_hidden_to_spks sigmoid head (4 sorted speaker slots)."""
 
     cfg: SortformerConfig = SORTFORMER_V2
 
     def setup(self):
+        from fluidaudio_tpu.models.conformer import ConformerConfig, ConformerEncoder
+
         cfg = self.cfg
         dt = cfg.compute_dtype
-        # compact conformer-ish frame encoder: mel (8x subsampled outside) ->
-        # d_model frames. We take mel frames already stacked by 8 (640-d for
-        # 80-mel) — here a conv stack over raw mel with stride 8 total.
-        self.stem = nn.Conv(cfg.encoder_d_model, (9,), strides=(4,), padding="SAME", dtype=dt)
-        self.stem2 = nn.Conv(cfg.encoder_d_model, (5,), strides=(2,), padding="SAME", dtype=dt)
-        self.enc_blocks = [
-            _TfBlock(cfg.encoder_d_model, self.cfg.n_heads, dt) for _ in range(cfg.n_encoder_layers)
-        ]
-        self.proj = nn.Dense(cfg.d_model, dtype=dt)
+        self.encoder = ConformerEncoder(
+            ConformerConfig(
+                n_mels=cfg.n_mels,
+                d_model=cfg.encoder_d_model,
+                n_layers=cfg.n_encoder_layers,
+                n_heads=cfg.n_heads,
+                subsampling_channels=(256 if cfg.encoder_d_model >= 256
+                                      else cfg.encoder_d_model),
+                dtype=cfg.dtype,
+            ),
+            name="encoder",
+        )
+        self.encoder_proj = nn.Dense(cfg.d_model, dtype=dt, name="encoder_proj")
         self.tf_blocks = [
-            _TfBlock(cfg.d_model, cfg.n_heads, dt) for _ in range(cfg.n_transformer_layers)
+            _NemoTfBlock(cfg.d_model, cfg.n_heads, dt, name=f"tf{i}")
+            for i in range(cfg.n_transformer_layers)
         ]
-        self.head = nn.Dense(NUM_SPEAKERS, dtype=dt)
+        self.hidden_fc = nn.Dense(cfg.d_model, dtype=dt, name="hidden_fc")
+        self.head = nn.Dense(NUM_SPEAKERS, dtype=dt, name="head")
 
     def encode_frames(self, mel: jax.Array) -> jax.Array:
         """mel [B, n_mels, T_mel] -> frames [B, T_mel//8, d_model]."""
-        x = jnp.transpose(mel, (0, 2, 1)).astype(self.cfg.compute_dtype)
-        x = nn.relu(self.stem(x))
-        x = nn.relu(self.stem2(x))
-        T = x.shape[1]
-        mask = jnp.ones((x.shape[0], 1, T, T), bool)
-        for blk in self.enc_blocks:
-            x = blk(x, mask)
-        return self.proj(x)
+        B, _, T_mel = mel.shape
+        lengths = jnp.full((B,), T_mel, jnp.int32)
+        enc, _ = self.encoder(mel, lengths)
+        return self.encoder_proj(enc.astype(self.cfg.compute_dtype))
 
     def predict(self, context: jax.Array, context_mask: jax.Array) -> jax.Array:
         """context [B, N, d_model] (+bool mask [B, N]) -> sigmoid preds [B, N, 4]."""
@@ -135,7 +158,8 @@ class SortformerModel(nn.Module):
         x = context
         for blk in self.tf_blocks:
             x = blk(x, att)
-        logits = self.head(x)
+        hidden = nn.relu(self.hidden_fc(x))
+        logits = self.head(hidden)
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     def __call__(self, mel: jax.Array) -> jax.Array:

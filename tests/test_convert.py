@@ -425,3 +425,70 @@ def test_silero_lstm_cell_matches_torch():
                           jnp.asarray(c0.numpy()))
     np.testing.assert_allclose(np.asarray(h_j), h_ref.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_j), c_ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def synthetic_sortformer_state_dict(cfg, rng):
+    """Torch-layout state dict with NeMo sortformer key names (encoder keys
+    reuse the parakeet conformer generator with the right dims)."""
+    from fluidaudio_tpu.models.conformer import ConformerConfig
+
+    ccfg = ConformerConfig(
+        n_mels=cfg.n_mels, d_model=cfg.encoder_d_model,
+        n_layers=cfg.n_encoder_layers, n_heads=cfg.n_heads,
+        subsampling_channels=(256 if cfg.encoder_d_model >= 256
+                              else cfg.encoder_d_model),
+    )
+
+    class _P:  # reuse the conformer key generator, drop decoder/joint keys
+        vocab_size, pred_hidden, joint_hidden, enc_hidden = 8, 8, 8, 8
+        num_token_logits, n_durations, n_layers = 9, 2, 1
+
+    sd = {k: v for k, v in synthetic_nemo_state_dict(ccfg, _P, rng).items()
+          if k.startswith("encoder.")}
+    d = cfg.d_model
+    sd["sortformer_modules.encoder_proj.weight"] = rng.randn(d, cfg.encoder_d_model)
+    sd["sortformer_modules.encoder_proj.bias"] = rng.randn(d)
+    for i in range(cfg.n_transformer_layers):
+        b = f"transformer_encoder.layers.{i}"
+        for net in ("query_net", "key_net", "value_net", "out_projection"):
+            sd[f"{b}.first_sub_layer.{net}.weight"] = rng.randn(d, d)
+            sd[f"{b}.first_sub_layer.{net}.bias"] = rng.randn(d)
+        sd[f"{b}.layer_norm_1.weight"] = rng.randn(d)
+        sd[f"{b}.layer_norm_1.bias"] = rng.randn(d)
+        sd[f"{b}.layer_norm_2.weight"] = rng.randn(d)
+        sd[f"{b}.layer_norm_2.bias"] = rng.randn(d)
+        sd[f"{b}.second_sub_layer.dense_in.weight"] = rng.randn(4 * d, d)
+        sd[f"{b}.second_sub_layer.dense_in.bias"] = rng.randn(4 * d)
+        sd[f"{b}.second_sub_layer.dense_out.weight"] = rng.randn(d, 4 * d)
+        sd[f"{b}.second_sub_layer.dense_out.bias"] = rng.randn(d)
+    sd["sortformer_modules.first_hidden_to_hidden.weight"] = rng.randn(d, d)
+    sd["sortformer_modules.first_hidden_to_hidden.bias"] = rng.randn(d)
+    sd["sortformer_modules.single_hidden_to_spks.weight"] = rng.randn(4, d)
+    sd["sortformer_modules.single_hidden_to_spks.bias"] = rng.randn(4)
+    return {k: np.asarray(v, np.float32) * 0.05 if "batch_norm" not in k
+            else np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def test_sortformer_converted_tree_matches_and_runs():
+    import jax.numpy as jnp
+    from fluidaudio_tpu.convert.sortformer import convert_sortformer_state_dict
+    from fluidaudio_tpu.models.sortformer import SORTFORMER_TEST, SortformerModel
+
+    cfg = SORTFORMER_TEST
+    model = SortformerModel(cfg)
+    mel = jnp.zeros((1, cfg.n_mels, 64))
+    live = jax.jit(model.init)(jax.random.PRNGKey(0), mel)["params"]
+
+    rng = np.random.RandomState(0)
+    converted = convert_sortformer_state_dict(
+        synthetic_sortformer_state_dict(cfg, rng), cfg)
+    want, got = tree_shapes(live), tree_shapes(converted)
+    assert want == got, (
+        f"missing={set(want) - set(got)}\n extra={set(got) - set(want)}\n"
+        f" shapes={[k for k in want if k in got and want[k] != got[k]]}"
+    )
+
+    mel = jnp.asarray(rng.randn(1, cfg.n_mels, 64), jnp.float32)
+    preds = jax.jit(model.apply)({"params": converted}, mel)
+    assert preds.shape[0] == 1 and preds.shape[2] == 4
+    assert np.all((np.asarray(preds) >= 0) & (np.asarray(preds) <= 1))
