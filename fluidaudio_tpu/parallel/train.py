@@ -105,3 +105,120 @@ def jit_sharded_train_step(
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, metrics_sh),
     )
+
+
+# --------------------------------------------------------------------------
+# TDT transducer training (encoder + predictor + joint, train/transducer_loss)
+# --------------------------------------------------------------------------
+
+
+class TransducerTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_tdt_train_state(
+    rng: jax.Array,
+    ccfg: ConformerConfig,
+    pcfg,
+    mel_frames: int,
+    learning_rate: float = 1e-4,
+):
+    """Init the full TDT stack (encoder + predictor + joint) and adamw."""
+    from fluidaudio_tpu.models.predictor import RnntJoint, RnntPredictor
+
+    encoder = ConformerEncoder(ccfg)
+    predictor = RnntPredictor(pcfg)
+    joint = RnntJoint(pcfg)
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    mel = jnp.zeros((2, ccfg.n_mels, mel_frames), jnp.float32)
+    lengths = jnp.full((2,), mel_frames, jnp.int32)
+    enc_params = encoder.init(k1, mel, lengths)
+    h = jnp.zeros((pcfg.n_layers, 2, pcfg.pred_hidden), jnp.float32)
+    pred_params = predictor.init(k2, jnp.zeros((2,), jnp.int32), h, h)
+    joint_params = joint.init(
+        k3, jnp.zeros((2, pcfg.enc_hidden)), jnp.zeros((2, pcfg.pred_hidden))
+    )
+    params = {"encoder": enc_params, "predictor": pred_params, "joint": joint_params}
+    tx = optax.adamw(learning_rate)
+    state = TransducerTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    return state, (encoder, predictor, joint), tx
+
+
+def make_tdt_train_step(modules, pcfg, tx, durations: tuple[int, ...]):
+    """Full-lattice TDT training step: teacher-forced predictor scan over
+    label prefixes, additive joint over [B, T, U+1], train.tdt_loss."""
+    from fluidaudio_tpu.models.predictor import RnntPredictor
+    from fluidaudio_tpu.train.transducer_loss import tdt_loss
+
+    encoder, predictor, joint = modules
+    blank_id = pcfg.blank_id
+    V = pcfg.num_token_logits
+
+    def loss_fn(params, mel, mel_lengths, labels, label_lengths):
+        enc, enc_lengths = encoder.apply(params["encoder"], mel, mel_lengths)
+        B, T, _ = enc.shape
+        U = labels.shape[1]
+
+        # predictor over prefixes: SOS(blank) then each label -> g [B, U+1, H]
+        tokens_in = jnp.concatenate(
+            [jnp.full((B, 1), blank_id, jnp.int32), labels.astype(jnp.int32)], axis=1
+        )  # [B, U+1]
+        h0 = jnp.zeros((pcfg.n_layers, B, pcfg.pred_hidden), enc.dtype)
+
+        def pred_step(carry, tok):
+            h, c = carry
+            g, h2, c2 = predictor.apply(params["predictor"], tok, h, c)
+            return (h2, c2), g
+
+        _, gs = jax.lax.scan(pred_step, (h0, h0), jnp.moveaxis(tokens_in, 1, 0))
+        g = jnp.moveaxis(gs, 0, 1)  # [B, U+1, H]
+
+        # joint over the lattice (broadcast additive form)
+        logits = joint.apply(
+            params["joint"], enc[:, :, None, :], g[:, None, :, :]
+        )  # [B, T, U+1, V + D]
+        tok_lp = jax.nn.log_softmax(logits[..., :V].astype(jnp.float32), axis=-1)
+        dur_lp = jax.nn.log_softmax(logits[..., V:].astype(jnp.float32), axis=-1)
+        per_seq = tdt_loss(tok_lp, dur_lp, durations, labels,
+                           enc_lengths, label_lengths, blank_id)
+        return jnp.mean(per_seq)
+
+    def train_step(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch["mel"], batch["mel_lengths"],
+            batch["labels"], batch["label_lengths"],
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TransducerTrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return train_step
+
+
+def jit_sharded_tdt_train_step(mesh: Mesh, modules, pcfg, tx,
+                               durations: tuple[int, ...],
+                               state: TransducerTrainState):
+    """jit the TDT step with dp ('data') batch + tp ('model') params."""
+    from fluidaudio_tpu.parallel.mesh import param_sharding_rules
+
+    step_fn = make_tdt_train_step(modules, pcfg, tx, durations)
+    param_sh = param_sharding_rules(mesh, state.params)
+    opt_sh = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, P()), state.opt_state
+    )
+    state_sh = TransducerTrainState(param_sh, opt_sh, NamedSharding(mesh, P()))
+    batch_sh = {
+        "mel": NamedSharding(mesh, P("data", None, None)),
+        "mel_lengths": NamedSharding(mesh, P("data")),
+        "labels": NamedSharding(mesh, P("data", None)),
+        "label_lengths": NamedSharding(mesh, P("data")),
+    }
+    metrics_sh = {"loss": NamedSharding(mesh, P())}
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, metrics_sh),
+    )
