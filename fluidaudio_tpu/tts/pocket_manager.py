@@ -88,6 +88,14 @@ class PocketTtsManager:
             ),
         }
         base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.POCKET_TTS)
+        # real SentencePiece vocab when cached (binary ModelProto, parsed by
+        # asr/sentencepiece_model.py — no sentencepiece package needed)
+        self.tokenizer = None
+        sp_model = base / "tokenizer.model"
+        if sp_model.exists():
+            from fluidaudio_tpu.asr.tokenizer import Tokenizer
+
+            self.tokenizer = Tokenizer.from_sentencepiece(sp_model)
         for part in self.params:
             f = base / f"{part}.npz"
             if f.exists():
@@ -216,8 +224,19 @@ class PocketTtsManager:
             yield result.samples[i * FRAME_SAMPLES : (i + 1) * FRAME_SAMPLES]
 
     def _tokenize(self, text: str) -> jnp.ndarray:
-        """Char-level stand-in for the SentencePiece tokenizer; a real
-        tokenizer.json from the registry replaces this when cached."""
+        """SentencePiece tokenizer when `tokenizer.model` is cached (binary
+        ModelProto via asr/sentencepiece_model.py, Viterbi segmentation);
+        char-level stand-in otherwise."""
+        if self.tokenizer is not None:
+            ids: list[int] = []
+            for wi, word in enumerate(text.split()):
+                enc = self.tokenizer.encode_word(word, word_initial=True)
+                if enc is None:  # fall back per-char through the vocab
+                    enc = [i for c in word
+                           if (i := self.tokenizer._piece_to_id.get(c)) is not None]
+                ids.extend(enc)
+            ids = [min(i, self.cfg.vocab_size - 1) for i in ids[:MAX_TEXT_TOKENS]]
+            return jnp.asarray([ids or [1]], jnp.int32)
         ids = [min(self.cfg.vocab_size - 1, 1 + (ord(c) % (self.cfg.vocab_size - 2)))
                for c in text[:MAX_TEXT_TOKENS]]
         return jnp.asarray([ids or [1]], jnp.int32)

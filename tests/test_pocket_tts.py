@@ -61,3 +61,23 @@ def test_unknown_voice_raises(manager):
 def test_too_short_clone_rejected(manager):
     with pytest.raises(AssertionError):
         manager.clone_voice(np.zeros(100, np.float32), "bad")
+
+
+def test_pocket_uses_sentencepiece_model_when_cached(tmp_path):
+    """A cached binary tokenizer.model switches _tokenize to real vocab ids."""
+    from fluidaudio_tpu.asr.sentencepiece_model import (
+        NORMAL, UNKNOWN, Piece, SentencePieceModel, serialize_model,
+    )
+    from fluidaudio_tpu.models.pocket_tts import POCKET_TEST
+    from fluidaudio_tpu.tts.pocket_manager import PocketTtsManager
+
+    pieces = [Piece("<unk>", 0.0, UNKNOWN)]
+    pieces += [Piece(p, -1.0, NORMAL) for p in ("▁hello", "▁world", "▁", "h", "i")]
+    (tmp_path / "tokenizer.model").write_bytes(
+        serialize_model(SentencePieceModel(pieces=pieces)))
+    mgr = PocketTtsManager(POCKET_TEST, checkpoint_dir=tmp_path)
+    assert mgr.tokenizer is not None
+    ids = mgr._tokenize("hello world")
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(ids)[0], [1, 2])
