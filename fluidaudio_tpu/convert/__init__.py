@@ -6,6 +6,10 @@ from fluidaudio_tpu.convert.wespeaker import (
     convert_wespeaker_state_dict,
     convert_wespeaker_file,
 )
+from fluidaudio_tpu.convert.sensevoice import (
+    convert_sensevoice_state_dict,
+    convert_sensevoice_file,
+)
 from fluidaudio_tpu.convert.sortformer import (
     convert_sortformer_state_dict,
     convert_sortformer_file,
@@ -32,4 +36,6 @@ __all__ = [
     "convert_silero_file",
     "convert_sortformer_state_dict",
     "convert_sortformer_file",
+    "convert_sensevoice_state_dict",
+    "convert_sensevoice_file",
 ]

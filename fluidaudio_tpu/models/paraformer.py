@@ -124,7 +124,7 @@ class Paraformer(nn.Module):
         pad_mask = jnp.arange(T)[None, :] < lengths[:, None]
         sanm = cfg.sanm()
         for i in range(cfg.n_encoder_layers):
-            x = _SanmBlock(sanm, name=f"enc{i}")(x, pad_mask)
+            x = _SanmBlock(sanm, in_size=sanm.d_model, name=f"enc{i}")(x, pad_mask)
         enc = nn.LayerNorm(dtype=dt, name="enc_ln")(x)
 
         alphas = CifPredictor(cfg, name="cif")(enc, pad_mask)

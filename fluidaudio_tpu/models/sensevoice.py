@@ -17,11 +17,20 @@ from dataclasses import dataclass
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 LFR_M = 7  # frames stacked
 LFR_N = 6  # shift
 N_MELS = 80
-PROMPT_LEN = 4  # <|lang|><|task|><|itn|><|emo|> prefix slots
+PROMPT_LEN = 4  # <|lang|><|event|><|emo|><|textnorm|> prefix slots
+
+# FunASR SenseVoiceSmall special-token ids (rows of the 560-d embed table):
+# languages {auto:0, zh:3, en:4, yue:7, ja:11, ko:12, nospeech:13},
+# event query 1, emotion query 2, textnorm {withitn:14, woitn:15}
+EVENT_TOKEN_ID = 1
+EMO_TOKEN_ID = 2
+TEXTNORM_WITHITN_ID = 14
+TEXTNORM_WOITN_ID = 15
 
 
 @dataclass(frozen=True)
@@ -33,6 +42,7 @@ class SenseVoiceConfig:
     ffn_dim: int = 2048
     fsmn_kernel: int = 11
     n_languages: int = 16
+    n_special_tokens: int = 16  # embed-table rows (languages + queries)
     dtype: str = "bfloat16"
 
     @property
@@ -69,31 +79,73 @@ def lfr_stack(mel: jax.Array, mel_lengths: jax.Array) -> tuple[jax.Array, jax.Ar
 
 
 class _SanmBlock(nn.Module):
+    """FunASR EncoderLayerSANM (pre-norm): fused q/k/v projection, FSMN
+    memory as a bias-free depthwise conv over the VALUE projection (added to
+    the attention output), then a ReLU feed-forward. The first encoder layer
+    (`encoders0.0`) has in_size 560 != d_model, so its attention residual is
+    dropped (FunASR `if in_size == size` branch). Convertible key map in
+    convert/sensevoice.py."""
+
     cfg: SenseVoiceConfig
+    in_size: int  # 560 for block 0, d_model elsewhere
 
     @nn.compact
     def __call__(self, x, pad_mask):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        h = nn.LayerNorm(dtype=dt, name="att_ln")(x)
-        att = nn.SelfAttention(num_heads=cfg.n_heads, dtype=dt, name="att")(
-            h, mask=pad_mask[:, None, None, :] & pad_mask[:, None, :, None]
-        )
-        # FSMN memory: depthwise conv over values, added to attention out
-        mem = nn.Conv(
-            cfg.d_model, (cfg.fsmn_kernel,), padding="SAME",
-            feature_group_count=cfg.d_model, dtype=dt, name="fsmn",
-        )(h * pad_mask[..., None].astype(dt))
-        x = x + att + mem
-        f = nn.LayerNorm(dtype=dt, name="ffn_ln")(x)
+        D, H = cfg.d_model, cfg.n_heads
+        hd = D // H
+        B, T, _ = x.shape
+
+        h = nn.LayerNorm(dtype=dt, name="norm1")(x)
+        qkv = nn.Dense(3 * D, dtype=dt, name="qkv")(h)  # linear_q_k_v
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # FSMN memory over the masked value projection
+        vm = v * pad_mask[..., None].astype(dt)
+        left = (cfg.fsmn_kernel - 1) // 2
+        mem = nn.Conv(D, (cfg.fsmn_kernel,),
+                      padding=((left, cfg.fsmn_kernel - 1 - left),),
+                      feature_group_count=D, use_bias=False, dtype=dt,
+                      name="fsmn")(vm)
+        mem = mem * pad_mask[..., None].astype(dt)
+
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, H, hd)
+        vh = v.reshape(B, T, H, hd)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(hd)
+        att_mask = pad_mask[:, None, None, :] & pad_mask[:, None, :, None]
+        scores = jnp.where(att_mask, scores, jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+        att = jnp.einsum("bhts,bshd->bthd", probs, vh).reshape(B, T, D)
+        att = nn.Dense(D, dtype=dt, name="out")(att) + mem
+
+        x = att if self.in_size != cfg.d_model else x + att
+        f = nn.LayerNorm(dtype=dt, name="norm2")(x)
         f = nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(f)
         f = nn.relu(f)
         f = nn.Dense(cfg.d_model, dtype=dt, name="ffn2")(f)
         return x + f
 
 
+def _sinusoid_posenc(T: int, dim: int) -> jax.Array:
+    """FunASR SinusoidalPositionEncoder: positions 1..T (1-indexed)."""
+    pos = jnp.arange(1, T + 1, dtype=jnp.float32)
+    half = dim // 2
+    inv = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                  * -(np.log(10000.0) / (half - 1)))
+    ang = pos[:, None] * inv[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)[:, :dim]
+
+
 class SenseVoiceEncoder(nn.Module):
-    """(lfr [B, T, 560], lengths [B], lang_id [B]) -> CTC log-probs [B, P+T, V]."""
+    """(lfr [B, T, 560], lengths [B], lang_id [B]) -> CTC log-probs [B, P+T, V].
+
+    FunASR SenseVoiceSmall layout: 4 prompt embeddings ([lang, event, emo,
+    textnorm] rows of the 560-d special-token table) are concatenated with
+    the LFR features, scaled by sqrt(d_model) and summed with 1-indexed
+    sinusoidal positions, then encoders0 (in 560) + (n_layers-1) SANM blocks,
+    after_norm, and the CTC head."""
 
     cfg: SenseVoiceConfig = SENSEVOICE_SMALL
 
@@ -101,22 +153,31 @@ class SenseVoiceEncoder(nn.Module):
     def __call__(self, lfr, lengths, lang_ids):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        B, T, _ = lfr.shape
-        x = nn.Dense(cfg.d_model, dtype=dt, name="input_proj")(lfr.astype(dt))
+        B, T, F_in = lfr.shape
 
-        prompt = self.param(
-            "prompt_embed",
+        embed = self.param(
+            "embed",
             nn.initializers.normal(0.02),
-            (cfg.n_languages, PROMPT_LEN, cfg.d_model),
+            (cfg.n_special_tokens, F_in),
             jnp.float32,
         )
-        pfx = prompt[lang_ids].astype(dt)  # [B, 4, D]
-        x = jnp.concatenate([pfx, x], axis=1)  # [B, P+T, D]
+        prompt_ids = jnp.stack(
+            [lang_ids,
+             jnp.full_like(lang_ids, EVENT_TOKEN_ID),
+             jnp.full_like(lang_ids, EMO_TOKEN_ID),
+             jnp.full_like(lang_ids, TEXTNORM_WOITN_ID)],
+            axis=1,
+        )  # [B, 4]
+        pfx = embed[prompt_ids].astype(dt)  # [B, 4, 560]
+        x = jnp.concatenate([pfx, lfr.astype(dt)], axis=1)  # [B, P+T, 560]
 
         total = PROMPT_LEN + T
+        x = x * np.sqrt(cfg.d_model) + _sinusoid_posenc(total, F_in).astype(dt)[None]
+
         pad_mask = jnp.arange(total)[None, :] < (lengths + PROMPT_LEN)[:, None]
-        for i in range(cfg.n_layers):
-            x = _SanmBlock(cfg, name=f"block{i}")(x, pad_mask)
+        x = _SanmBlock(cfg, in_size=F_in, name="block0")(x, pad_mask)
+        for i in range(1, cfg.n_layers):
+            x = _SanmBlock(cfg, in_size=cfg.d_model, name=f"block{i}")(x, pad_mask)
         x = nn.LayerNorm(dtype=dt, name="final_ln")(x)
         logits = nn.Dense(cfg.vocab_size, dtype=dt, name="ctc_head")(x)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

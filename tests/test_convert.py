@@ -492,3 +492,97 @@ def test_sortformer_converted_tree_matches_and_runs():
     preds = jax.jit(model.apply)({"params": converted}, mel)
     assert preds.shape[0] == 1 and preds.shape[2] == 4
     assert np.all((np.asarray(preds) >= 0) & (np.asarray(preds) <= 1))
+
+
+def synthetic_sensevoice_state_dict(cfg, rng):
+    """Torch-layout state dict with FunASR SenseVoiceSmall key names."""
+    D, F, FF = cfg.d_model, 560, cfg.ffn_dim
+
+    def block(base, in_size):
+        return {
+            f"{base}.self_attn.linear_q_k_v.weight": rng.randn(3 * D, in_size) * 0.05,
+            f"{base}.self_attn.linear_q_k_v.bias": rng.randn(3 * D) * 0.05,
+            f"{base}.self_attn.fsmn_block.weight": rng.randn(D, 1, cfg.fsmn_kernel) * 0.05,
+            f"{base}.self_attn.linear_out.weight": rng.randn(D, D) * 0.05,
+            f"{base}.self_attn.linear_out.bias": rng.randn(D) * 0.05,
+            f"{base}.norm1.weight": rng.randn(in_size),
+            f"{base}.norm1.bias": rng.randn(in_size),
+            f"{base}.norm2.weight": rng.randn(D),
+            f"{base}.norm2.bias": rng.randn(D),
+            f"{base}.feed_forward.w_1.weight": rng.randn(FF, D) * 0.05,
+            f"{base}.feed_forward.w_1.bias": rng.randn(FF) * 0.05,
+            f"{base}.feed_forward.w_2.weight": rng.randn(D, FF) * 0.05,
+            f"{base}.feed_forward.w_2.bias": rng.randn(D) * 0.05,
+        }
+
+    sd = {"embed.weight": rng.randn(cfg.n_special_tokens, F) * 0.05}
+    sd.update(block("encoder.encoders0.0", F))
+    for i in range(cfg.n_layers - 1):
+        sd.update(block(f"encoder.encoders.{i}", D))
+    sd["encoder.after_norm.weight"] = rng.randn(D)
+    sd["encoder.after_norm.bias"] = rng.randn(D)
+    sd["ctc.ctc_lo.weight"] = rng.randn(cfg.vocab_size, D) * 0.05
+    sd["ctc.ctc_lo.bias"] = rng.randn(cfg.vocab_size) * 0.05
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def test_sensevoice_converted_tree_matches_and_runs():
+    import jax.numpy as jnp
+    from fluidaudio_tpu.convert.sensevoice import convert_sensevoice_state_dict
+    from fluidaudio_tpu.models.sensevoice import SENSEVOICE_TEST, SenseVoiceEncoder
+
+    cfg = SENSEVOICE_TEST
+    model = SenseVoiceEncoder(cfg)
+    lfr = jnp.zeros((1, 10, 560))
+    lengths = jnp.array([10], jnp.int32)
+    lang = jnp.array([3], jnp.int32)
+    live = jax.jit(model.init)(jax.random.PRNGKey(0), lfr, lengths, lang)["params"]
+
+    rng = np.random.RandomState(0)
+    converted = convert_sensevoice_state_dict(
+        synthetic_sensevoice_state_dict(cfg, rng), cfg)
+    want, got = tree_shapes(live), tree_shapes(converted)
+    assert want == got, (
+        f"missing={set(want) - set(got)}\n extra={set(got) - set(want)}\n"
+        f" shapes={[k for k in want if k in got and want[k] != got[k]]}"
+    )
+
+    lfr = jnp.asarray(rng.randn(2, 10, 560) * 0.1, jnp.float32)
+    lp = jax.jit(model.apply)({"params": converted}, lfr,
+                              jnp.array([10, 7], jnp.int32),
+                              jnp.array([3, 4], jnp.int32))
+    assert lp.shape == (2, 14, cfg.vocab_size)  # 4 prompt slots + 10 frames
+    np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_sensevoice_fsmn_matches_torch_depthwise_conv():
+    """FSMN memory conv == torch Conv1d(groups=D, bias=False) with the
+    FunASR (left, right) padding split."""
+    import torch
+
+    D, k, T = 8, 11, 16
+    rng = np.random.RandomState(4)
+    w = rng.randn(D, 1, k).astype(np.float32) * 0.2
+    x = rng.randn(1, T, D).astype(np.float32)
+
+    left = (k - 1) // 2
+    conv = torch.nn.Conv1d(D, D, k, groups=D, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(w))
+        xt = torch.tensor(x).transpose(1, 2)  # [1, D, T]
+        xt = torch.nn.functional.pad(xt, (left, k - 1 - left))
+        ref = conv(xt).transpose(1, 2).numpy()
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(D, (k,), padding=((left, k - 1 - left),),
+                           feature_group_count=D, use_bias=False, name="c")(x)
+
+    m = M()
+    params = {"c": {"kernel": jnp.asarray(np.transpose(w, (2, 1, 0)))}}
+    ours = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
