@@ -17,8 +17,24 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-# persistent compilation cache: compiles amortize across test runs
+# persistent compilation cache: compiles amortize across test runs. The dir
+# is keyed on the host CPU flags — XLA:CPU AOT artifacts embed the compile
+# machine's features and spam cpu_aot_loader warnings (or SIGILL) when loaded
+# on a different host, so each host gets its own cache.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/fluidaudio/jax_cache_cpu")
+try:
+    _flags = next(
+        (ln for ln in open("/proc/cpuinfo") if ln.startswith("flags")), ""
+    )
+except OSError:
+    _flags = platform.processor()
+_cpu_key = hashlib.sha256(_flags.encode()).hexdigest()[:12]
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/root/.cache/fluidaudio/jax_cache_cpu_{_cpu_key}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
