@@ -1,8 +1,11 @@
-// English ITN: spoken-form -> written-form rewriting. See itn.h.
+// ITN: spoken-form -> written-form rewriting. See itn.h.
 //
 // Token-stream FSM: scan words; greedily parse number-word spans (cardinals
-// with magnitude composition, ordinals, decimals via "point", negatives),
-// then apply postfix rules (percent, currency, ordinal suffixes).
+// with magnitude composition, ordinals, decimals, negatives), then apply
+// postfix rules (percent, currency, ordinal suffixes). Languages: en (full),
+// de (compound-word decomposition), fr (hyphenated vigesimal forms),
+// es (fused veinti-/hundreds forms) — the reference dlopens a Rust
+// NeMo-grammar library with 7 languages (ITN/TextNormalizer.swift:76-133).
 #include "itn.h"
 
 #include <cctype>
@@ -153,15 +156,350 @@ size_t parse_digit_string(const std::vector<Token>& toks, size_t i,
 
 std::string format_number(long long v) { return std::to_string(v); }
 
+// ----------------------------------------------------------------- German
+// German cardinals are single compound words ("dreihundertvierundzwanzig");
+// parse one token by recursive decomposition: [x]tausend[y], [x]hundert[y],
+// [unit]und[tens], plain unit/tens lookup.
+
+const std::map<std::string, long long> kDeUnits = {
+    {"null", 0}, {"ein", 1}, {"eins", 1}, {"eine", 1}, {"zwei", 2},
+    {"drei", 3}, {"vier", 4}, {"fünf", 5}, {"fuenf", 5}, {"sechs", 6},
+    {"sieben", 7}, {"acht", 8}, {"neun", 9}, {"zehn", 10}, {"elf", 11},
+    {"zwölf", 12}, {"zwoelf", 12}, {"dreizehn", 13}, {"vierzehn", 14},
+    {"fünfzehn", 15}, {"fuenfzehn", 15}, {"sechzehn", 16}, {"siebzehn", 17},
+    {"achtzehn", 18}, {"neunzehn", 19}};
+
+const std::map<std::string, long long> kDeTens = {
+    {"zwanzig", 20}, {"dreißig", 30}, {"dreissig", 30}, {"vierzig", 40},
+    {"fünfzig", 50}, {"fuenfzig", 50}, {"sechzig", 60}, {"siebzig", 70},
+    {"achtzig", 80}, {"neunzig", 90}};
+
+bool parse_de_under_hundred(const std::string& s, long long* out) {
+  auto u = kDeUnits.find(s);
+  if (u != kDeUnits.end()) { *out = u->second; return true; }
+  auto t = kDeTens.find(s);
+  if (t != kDeTens.end()) { *out = t->second; return true; }
+  size_t und = s.find("und");
+  if (und != std::string::npos && und > 0) {
+    auto uu = kDeUnits.find(s.substr(0, und));
+    auto tt = kDeTens.find(s.substr(und + 3));
+    if (uu != kDeUnits.end() && uu->second < 10 && tt != kDeTens.end()) {
+      *out = tt->second + uu->second;
+      return true;
+    }
+  }
+  return false;
+}
+
+bool parse_de_under_thousand(const std::string& s, long long* out) {
+  if (s.empty()) { *out = 0; return true; }
+  size_t h = s.find("hundert");
+  if (h != std::string::npos) {
+    long long pre = 1, rest = 0;
+    if (h > 0 && !parse_de_under_hundred(s.substr(0, h), &pre)) return false;
+    std::string tail = s.substr(h + 7);
+    if (!tail.empty() && !parse_de_under_hundred(tail, &rest)) return false;
+    *out = pre * 100 + rest;
+    return true;
+  }
+  return parse_de_under_hundred(s, out);
+}
+
+bool parse_german_token(const std::string& s, long long* out) {
+  size_t t = s.find("tausend");
+  if (t != std::string::npos) {
+    long long pre = 1, rest = 0;
+    if (t > 0 && !parse_de_under_thousand(s.substr(0, t), &pre)) return false;
+    std::string tail = s.substr(t + 7);
+    if (!tail.empty() && !parse_de_under_thousand(tail, &rest)) return false;
+    *out = pre * 1000 + rest;
+    return true;
+  }
+  return parse_de_under_thousand(s, out);
+}
+
+size_t parse_cardinal_de(const std::vector<Token>& toks, size_t i, long long* value) {
+  long long v;
+  if (!parse_german_token(toks[i].word, &v)) return 0;
+  size_t n = 1;
+  // separate magnitude words: "drei millionen", "zwei milliarden"
+  while (i + n < toks.size() && toks[i + n - 1].suffix.empty()) {
+    const std::string& w = toks[i + n].word;
+    long long mag = 0;
+    if (w == "million" || w == "millionen") mag = 1000000;
+    else if (w == "milliarde" || w == "milliarden") mag = 1000000000LL;
+    if (mag == 0) break;
+    v *= mag;
+    ++n;
+    // "zwei millionen fünfhundert..." continuation
+    if (i + n < toks.size()) {
+      long long rest;
+      if (parse_german_token(toks[i + n].word, &rest)) {
+        v += rest;
+        ++n;
+      }
+    }
+    break;
+  }
+  *value = v;
+  return n;
+}
+
+// ----------------------------------------------------------------- French
+// "vingt-trois" splits on hyphens during tokenization of subwords; handles
+// soixante-dix (70), quatre-vingts (80), quatre-vingt-dix (90), "et".
+
+const std::map<std::string, long long> kFrUnits = {
+    {"zéro", 0}, {"zero", 0}, {"un", 1}, {"une", 1}, {"deux", 2},
+    {"trois", 3}, {"quatre", 4}, {"cinq", 5}, {"six", 6}, {"sept", 7},
+    {"huit", 8}, {"neuf", 9}, {"dix", 10}, {"onze", 11}, {"douze", 12},
+    {"treize", 13}, {"quatorze", 14}, {"quinze", 15}, {"seize", 16}};
+
+const std::map<std::string, long long> kFrTens = {
+    {"vingt", 20}, {"vingts", 20}, {"trente", 30}, {"quarante", 40},
+    {"cinquante", 50}, {"soixante", 60}};
+
+size_t parse_cardinal_fr(const std::vector<Token>& toks, size_t i, long long* value) {
+  long long total = 0, current = 0;
+  size_t consumed = 0;
+  bool any = false;
+  for (size_t j = i; j < toks.size(); ++j) {
+    // split hyphenated compounds into subwords
+    std::vector<std::string> subs;
+    std::string w = toks[j].word;
+    size_t p = 0;
+    while (true) {
+      size_t h = toks[j].raw.find('-', p);
+      (void)h;
+      break;
+    }
+    {
+      std::string acc;
+      for (char c : toks[j].raw) {
+        char lc = std::tolower(static_cast<unsigned char>(c));
+        if (lc == '-') { if (!acc.empty()) subs.push_back(acc); acc.clear(); }
+        else if (std::isalnum(static_cast<unsigned char>(c)) || static_cast<unsigned char>(c) >= 0x80)
+          acc += lc;
+      }
+      if (!acc.empty()) subs.push_back(acc);
+    }
+    bool tok_ok = !subs.empty();
+    long long save_current = current, save_total = total;
+    for (const std::string& s : subs) {
+      if (s == "et") continue;
+      auto u = kFrUnits.find(s);
+      auto t = kFrTens.find(s);
+      if (t != kFrTens.end()) {
+        if (current == 4) current = 60 + t->second;  // quatre-vingt(s) = 80
+        else current += t->second;
+      } else if (u != kFrUnits.end()) {
+        if ((current == 60 || current == 80) && u->second >= 10) {
+          current += u->second;  // soixante-dix, quatre-vingt-dix..dix-neuf
+        } else if (current >= 20 && u->second < 10) {
+          current += u->second;  // vingt-trois
+        } else if (current == 0 && !any && s == "dix" && subs.size() > 1) {
+          current = 10;  // dix-sept / dix-huit / dix-neuf
+        } else if (current == 10 && u->second >= 7 && u->second <= 9) {
+          current += u->second;
+        } else if (current == 0) {
+          current = u->second;
+        } else { tok_ok = false; break; }
+      } else if (s == "cent" || s == "cents") {
+        current = (current == 0 ? 1 : current) * 100;
+      } else if (s == "mille") {
+        total += (current == 0 ? 1 : current) * 1000;
+        current = 0;
+      } else if (s == "million" || s == "millions") {
+        total += (current == 0 ? 1 : current) * 1000000;
+        current = 0;
+      } else { tok_ok = false; break; }
+    }
+    if (!tok_ok) { current = save_current; total = save_total; break; }
+    any = true;
+    consumed = j - i + 1;
+    if (!toks[j].suffix.empty() && toks[j].suffix != ",") break;
+  }
+  if (!any) return 0;
+  *value = total + current;
+  return consumed;
+}
+
+// ---------------------------------------------------------------- Spanish
+
+const std::map<std::string, long long> kEsWords = {
+    {"cero", 0}, {"uno", 1}, {"una", 1}, {"un", 1}, {"dos", 2}, {"tres", 3},
+    {"cuatro", 4}, {"cinco", 5}, {"seis", 6}, {"siete", 7}, {"ocho", 8},
+    {"nueve", 9}, {"diez", 10}, {"once", 11}, {"doce", 12}, {"trece", 13},
+    {"catorce", 14}, {"quince", 15}, {"dieciséis", 16}, {"dieciseis", 16},
+    {"diecisiete", 17}, {"dieciocho", 18}, {"diecinueve", 19},
+    {"veinte", 20}, {"veintiuno", 21}, {"veintiún", 21}, {"veintidós", 22},
+    {"veintidos", 22}, {"veintitrés", 23}, {"veintitres", 23},
+    {"veinticuatro", 24}, {"veinticinco", 25}, {"veintiséis", 26},
+    {"veintiseis", 26}, {"veintisiete", 27}, {"veintiocho", 28},
+    {"veintinueve", 29}, {"treinta", 30}, {"cuarenta", 40},
+    {"cincuenta", 50}, {"sesenta", 60}, {"setenta", 70}, {"ochenta", 80},
+    {"noventa", 90}, {"cien", 100}, {"ciento", 100}, {"doscientos", 200},
+    {"trescientos", 300}, {"cuatrocientos", 400}, {"quinientos", 500},
+    {"seiscientos", 600}, {"setecientos", 700}, {"ochocientos", 800},
+    {"novecientos", 900}};
+
+size_t parse_cardinal_es(const std::vector<Token>& toks, size_t i, long long* value) {
+  long long total = 0, current = 0;
+  size_t consumed = 0;
+  bool any = false;
+  for (size_t j = i; j < toks.size(); ++j) {
+    const std::string& w = toks[j].word;
+    auto it = kEsWords.find(w);
+    if (it != kEsWords.end()) {
+      long long v = it->second;
+      if (v >= 100) {
+        if (current >= 100) break;  // two hundreds in a row: stop
+        current += v;               // "ciento veinte" handled below
+      } else if (current % 100 == 0) {
+        current += v;
+      } else if (current % 10 == 0 && v < 10) {
+        current += v;  // "treinta y dos" (the "y" consumed below)
+      } else {
+        break;
+      }
+      any = true;
+    } else if (w == "y" && any && j + 1 < toks.size() &&
+               kEsWords.count(toks[j + 1].word)) {
+      continue;
+    } else if ((w == "mil") && (any || true)) {
+      total += (current == 0 ? 1 : current) * 1000;
+      current = 0;
+      any = true;
+    } else if ((w == "millón" || w == "millon" || w == "millones") && any) {
+      total += (current == 0 ? 1 : current) * 1000000;
+      current = 0;
+    } else {
+      break;
+    }
+    consumed = j - i + 1;
+    if (!toks[j].suffix.empty() && toks[j].suffix != ",") break;
+  }
+  if (!any) return 0;
+  *value = total + current;
+  return consumed;
+}
+
+// --------------------------------------------------- generic non-en driver
+
+struct LangGrammar {
+  size_t (*parse)(const std::vector<Token>&, size_t, long long*);
+  std::map<std::string, std::string> currency;
+  std::vector<std::string> percent;  // token sequence, e.g. {"por", "ciento"}
+  std::string decimal_word;          // "komma" / "virgule" / "coma"
+  std::vector<std::string> negative;
+};
+
+std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar& g) {
+  std::vector<std::string> out;
+  out.reserve(toks.size());
+  size_t i = 0;
+  while (i < toks.size()) {
+    long long v;
+    size_t n = g.parse(toks, i, &v);
+    bool negative = false;
+    if (n == 0 && i + 1 < toks.size()) {
+      for (const auto& neg : g.negative) {
+        if (toks[i].word == neg) {
+          size_t n2 = g.parse(toks, i + 1, &v);
+          if (n2 > 0) { negative = true; n = n2 + 1; }
+          break;
+        }
+      }
+    }
+    if (n > 0) {
+      std::string num = (negative ? "-" : "") + format_number(v);
+      size_t j = i + n;
+      if (j < toks.size() && toks[j].word == g.decimal_word) {
+        std::string frac;
+        size_t k = j + 1;
+        while (k < toks.size()) {
+          long long d;
+          if (g.parse(toks, k, &d) != 1 || d > 9) break;
+          frac += static_cast<char>('0' + d);
+          ++k;
+          if (!toks[k - 1].suffix.empty()) break;
+        }
+        if (!frac.empty()) { num += "." + frac; j = k; }
+      }
+      if (!g.percent.empty() && j + g.percent.size() <= toks.size()) {
+        bool match = true;
+        for (size_t k = 0; k < g.percent.size(); ++k)
+          if (toks[j + k].word != g.percent[k]) { match = false; break; }
+        if (match) {
+          out.push_back(toks[i].prefix + num + "%" +
+                        toks[j + g.percent.size() - 1].suffix);
+          i = j + g.percent.size();
+          continue;
+        }
+      }
+      if (j < toks.size() && g.currency.count(toks[j].word)) {
+        out.push_back(toks[i].prefix + g.currency.at(toks[j].word) + num +
+                      toks[j].suffix);
+        i = j + 1;
+        continue;
+      }
+      out.push_back(toks[i].prefix + num + toks[i + n - 1].suffix);
+      i = j;
+      continue;
+    }
+    out.push_back(toks[i].raw);
+    ++i;
+  }
+  std::string joined;
+  for (size_t k = 0; k < out.size(); ++k) {
+    if (k) joined += " ";
+    joined += out[k];
+  }
+  return joined;
+}
+
+const LangGrammar kGerman = {
+    parse_cardinal_de,
+    {{"euro", "€"}, {"euros", "€"}, {"dollar", "$"}, {"dollars", "$"}},
+    {"prozent"},
+    "komma",
+    {"minus"}};
+
+const LangGrammar kFrench = {
+    parse_cardinal_fr,
+    {{"euro", "€"}, {"euros", "€"}, {"dollar", "$"}, {"dollars", "$"}},
+    {"pour", "cent"},
+    "virgule",
+    {"moins"}};
+
+const LangGrammar kSpanish = {
+    parse_cardinal_es,
+    {{"euro", "€"}, {"euros", "€"}, {"dólar", "$"}, {"dólares", "$"},
+     {"dolar", "$"}, {"dolares", "$"}, {"peso", "$"}, {"pesos", "$"}},
+    {"por", "ciento"},
+    "coma",
+    {"menos"}};
+
 }  // namespace
 
 extern "C" char* nemo_normalize(const char* text, const char* lang) {
   if (text == nullptr) return nullptr;
   std::string language = lang ? lang : "en";
-  if (language.substr(0, 2) != "en") {
-    char* out = static_cast<char*>(std::malloc(std::strlen(text) + 1));
-    if (out) std::strcpy(out, text);
-    return out;
+  std::string code = language.substr(0, 2);
+  if (code != "en") {
+    const LangGrammar* g = nullptr;
+    if (code == "de") g = &kGerman;
+    else if (code == "fr") g = &kFrench;
+    else if (code == "es") g = &kSpanish;
+    if (g == nullptr) {  // unsupported: identity (graceful degradation)
+      char* out = static_cast<char*>(std::malloc(std::strlen(text) + 1));
+      if (out) std::strcpy(out, text);
+      return out;
+    }
+    std::string joined = normalize_generic(tokenize(text), *g);
+    char* result = static_cast<char*>(std::malloc(joined.size() + 1));
+    if (result) std::memcpy(result, joined.c_str(), joined.size() + 1);
+    return result;
   }
 
   std::vector<Token> toks = tokenize(text);
@@ -269,5 +607,8 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
 extern "C" void nemo_normalize_free(char* ptr) { std::free(ptr); }
 
 extern "C" int nemo_normalize_supports(const char* lang) {
-  return lang && std::strncmp(lang, "en", 2) == 0 ? 1 : 0;
+  if (!lang) return 0;
+  return (std::strncmp(lang, "en", 2) == 0 || std::strncmp(lang, "de", 2) == 0 ||
+          std::strncmp(lang, "fr", 2) == 0 || std::strncmp(lang, "es", 2) == 0)
+             ? 1 : 0;
 }

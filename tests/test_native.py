@@ -85,9 +85,13 @@ def test_itn_english(spoken, written):
 
 @needs_native
 def test_itn_passthrough_other_language():
-    tn = TextNormalizer("de")
-    assert tn.normalize("einundzwanzig") == "einundzwanzig"
-    assert not tn.supports("de") and tn.supports("en")
+    # Italian has no grammar yet: identity passthrough, supports() False
+    tn = TextNormalizer("it")
+    assert tn.normalize("ventitré") == "ventitré"
+    assert not tn.supports("it") and tn.supports("en")
+    # German grew a grammar (compound decomposition)
+    assert tn.supports("de")
+    assert tn.normalize("einundzwanzig", "de") == "21"
 
 
 def test_sysinfo_rss():
@@ -96,3 +100,41 @@ def test_sysinfo_rss():
     assert peak > 10 * 1024 * 1024  # a python+jax process is >10MB
     assert cur > 10 * 1024 * 1024
     assert peak >= cur / 2  # peak is at least in the vicinity
+
+
+class TestItnMultilingual:
+    """German/French/Spanish number grammars in the C++ engine."""
+
+    @pytest.fixture(scope="class")
+    def norm(self):
+        from fluidaudio_tpu.itn.normalizer import TextNormalizer
+
+        n = TextNormalizer()
+        if not n.is_native_available:
+            pytest.skip("native lib not built")
+        return n
+
+    @pytest.mark.parametrize("lang,src,want", [
+        ("de", "dreihundertvierundzwanzig euro", "€324"),
+        ("de", "zweitausendfünfhundert", "2500"),
+        ("de", "einundzwanzig prozent", "21%"),
+        ("de", "drei komma eins vier", "3.14"),
+        ("fr", "vingt-trois euros", "€23"),
+        ("fr", "quatre-vingt-dix-neuf", "99"),
+        ("fr", "soixante-dix pour cent", "70%"),
+        ("fr", "trois virgule cinq", "3.5"),
+        ("es", "treinta y dos", "32"),
+        ("es", "veintitrés euros", "€23"),
+        ("es", "quinientos cuarenta por ciento", "540%"),
+        ("es", "dos mil veinticinco", "2025"),
+        ("es", "menos cinco coma tres", "-5.3"),
+    ])
+    def test_normalize(self, norm, lang, src, want):
+        assert norm.normalize(src, lang) == want
+
+    def test_supports_reports_new_languages(self, norm):
+        assert norm.supports("de") and norm.supports("fr") and norm.supports("es")
+        assert not norm.supports("it")
+
+    def test_unsupported_language_is_identity(self, norm):
+        assert norm.normalize("venti tre", "it") == "venti tre"
