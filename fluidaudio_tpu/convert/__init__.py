@@ -6,6 +6,10 @@ from fluidaudio_tpu.convert.wespeaker import (
     convert_wespeaker_state_dict,
     convert_wespeaker_file,
 )
+from fluidaudio_tpu.convert.paraformer import (
+    convert_paraformer_state_dict,
+    convert_paraformer_file,
+)
 from fluidaudio_tpu.convert.sensevoice import (
     convert_sensevoice_state_dict,
     convert_sensevoice_file,
@@ -38,4 +42,6 @@ __all__ = [
     "convert_sortformer_file",
     "convert_sensevoice_state_dict",
     "convert_sensevoice_file",
+    "convert_paraformer_state_dict",
+    "convert_paraformer_file",
 ]

@@ -3,9 +3,12 @@ decoder).
 
 Explicit JAX equivalent of the reference's Paraformer CoreML graphs
 (`Paraformer/ParaformerManager.swift:10`, `ParaformerCif.swift`): SANM encoder
--> CIF alpha predictor -> integrate-and-fire -> bidirectional parallel
-decoder. The reference fires host-side; here CIF is a closed-form overlap
-matrix (jittable, O(T*U) einsum on the MXU) so the whole model is one program.
+-> CIF alpha predictor -> integrate-and-fire -> parallel SANM decoder
+(FunASR DecoderLayerSANM: FSMN self-memory + fused-kv cross attention +
+decoder FFN with hidden LayerNorm and bias-free w_2, then a final FFN-only
+decoders3 layer). The reference fires host-side; here CIF is a closed-form
+overlap matrix (jittable, O(T*U) einsum on the MXU) so the whole model is one
+program. Convertible from FunASR checkpoints via convert/paraformer.py.
 """
 
 from __future__ import annotations
@@ -16,7 +19,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fluidaudio_tpu.models.sensevoice import _SanmBlock, SenseVoiceConfig
+import numpy as np
+
+from fluidaudio_tpu.models.sensevoice import (
+    _SanmBlock,
+    _sinusoid_posenc,
+    SenseVoiceConfig,
+)
 
 
 @dataclass(frozen=True)
@@ -74,7 +83,8 @@ def cif_integrate(
 
 
 class CifPredictor(nn.Module):
-    """Encoder states -> per-frame alphas (conv + sigmoid head)."""
+    """Encoder states -> per-frame alphas (FunASR predictor: cif_conv1d ->
+    relu -> cif_output linear -> sigmoid)."""
 
     cfg: ParaformerConfig
 
@@ -88,26 +98,62 @@ class CifPredictor(nn.Module):
         return a * pad_mask.astype(jnp.float32)
 
 
-class _DecoderBlock(nn.Module):
+class _DecoderFfn(nn.Module):
+    """FunASR PositionwiseFeedForwardDecoderSANM: w_2(norm(relu(w_1(x)))),
+    w_2 bias-free with a LayerNorm over the hidden dim."""
+
     cfg: ParaformerConfig
 
     @nn.compact
-    def __call__(self, x, enc, self_mask, cross_mask):
+    def __call__(self, x):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        h = nn.LayerNorm(dtype=dt, name="self_ln")(x)
-        x = x + nn.SelfAttention(num_heads=cfg.n_heads, dtype=dt, name="self_att")(
-            h, mask=self_mask
-        )
-        h = nn.LayerNorm(dtype=dt, name="cross_ln")(x)
-        x = x + nn.MultiHeadDotProductAttention(
-            num_heads=cfg.n_heads, dtype=dt, name="cross_att"
-        )(h, enc, mask=cross_mask)
-        f = nn.LayerNorm(dtype=dt, name="ffn_ln")(x)
-        f = nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(f)
-        f = nn.relu(f)
-        f = nn.Dense(cfg.d_model, dtype=dt, name="ffn2")(f)
-        return x + f
+        f = nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(x)
+        f = nn.LayerNorm(dtype=dt, name="ffn_norm")(nn.relu(f))
+        return nn.Dense(cfg.d_model, use_bias=False, dtype=dt, name="ffn2")(f)
+
+
+class _DecoderBlock(nn.Module):
+    """FunASR DecoderLayerSANM: the "self attention" is a pure FSMN memory
+    conv (no attention weights); cross attention has a single fused
+    linear_k_v over the encoder memory. Convertible via convert/paraformer.py."""
+
+    cfg: ParaformerConfig
+
+    @nn.compact
+    def __call__(self, x, enc, tok_mask, cross_mask):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D, H = cfg.d_model, cfg.n_heads
+        hd = D // H
+        B, U, _ = x.shape
+        Tenc = enc.shape[1]
+
+        # self "attention": FSMN over the masked normed sequence
+        h = nn.LayerNorm(dtype=dt, name="norm1")(x)
+        hm = h * tok_mask[..., None].astype(dt)
+        left = (cfg.fsmn_kernel - 1) // 2
+        mem = nn.Conv(D, (cfg.fsmn_kernel,),
+                      padding=((left, cfg.fsmn_kernel - 1 - left),),
+                      feature_group_count=D, use_bias=False, dtype=dt,
+                      name="fsmn")(hm)
+        x = x + mem * tok_mask[..., None].astype(dt)
+
+        # cross attention: q from decoder, fused k/v from encoder memory
+        h = nn.LayerNorm(dtype=dt, name="norm2")(x)
+        q = nn.Dense(D, dtype=dt, name="q")(h).reshape(B, U, H, hd)
+        kv = nn.Dense(2 * D, dtype=dt, name="kv")(enc)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(B, Tenc, H, hd)
+        v = v.reshape(B, Tenc, H, hd)
+        scores = jnp.einsum("buhd,bthd->bhut", q, k) / np.sqrt(hd)
+        scores = jnp.where(cross_mask, scores, jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+        att = jnp.einsum("bhut,bthd->buhd", probs, v).reshape(B, U, D)
+        x = x + nn.Dense(D, dtype=dt, name="out")(att)
+
+        h = nn.LayerNorm(dtype=dt, name="norm3")(x)
+        return x + _DecoderFfn(cfg, name="ffn")(h)
 
 
 class Paraformer(nn.Module):
@@ -119,11 +165,15 @@ class Paraformer(nn.Module):
     def __call__(self, lfr, lengths):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        B, T, _ = lfr.shape
-        x = nn.Dense(cfg.d_model, dtype=dt, name="input_proj")(lfr.astype(dt))
+        B, T, F_in = lfr.shape
+        # FunASR SANMEncoder: sqrt(d_model) scale + 1-indexed sinusoid posenc,
+        # then encoders0 (in_size 560) + remaining blocks + after_norm
+        x = lfr.astype(dt) * np.sqrt(cfg.d_model) \
+            + _sinusoid_posenc(T, F_in).astype(dt)[None]
         pad_mask = jnp.arange(T)[None, :] < lengths[:, None]
         sanm = cfg.sanm()
-        for i in range(cfg.n_encoder_layers):
+        x = _SanmBlock(sanm, in_size=F_in, name="enc0")(x, pad_mask)
+        for i in range(1, cfg.n_encoder_layers):
             x = _SanmBlock(sanm, in_size=sanm.d_model, name=f"enc{i}")(x, pad_mask)
         enc = nn.LayerNorm(dtype=dt, name="enc_ln")(x)
 
@@ -131,11 +181,13 @@ class Paraformer(nn.Module):
         emb, counts = cif_integrate(enc, alphas, cfg.max_tokens, cfg.cif_threshold)
 
         tok_mask = jnp.arange(cfg.max_tokens)[None, :] < counts[:, None]
-        self_mask = tok_mask[:, None, None, :] & tok_mask[:, None, :, None]
         cross_mask = tok_mask[:, None, :, None] & pad_mask[:, None, None, :]
         y = emb.astype(dt)
         for i in range(cfg.n_decoder_layers):
-            y = _DecoderBlock(cfg, name=f"dec{i}")(y, enc, self_mask, cross_mask)
+            y = _DecoderBlock(cfg, name=f"dec{i}")(y, enc, tok_mask, cross_mask)
+        # decoders3: final FFN-only layer, then after_norm + output head
+        h = nn.LayerNorm(dtype=dt, name="dec3_norm1")(y)
+        y = y + _DecoderFfn(cfg, name="dec3_ffn")(h)
         y = nn.LayerNorm(dtype=dt, name="dec_ln")(y)
         logits = nn.Dense(cfg.vocab_size, dtype=dt, name="head")(y)
         return logits.astype(jnp.float32), counts

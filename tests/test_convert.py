@@ -586,3 +586,76 @@ def test_sensevoice_fsmn_matches_torch_depthwise_conv():
     params = {"c": {"kernel": jnp.asarray(np.transpose(w, (2, 1, 0)))}}
     ours = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def synthetic_paraformer_state_dict(cfg, rng):
+    """Torch-layout state dict with FunASR Paraformer key names."""
+    from tests.test_convert import synthetic_sensevoice_state_dict  # self-import ok
+
+    D, FF, k = cfg.d_model, cfg.ffn_dim, cfg.fsmn_kernel
+    sv = cfg.sanm()
+    enc = {kk: v for kk, v in synthetic_sensevoice_state_dict(sv, rng).items()
+           if kk.startswith("encoder.")}
+    sd = dict(enc)
+
+    def dec_ffn(base):
+        return {
+            f"{base}.w_1.weight": rng.randn(FF, D) * 0.05,
+            f"{base}.w_1.bias": rng.randn(FF) * 0.05,
+            f"{base}.norm.weight": rng.randn(FF),
+            f"{base}.norm.bias": rng.randn(FF),
+            f"{base}.w_2.weight": rng.randn(D, FF) * 0.05,
+        }
+
+    sd["predictor.cif_conv1d.weight"] = rng.randn(D, D, 3) * 0.05
+    sd["predictor.cif_conv1d.bias"] = rng.randn(D) * 0.05
+    sd["predictor.cif_output.weight"] = rng.randn(1, D) * 0.05
+    sd["predictor.cif_output.bias"] = rng.randn(1) * 0.05
+    for i in range(cfg.n_decoder_layers):
+        b = f"decoder.decoders.{i}"
+        sd[f"{b}.self_attn.fsmn_block.weight"] = rng.randn(D, 1, k) * 0.05
+        sd[f"{b}.src_attn.linear_q.weight"] = rng.randn(D, D) * 0.05
+        sd[f"{b}.src_attn.linear_q.bias"] = rng.randn(D) * 0.05
+        sd[f"{b}.src_attn.linear_k_v.weight"] = rng.randn(2 * D, D) * 0.05
+        sd[f"{b}.src_attn.linear_k_v.bias"] = rng.randn(2 * D) * 0.05
+        sd[f"{b}.src_attn.linear_out.weight"] = rng.randn(D, D) * 0.05
+        sd[f"{b}.src_attn.linear_out.bias"] = rng.randn(D) * 0.05
+        for n in ("norm1", "norm2", "norm3"):
+            sd[f"{b}.{n}.weight"] = rng.randn(D)
+            sd[f"{b}.{n}.bias"] = rng.randn(D)
+        sd.update(dec_ffn(f"{b}.feed_forward"))
+    sd["decoder.decoders3.0.norm1.weight"] = rng.randn(D)
+    sd["decoder.decoders3.0.norm1.bias"] = rng.randn(D)
+    sd.update(dec_ffn("decoder.decoders3.0.feed_forward"))
+    sd["decoder.after_norm.weight"] = rng.randn(D)
+    sd["decoder.after_norm.bias"] = rng.randn(D)
+    sd["decoder.output_layer.weight"] = rng.randn(cfg.vocab_size, D) * 0.05
+    sd["decoder.output_layer.bias"] = rng.randn(cfg.vocab_size) * 0.05
+    return {kk: np.asarray(v, np.float32) for kk, v in sd.items()}
+
+
+def test_paraformer_converted_tree_matches_and_runs():
+    import jax.numpy as jnp
+    from fluidaudio_tpu.convert.paraformer import convert_paraformer_state_dict
+    from fluidaudio_tpu.models.paraformer import PARAFORMER_TEST, Paraformer
+
+    cfg = PARAFORMER_TEST
+    model = Paraformer(cfg)
+    lfr = jnp.zeros((1, 12, 560))
+    lengths = jnp.array([12], jnp.int32)
+    live = jax.jit(model.init)(jax.random.PRNGKey(0), lfr, lengths)["params"]
+
+    rng = np.random.RandomState(0)
+    converted = convert_paraformer_state_dict(
+        synthetic_paraformer_state_dict(cfg, rng), cfg)
+    want, got = tree_shapes(live), tree_shapes(converted)
+    assert want == got, (
+        f"missing={set(want) - set(got)}\n extra={set(got) - set(want)}\n"
+        f" shapes={[k for k in want if k in got and want[k] != got[k]]}"
+    )
+
+    lfr = jnp.asarray(rng.randn(2, 12, 560) * 0.1, jnp.float32)
+    logits, counts = jax.jit(model.apply)(
+        {"params": converted}, lfr, jnp.array([12, 9], jnp.int32))
+    assert logits.shape == (2, cfg.max_tokens, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
