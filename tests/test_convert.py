@@ -659,3 +659,47 @@ def test_paraformer_converted_tree_matches_and_runs():
         {"params": converted}, lfr, jnp.array([12, 9], jnp.int32))
     assert logits.shape == (2, cfg.max_tokens, cfg.vocab_size)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_streaming_conformer_converted_tree_matches():
+    """The streaming encoder consumes the same NeMo keys as the offline one;
+    only the subsampling nesting differs."""
+    import jax.numpy as jnp
+    from fluidaudio_tpu.convert.streaming import convert_streaming_conformer_state_dict
+    from fluidaudio_tpu.models.conformer import ConformerConfig
+    from fluidaudio_tpu.models.conformer_streaming import (
+        StreamingCaches, StreamingConformerConfig, StreamingConformerEncoder,
+        init_caches,
+    )
+
+    cfg = StreamingConformerConfig(
+        n_mels=16, d_model=32, n_layers=2, n_heads=4,
+        att_context_left=8, subsampling_channels=16,
+    )
+    model = StreamingConformerEncoder(cfg)
+    caches = init_caches(cfg, 1)
+    mel = jnp.zeros((1, cfg.n_mels, 16))
+    live = jax.jit(model.init)(jax.random.PRNGKey(0), mel, caches)["params"]
+
+    ccfg = ConformerConfig(
+        n_mels=cfg.n_mels, d_model=cfg.d_model, n_layers=cfg.n_layers,
+        n_heads=cfg.n_heads, subsampling_channels=cfg.subsampling_channels,
+    )
+
+    class _P:
+        vocab_size, pred_hidden, joint_hidden, enc_hidden = 8, 8, 8, 8
+        num_token_logits, n_durations, n_layers = 9, 2, 1
+
+    rng = np.random.RandomState(0)
+    sd = {k: v for k, v in synthetic_nemo_state_dict(ccfg, _P, rng).items()
+          if k.startswith("encoder.")}
+    converted = convert_streaming_conformer_state_dict(sd, cfg)
+    want, got = tree_shapes(live), tree_shapes(converted)
+    assert want == got, (
+        f"missing={set(want) - set(got)}\n extra={set(got) - set(want)}\n"
+        f" shapes={[k for k in want if k in got and want[k] != got[k]]}"
+    )
+
+    mel = jnp.asarray(rng.randn(1, cfg.n_mels, 16) * 0.1, jnp.float32)
+    enc, new_caches = jax.jit(model.apply)({"params": converted}, mel, caches)
+    assert np.all(np.isfinite(np.asarray(enc)))
