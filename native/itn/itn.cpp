@@ -4,8 +4,9 @@
 // with magnitude composition, ordinals, decimals, negatives), then apply
 // postfix rules (percent, currency, ordinal suffixes). Languages: en (full),
 // de (compound-word decomposition), fr (hyphenated vigesimal forms),
-// es (fused veinti-/hundreds forms) — the reference dlopens a Rust
-// NeMo-grammar library with 7 languages (ITN/TextNormalizer.swift:76-133).
+// es (fused veinti-/hundreds forms), pt ("e" connectives), it (fused
+// compounds with tens elision) — the reference dlopens a Rust NeMo-grammar
+// library with 7 languages (ITN/TextNormalizer.swift:76-133).
 #include "itn.h"
 
 #include <cctype>
@@ -60,6 +61,11 @@ struct Token {
   std::string suffix; // trailing punctuation
 };
 
+bool is_wordchar(unsigned char c) {
+  // UTF-8 continuation/lead bytes (accented letters) count as word chars
+  return std::isalnum(c) || c >= 0x80;
+}
+
 std::vector<Token> tokenize(const std::string& text) {
   std::vector<Token> out;
   std::istringstream ss(text);
@@ -68,8 +74,8 @@ std::vector<Token> tokenize(const std::string& text) {
     Token t;
     t.raw = raw;
     size_t b = 0, e = raw.size();
-    while (b < e && !std::isalnum(static_cast<unsigned char>(raw[b]))) ++b;
-    while (e > b && !std::isalnum(static_cast<unsigned char>(raw[e - 1]))) --e;
+    while (b < e && !is_wordchar(static_cast<unsigned char>(raw[b]))) ++b;
+    while (e > b && !is_wordchar(static_cast<unsigned char>(raw[e - 1]))) --e;
     t.prefix = raw.substr(0, b);
     t.suffix = raw.substr(e);
     t.word = raw.substr(b, e - b);
@@ -384,6 +390,161 @@ size_t parse_cardinal_es(const std::vector<Token>& toks, size_t i, long long* va
   return consumed;
 }
 
+// -------------------------------------------------------------- Portuguese
+// Separate words with "e" connectives: "vinte e três", "cento e vinte".
+
+const std::map<std::string, long long> kPtWords = {
+    {"zero", 0}, {"um", 1}, {"uma", 1}, {"dois", 2}, {"duas", 2},
+    {"três", 3}, {"tres", 3}, {"quatro", 4}, {"cinco", 5}, {"seis", 6},
+    {"sete", 7}, {"oito", 8}, {"nove", 9}, {"dez", 10}, {"onze", 11},
+    {"doze", 12}, {"treze", 13}, {"catorze", 14}, {"quatorze", 14},
+    {"quinze", 15}, {"dezesseis", 16}, {"dezasseis", 16}, {"dezessete", 17},
+    {"dezassete", 17}, {"dezoito", 18}, {"dezenove", 19}, {"dezanove", 19},
+    {"vinte", 20}, {"trinta", 30}, {"quarenta", 40}, {"cinquenta", 50},
+    {"sessenta", 60}, {"setenta", 70}, {"oitenta", 80}, {"noventa", 90},
+    {"cem", 100}, {"cento", 100}, {"duzentos", 200}, {"trezentos", 300},
+    {"quatrocentos", 400}, {"quinhentos", 500}, {"seiscentos", 600},
+    {"setecentos", 700}, {"oitocentos", 800}, {"novecentos", 900}};
+
+size_t parse_cardinal_pt(const std::vector<Token>& toks, size_t i, long long* value) {
+  long long total = 0, current = 0;
+  size_t consumed = 0;
+  bool any = false;
+  for (size_t j = i; j < toks.size(); ++j) {
+    const std::string& w = toks[j].word;
+    auto it = kPtWords.find(w);
+    if (it != kPtWords.end()) {
+      long long v = it->second;
+      if (v >= 100) {
+        if (current >= 100) break;
+        current += v;
+      } else if (current % 100 == 0) {
+        current += v;
+      } else if (current % 10 == 0 && v < 10) {
+        current += v;
+      } else {
+        break;
+      }
+      any = true;
+    } else if (w == "e" && any && j + 1 < toks.size() &&
+               (kPtWords.count(toks[j + 1].word) || toks[j + 1].word == "mil")) {
+      continue;
+    } else if (w == "mil") {
+      total += (current == 0 ? 1 : current) * 1000;
+      current = 0;
+      any = true;
+    } else if ((w == "milhão" || w == "milhao" || w == "milhões" ||
+                w == "milhoes") && any) {
+      total += (current == 0 ? 1 : current) * 1000000;
+      current = 0;
+    } else {
+      break;
+    }
+    consumed = j - i + 1;
+    if (!toks[j].suffix.empty() && toks[j].suffix != ",") break;
+  }
+  if (!any) return 0;
+  *value = total + current;
+  return consumed;
+}
+
+// ----------------------------------------------------------------- Italian
+// Fused compounds like German: "duecentotrentaquattro"; tens elide their
+// final vowel before uno/otto ("ventuno", "trentotto").
+
+const std::map<std::string, long long> kItUnits = {
+    {"zero", 0}, {"uno", 1}, {"un", 1}, {"una", 1}, {"due", 2}, {"tre", 3},
+    {"tré", 3}, {"quattro", 4}, {"cinque", 5}, {"sei", 6}, {"sette", 7},
+    {"otto", 8}, {"nove", 9}, {"dieci", 10}, {"undici", 11}, {"dodici", 12},
+    {"tredici", 13}, {"quattordici", 14}, {"quindici", 15}, {"sedici", 16},
+    {"diciassette", 17}, {"diciotto", 18}, {"diciannove", 19}};
+
+// full form and elided form (before vowel-initial uno/otto)
+const std::vector<std::pair<std::string, long long>> kItTens = {
+    {"venti", 20}, {"vent", 20}, {"trenta", 30}, {"trent", 30},
+    {"quaranta", 40}, {"quarant", 40}, {"cinquanta", 50}, {"cinquant", 50},
+    {"sessanta", 60}, {"sessant", 60}, {"settanta", 70}, {"settant", 70},
+    {"ottanta", 80}, {"ottant", 80}, {"novanta", 90}, {"novant", 90}};
+
+bool parse_it_under_hundred(const std::string& s, long long* out) {
+  auto u = kItUnits.find(s);
+  if (u != kItUnits.end()) { *out = u->second; return true; }
+  for (const auto& [pre, tv] : kItTens) {
+    if (s == pre && pre.back() != 't') { *out = tv; return true; }
+    if (s.size() > pre.size() && s.compare(0, pre.size(), pre) == 0) {
+      auto uu = kItUnits.find(s.substr(pre.size()));
+      if (uu != kItUnits.end() && uu->second >= 1 && uu->second <= 9) {
+        *out = tv + uu->second;
+        return true;
+      }
+    }
+  }
+  return false;
+}
+
+bool parse_it_under_thousand(const std::string& s, long long* out) {
+  if (s.empty()) { *out = 0; return true; }
+  size_t c = s.find("cento");
+  if (c != std::string::npos) {
+    long long pre = 1, rest = 0;
+    if (c > 0) {
+      auto uu = kItUnits.find(s.substr(0, c));
+      if (uu == kItUnits.end() || uu->second < 1 || uu->second > 9) return false;
+      pre = uu->second;
+    }
+    std::string tail = s.substr(c + 5);
+    if (!tail.empty() && !parse_it_under_hundred(tail, &rest)) return false;
+    *out = pre * 100 + rest;
+    return true;
+  }
+  return parse_it_under_hundred(s, out);
+}
+
+bool parse_italian_token(const std::string& s, long long* out) {
+  if (s == "mille") { *out = 1000; return true; }
+  size_t m = s.find("mila");
+  if (m != std::string::npos && m > 0) {
+    long long pre = 0, rest = 0;
+    if (!parse_it_under_thousand(s.substr(0, m), &pre)) return false;
+    std::string tail = s.substr(m + 4);
+    if (!tail.empty() && !parse_it_under_thousand(tail, &rest)) return false;
+    *out = pre * 1000 + rest;
+    return true;
+  }
+  if (s.compare(0, 5, "mille") == 0 && s.size() > 5) {
+    long long rest;
+    if (!parse_it_under_thousand(s.substr(5), &rest)) return false;
+    *out = 1000 + rest;
+    return true;
+  }
+  return parse_it_under_thousand(s, out);
+}
+
+size_t parse_cardinal_it(const std::vector<Token>& toks, size_t i, long long* value) {
+  long long v;
+  if (!parse_italian_token(toks[i].word, &v)) return 0;
+  size_t n = 1;
+  if (i + n < toks.size() && toks[i + n - 1].suffix.empty()) {
+    const std::string& w = toks[i + n].word;
+    long long mag = 0;
+    if (w == "milione" || w == "milioni") mag = 1000000;
+    else if (w == "miliardo" || w == "miliardi") mag = 1000000000LL;
+    if (mag != 0) {
+      v *= mag;
+      ++n;
+      if (i + n < toks.size()) {
+        long long rest;
+        if (parse_italian_token(toks[i + n].word, &rest)) {
+          v += rest;
+          ++n;
+        }
+      }
+    }
+  }
+  *value = v;
+  return n;
+}
+
 // --------------------------------------------------- generic non-en driver
 
 struct LangGrammar {
@@ -472,6 +633,21 @@ const LangGrammar kFrench = {
     "virgule",
     {"moins"}};
 
+const LangGrammar kPortuguese = {
+    parse_cardinal_pt,
+    {{"euro", "€"}, {"euros", "€"}, {"dólar", "$"}, {"dólares", "$"},
+     {"dolar", "$"}, {"dolares", "$"}, {"real", "R$"}, {"reais", "R$"}},
+    {"por", "cento"},
+    "vírgula",
+    {"menos"}};
+
+const LangGrammar kItalian = {
+    parse_cardinal_it,
+    {{"euro", "€"}, {"euri", "€"}, {"dollaro", "$"}, {"dollari", "$"}},
+    {"per", "cento"},
+    "virgola",
+    {"meno"}};
+
 const LangGrammar kSpanish = {
     parse_cardinal_es,
     {{"euro", "€"}, {"euros", "€"}, {"dólar", "$"}, {"dólares", "$"},
@@ -491,6 +667,8 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
     if (code == "de") g = &kGerman;
     else if (code == "fr") g = &kFrench;
     else if (code == "es") g = &kSpanish;
+    else if (code == "pt") g = &kPortuguese;
+    else if (code == "it") g = &kItalian;
     if (g == nullptr) {  // unsupported: identity (graceful degradation)
       char* out = static_cast<char*>(std::malloc(std::strlen(text) + 1));
       if (out) std::strcpy(out, text);
@@ -609,6 +787,7 @@ extern "C" void nemo_normalize_free(char* ptr) { std::free(ptr); }
 extern "C" int nemo_normalize_supports(const char* lang) {
   if (!lang) return 0;
   return (std::strncmp(lang, "en", 2) == 0 || std::strncmp(lang, "de", 2) == 0 ||
-          std::strncmp(lang, "fr", 2) == 0 || std::strncmp(lang, "es", 2) == 0)
+          std::strncmp(lang, "fr", 2) == 0 || std::strncmp(lang, "es", 2) == 0 ||
+          std::strncmp(lang, "pt", 2) == 0 || std::strncmp(lang, "it", 2) == 0)
              ? 1 : 0;
 }

@@ -85,10 +85,10 @@ def test_itn_english(spoken, written):
 
 @needs_native
 def test_itn_passthrough_other_language():
-    # Italian has no grammar yet: identity passthrough, supports() False
-    tn = TextNormalizer("it")
-    assert tn.normalize("ventitré") == "ventitré"
-    assert not tn.supports("it") and tn.supports("en")
+    # Russian has no grammar yet: identity passthrough, supports() False
+    tn = TextNormalizer("ru")
+    assert tn.normalize("двадцать три") == "двадцать три"
+    assert not tn.supports("ru") and tn.supports("en")
     # German grew a grammar (compound decomposition)
     assert tn.supports("de")
     assert tn.normalize("einundzwanzig", "de") == "21"
@@ -128,13 +128,22 @@ class TestItnMultilingual:
         ("es", "quinientos cuarenta por ciento", "540%"),
         ("es", "dos mil veinticinco", "2025"),
         ("es", "menos cinco coma tres", "-5.3"),
+        ("pt", "vinte e três euros", "€23"),
+        ("pt", "dois mil e quinze", "2015"),
+        ("pt", "cinquenta por cento", "50%"),
+        ("it", "ventitré euro", "€23"),
+        ("it", "duecentotrentaquattro", "234"),
+        ("it", "duemilaventicinque", "2025"),
+        ("it", "novantanove per cento", "99%"),
+        ("it", "tre virgola uno quattro", "3.14"),
     ])
     def test_normalize(self, norm, lang, src, want):
         assert norm.normalize(src, lang) == want
 
     def test_supports_reports_new_languages(self, norm):
-        assert norm.supports("de") and norm.supports("fr") and norm.supports("es")
-        assert not norm.supports("it")
+        for lang in ("de", "fr", "es", "pt", "it"):
+            assert norm.supports(lang), lang
+        assert not norm.supports("ru")
 
     def test_unsupported_language_is_identity(self, norm):
-        assert norm.normalize("venti tre", "it") == "venti tre"
+        assert norm.normalize("двадцать три", "ru") == "двадцать три"
