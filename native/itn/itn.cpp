@@ -5,8 +5,9 @@
 // postfix rules (percent, currency, ordinal suffixes). Languages: en (full),
 // de (compound-word decomposition), fr (hyphenated vigesimal forms),
 // es (fused veinti-/hundreds forms), pt ("e" connectives), it (fused
-// compounds with tens elision) — the reference dlopens a Rust NeMo-grammar
-// library with 7 languages (ITN/TextNormalizer.swift:76-133).
+// compounds with tens elision), ru (cased magnitudes) — covering the
+// reference's 7-language Rust NeMo-grammar set (ITN/TextNormalizer.swift:
+// 76-133).
 #include "itn.h"
 
 #include <cctype>
@@ -545,6 +546,66 @@ size_t parse_cardinal_it(const std::vector<Token>& toks, size_t i, long long* va
   return n;
 }
 
+// ----------------------------------------------------------------- Russian
+// Separate words, gendered unit forms, plural-cased magnitudes.
+
+const std::map<std::string, long long> kRuWords = {
+    {"ноль", 0}, {"один", 1}, {"одна", 1}, {"одно", 1}, {"два", 2},
+    {"две", 2}, {"три", 3}, {"четыре", 4}, {"пять", 5}, {"шесть", 6},
+    {"семь", 7}, {"восемь", 8}, {"девять", 9}, {"десять", 10},
+    {"одиннадцать", 11}, {"двенадцать", 12}, {"тринадцать", 13},
+    {"четырнадцать", 14}, {"пятнадцать", 15}, {"шестнадцать", 16},
+    {"семнадцать", 17}, {"восемнадцать", 18}, {"девятнадцать", 19},
+    {"двадцать", 20}, {"тридцать", 30}, {"сорок", 40}, {"пятьдесят", 50},
+    {"шестьдесят", 60}, {"семьдесят", 70}, {"восемьдесят", 80},
+    {"девяносто", 90}, {"сто", 100}, {"двести", 200}, {"триста", 300},
+    {"четыреста", 400}, {"пятьсот", 500}, {"шестьсот", 600},
+    {"семьсот", 700}, {"восемьсот", 800}, {"девятьсот", 900}};
+
+bool ru_is_thousand(const std::string& w) {
+  return w == "тысяча" || w == "тысячи" || w == "тысяч";
+}
+
+bool ru_is_million(const std::string& w) {
+  return w == "миллион" || w == "миллиона" || w == "миллионов";
+}
+
+size_t parse_cardinal_ru(const std::vector<Token>& toks, size_t i, long long* value) {
+  long long total = 0, current = 0;
+  size_t consumed = 0;
+  bool any = false;
+  for (size_t j = i; j < toks.size(); ++j) {
+    const std::string& w = toks[j].word;
+    auto it = kRuWords.find(w);
+    if (it != kRuWords.end()) {
+      long long v = it->second;
+      if (v >= 100) {
+        if (current >= 100) break;
+        current += v;
+      } else if (current % 100 == 0 || (current % 10 == 0 && v < 10)) {
+        current += v;
+      } else {
+        break;
+      }
+      any = true;
+    } else if (ru_is_thousand(w)) {
+      total += (current == 0 ? 1 : current) * 1000;
+      current = 0;
+      any = true;
+    } else if (ru_is_million(w) && any) {
+      total += (current == 0 ? 1 : current) * 1000000;
+      current = 0;
+    } else {
+      break;
+    }
+    consumed = j - i + 1;
+    if (!toks[j].suffix.empty() && toks[j].suffix != ",") break;
+  }
+  if (!any) return 0;
+  *value = total + current;
+  return consumed;
+}
+
 // --------------------------------------------------- generic non-en driver
 
 struct LangGrammar {
@@ -553,6 +614,7 @@ struct LangGrammar {
   std::vector<std::string> percent;  // token sequence, e.g. {"por", "ciento"}
   std::string decimal_word;          // "komma" / "virgule" / "coma"
   std::vector<std::string> negative;
+  std::vector<std::string> percent_alts = {};  // alternate single-word forms
 };
 
 std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar& g) {
@@ -597,6 +659,15 @@ std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar&
           i = j + g.percent.size();
           continue;
         }
+      }
+      bool alt_pct = false;
+      for (const auto& alt : g.percent_alts) {
+        if (j < toks.size() && toks[j].word == alt) { alt_pct = true; break; }
+      }
+      if (alt_pct) {
+        out.push_back(toks[i].prefix + num + "%" + toks[j].suffix);
+        i = j + 1;
+        continue;
       }
       if (j < toks.size() && g.currency.count(toks[j].word)) {
         out.push_back(toks[i].prefix + g.currency.at(toks[j].word) + num +
@@ -648,6 +719,15 @@ const LangGrammar kItalian = {
     "virgola",
     {"meno"}};
 
+const LangGrammar kRussian = {
+    parse_cardinal_ru,
+    {{"рубль", "₽"}, {"рубля", "₽"}, {"рублей", "₽"}, {"доллар", "$"},
+     {"доллара", "$"}, {"долларов", "$"}, {"евро", "€"}},
+    {"процентов"},
+    "запятая",
+    {"минус"},
+    {"процент", "процента"}};
+
 const LangGrammar kSpanish = {
     parse_cardinal_es,
     {{"euro", "€"}, {"euros", "€"}, {"dólar", "$"}, {"dólares", "$"},
@@ -669,6 +749,7 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
     else if (code == "es") g = &kSpanish;
     else if (code == "pt") g = &kPortuguese;
     else if (code == "it") g = &kItalian;
+    else if (code == "ru") g = &kRussian;
     if (g == nullptr) {  // unsupported: identity (graceful degradation)
       char* out = static_cast<char*>(std::malloc(std::strlen(text) + 1));
       if (out) std::strcpy(out, text);
@@ -788,6 +869,7 @@ extern "C" int nemo_normalize_supports(const char* lang) {
   if (!lang) return 0;
   return (std::strncmp(lang, "en", 2) == 0 || std::strncmp(lang, "de", 2) == 0 ||
           std::strncmp(lang, "fr", 2) == 0 || std::strncmp(lang, "es", 2) == 0 ||
-          std::strncmp(lang, "pt", 2) == 0 || std::strncmp(lang, "it", 2) == 0)
+          std::strncmp(lang, "pt", 2) == 0 || std::strncmp(lang, "it", 2) == 0 ||
+          std::strncmp(lang, "ru", 2) == 0)
              ? 1 : 0;
 }

@@ -85,10 +85,10 @@ def test_itn_english(spoken, written):
 
 @needs_native
 def test_itn_passthrough_other_language():
-    # Russian has no grammar yet: identity passthrough, supports() False
-    tn = TextNormalizer("ru")
-    assert tn.normalize("двадцать три") == "двадцать три"
-    assert not tn.supports("ru") and tn.supports("en")
+    # Japanese has no grammar: identity passthrough, supports() False
+    tn = TextNormalizer("ja")
+    assert tn.normalize("にじゅうさん") == "にじゅうさん"
+    assert not tn.supports("ja") and tn.supports("en")
     # German grew a grammar (compound decomposition)
     assert tn.supports("de")
     assert tn.normalize("einundzwanzig", "de") == "21"
@@ -103,7 +103,7 @@ def test_sysinfo_rss():
 
 
 class TestItnMultilingual:
-    """German/French/Spanish number grammars in the C++ engine."""
+    """de/fr/es/pt/it/ru number grammars in the C++ engine."""
 
     @pytest.fixture(scope="class")
     def norm(self):
@@ -136,14 +136,19 @@ class TestItnMultilingual:
         ("it", "duemilaventicinque", "2025"),
         ("it", "novantanove per cento", "99%"),
         ("it", "tre virgola uno quattro", "3.14"),
+        ("ru", "двадцать три рубля", "₽23"),
+        ("ru", "две тысячи двадцать пять", "2025"),
+        ("ru", "пятьдесят процентов", "50%"),
+        ("ru", "двадцать один процент", "21%"),
+        ("ru", "три запятая один четыре", "3.14"),
     ])
     def test_normalize(self, norm, lang, src, want):
         assert norm.normalize(src, lang) == want
 
     def test_supports_reports_new_languages(self, norm):
-        for lang in ("de", "fr", "es", "pt", "it"):
+        for lang in ("de", "fr", "es", "pt", "it", "ru"):
             assert norm.supports(lang), lang
-        assert not norm.supports("ru")
+        assert not norm.supports("ja")
 
     def test_unsupported_language_is_identity(self, norm):
-        assert norm.normalize("двадцать три", "ru") == "двадцать три"
+        assert norm.normalize("にじゅうさん", "ja") == "にじゅうさん"
