@@ -1,41 +1,84 @@
-"""Kokoro-style parallel TTS model stages, TPU-native.
+"""Kokoro-82M parallel TTS, real architecture, TPU-native.
 
-Explicit JAX equivalents of the reference's 7 CoreML stages
-(`KokoroAne/Pipeline/KokoroAneSynthesizer.swift:17-160`): Albert ->
-PostAlbert (duration) -> Alignment -> Prosody (F0/N) -> Noise -> Vocoder ->
-Tail iSTFT, with per-stage fp16/fp32 placement on ANE.
+The reference runs Kokoro as 7 opaque CoreML stages
+(`/root/reference/Sources/FluidAudio/TTS/KokoroAne/Pipeline/KokoroAneSynthesizer.swift:17-160`):
+  Albert -> PostAlbert (duration) -> Alignment -> Prosody (F0/N) -> Noise
+  (harmonic source) -> Vocoder -> Tail iSTFT
+Those stages are cuts through the StyleTTS2-derived Kokoro-82M graph: a
+custom ALBERT phoneme encoder, a style-conditioned duration/prosody predictor
+(DurationEncoder of interleaved BiLSTM+AdaLayerNorm, shared BiLSTM, AdaIN
+residual F0/N heads), a conv+BiLSTM text encoder, and an iSTFTNet decoder
+(AdaIN resblocks + harmonic-plus-noise source + 2-stage transposed-conv
+upsampler + snake resblocks + iSTFT head).
 
-TPU re-design: the 7 stages collapse into TWO jitted programs (SURVEY §7.7):
-  text_program:   (tokens, style) -> (durations, text latents)
-  audio_program:  (latents, frame->token alignment, style) -> 24 kHz samples
-Duration rounding/clamping stays host-side (as in the reference), but frame
-expansion is a device gather over a static max-frames grid. bf16 matmuls,
-f32 iSTFT.
+TPU re-design: the 7 stages collapse into TWO jitted programs (the fp16/fp32
+ANE boundary shuffling dissolves under XLA; SURVEY.md §7.7):
+
+  KokoroTextProgram : (input_ids, lengths, style_s, speed)
+                      -> (duration[B,T], d[B,T,640], t_en[B,T,512])
+                      == Albert + PostAlbert stages
+  KokoroAudioProgram: (d, t_en, frame_idx, n_frames, style_s, style_timbre)
+                      -> audio [B, 600*F]
+                      == Alignment (a device gather over the static frame
+                         grid instead of a one-hot matmul) + Prosody + Noise
+                         + Vocoder + Tail iSTFT
+
+Duration rounding/clamping stays host-side exactly like the reference
+(`KokoroAneSynthesizer.swift:74-86`: round, clamp >= 1, cap at
+maxAcousticFrames=2000). All sequence ops are static-shape over padded
+buckets with explicit length masks (masked BiLSTMs, masked instance norms)
+so padding never contaminates the valid region.
+
+Weight layout matches `convert/kokoro.py`, which maps the upstream
+kokoro-v1_0 torch checkpoint (module prefixes bert/bert_encoder/predictor/
+text_encoder/decoder) onto this tree, folding torch weight_norm g*v/||v||
+into plain kernels.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import math
+from dataclasses import dataclass, field
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fluidaudio_tpu.models.rnn import BiLstm
+
 SAMPLE_RATE = 24_000
 MAX_TOKENS = 512  # reference: <=512 IPA tokens per call w/ auto-chunking
-HOP = 240  # 10 ms @ 24 kHz
-N_FFT = 960
-STYLE_DIM = 256  # style_s 128 + style_timbre 128 (voice pack layout)
+MAX_FRAMES = 2_000  # reference KokoroAneConstants.maxAcousticFrames
+HOP = 600  # samples per acoustic frame: prod(upsample_rates)*istft_hop*2
+STYLE_DIM = 256  # voice-pack row: style_timbre[:128] + style_s[128:]
 
 
 @dataclass(frozen=True)
 class KokoroConfig:
-    vocab_size: int = 178  # IPA token table
-    d_model: int = 512
-    n_albert_layers: int = 6
-    n_heads: int = 8
-    max_frames: int = 1200  # 12 s per chunk at 10 ms hop
+    # text / predictor (kokoro-v1_0 config.json)
+    vocab_size: int = 178
+    d_model: int = 512  # hidden_dim
+    style_dim: int = 128  # each half of the 256-d voice-pack row
+    n_layer: int = 3  # DurationEncoder layers == TextEncoder conv depth
+    max_dur: int = 50
+    text_kernel: int = 5
+    # plbert (custom ALBERT)
+    albert_emb: int = 128
+    albert_hidden: int = 768
+    albert_heads: int = 12
+    albert_inter: int = 2048
+    albert_layers: int = 12
+    albert_max_pos: int = 512
+    # istftnet decoder
+    upsample_rates: tuple[int, ...] = (10, 6)
+    upsample_kernels: tuple[int, ...] = (20, 12)
+    upsample_initial: int = 512
+    resblock_kernels: tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: tuple[tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    gen_n_fft: int = 20
+    gen_hop: int = 5
+    max_frames: int = MAX_FRAMES
     dtype: str = "float32"
 
     @property
@@ -43,133 +86,555 @@ class KokoroConfig:
         return jnp.dtype(self.dtype)
 
 
-class _TransformerBlock(nn.Module):
-    d: int
-    heads: int
-    dtype: jnp.dtype
+# ---------------------------------------------------------------------------
+# shared primitives
+# ---------------------------------------------------------------------------
+
+
+def conv_transpose_1d(x, kernel, stride, pad, out_pad=0, groups=1):
+    """torch-semantics ConvTranspose1d on feature-last [B, T, C] input.
+
+    `kernel` is [k, in/groups, out]. Realized as an input-dilated conv with a
+    time-flipped kernel: identical to torch's
+    out_len = (T-1)*stride - 2*pad + k + out_pad.
+    """
+    k = kernel.shape[0]
+    w = jnp.flip(kernel, axis=0)
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=((k - 1 - pad, k - 1 - pad + out_pad),),
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+
+
+def linear_resize(x, out_len):
+    """F.interpolate(mode='linear', align_corners=False) over axis 1."""
+    in_len = x.shape[1]
+    scale = in_len / out_len
+    pos = (jnp.arange(out_len) + 0.5) * scale - 0.5
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_len - 1)
+    hi = jnp.clip(lo + 1, 0, in_len - 1)
+    frac = jnp.clip(pos - lo, 0.0, 1.0)
+    xl = jnp.take(x, lo, axis=1)
+    xh = jnp.take(x, hi, axis=1)
+    return xl + (xh - xl) * frac.reshape((1, out_len) + (1,) * (x.ndim - 2))
+
+
+def _hann(n):
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n) / n)
+
+
+def stft_20(x, n_fft=20, hop=5):
+    """torch.stft(center=True) at the tiny iSTFT-head size.
+
+    x [B, L] -> (mag, phase) each [B, L//hop + 1, n_fft//2 + 1].
+    """
+    B, L = x.shape
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = L // hop + 1
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = xp[:, idx] * _hann(n_fft)[None, None, :]
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return jnp.abs(spec), jnp.angle(spec)
+
+
+def istft_20(mag, phase, n_fft=20, hop=5):
+    """torch.istft(center=True): [B, F, n_fft//2+1] x2 -> [B, (F-1)*hop]."""
+    B, F, _ = mag.shape
+    spec = mag * jnp.exp(1j * phase)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, F, n_fft]
+    win = _hann(n_fft)
+    frames = frames * win[None, None, :]
+    out_len = (F - 1) * hop + n_fft
+    starts = jnp.arange(F) * hop
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [F, n_fft]
+    flat = idx.reshape(-1)
+    audio = jnp.zeros((B, out_len), mag.dtype).at[:, flat].add(
+        frames.reshape(B, -1)
+    )
+    wsum = jnp.zeros((out_len,), mag.dtype).at[flat].add(
+        jnp.tile(win**2, (F,))
+    )
+    audio = audio / jnp.maximum(wsum, 1e-11)[None, :]
+    pad = n_fft // 2
+    return audio[:, pad : out_len - pad]
+
+
+class AdaLayerNorm(nn.Module):
+    """Style-conditioned LayerNorm over channels (StyleTTS2 AdaLayerNorm).
+
+    x [B, T, C], s [B, style] -> (1+gamma)*LN(x) + beta.
+    """
+
+    channels: int
 
     @nn.compact
-    def __call__(self, x, mask):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.SelfAttention(num_heads=self.heads, dtype=self.dtype)(h, mask=mask)
-        x = x + h
-        f = nn.LayerNorm(dtype=self.dtype)(x)
-        f = nn.Dense(self.d * 4, dtype=self.dtype)(f)
-        f = nn.gelu(f)
-        f = nn.Dense(self.d, dtype=self.dtype)(f)
-        return x + f
+    def __call__(self, x, s):
+        h = nn.Dense(2 * self.channels, name="fc")(s)
+        gamma, beta = jnp.split(h, 2, axis=-1)
+        mean = jnp.mean(x, -1, keepdims=True)
+        var = jnp.var(x, -1, keepdims=True)
+        xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (1 + gamma[:, None, :]) * xn + beta[:, None, :]
+
+
+class AdaIN1d(nn.Module):
+    """Style-conditioned InstanceNorm over time (masked).
+
+    x [B, T, C], s [B, style], mask [B, T, 1] -> (1+gamma)*IN(x) + beta.
+    Instance-norm statistics are computed over valid frames only so the
+    padded static-shape bucket matches the reference's exact-length graphs.
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, s, mask=None):
+        h = nn.Dense(2 * self.channels, name="fc")(s)
+        gamma, beta = jnp.split(h, 2, axis=-1)
+        if mask is None:
+            mean = jnp.mean(x, 1, keepdims=True)
+            var = jnp.var(x, 1, keepdims=True)
+        else:
+            n = jnp.maximum(jnp.sum(mask, 1, keepdims=True), 1.0)
+            mean = jnp.sum(x * mask, 1, keepdims=True) / n
+            var = jnp.sum(((x - mean) * mask) ** 2, 1, keepdims=True) / n
+        xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (1 + gamma[:, None, :]) * xn + beta[:, None, :]
+
+
+class AdainResBlk1d(nn.Module):
+    """StyleTTS2 AdainResBlk1d on [B, T, C] (optionally 2x time upsample).
+
+    residual: AdaIN -> lrelu(0.2) -> [depthwise ConvT x2] -> conv k3
+              -> AdaIN -> lrelu -> conv k3
+    shortcut: [nearest x2] -> conv 1x1 when dim changes; out = sum/sqrt(2).
+    """
+
+    dim_in: int
+    dim_out: int
+    upsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, s, mask=None):
+        def up_mask(m):
+            if m is None:
+                return None
+            return jnp.repeat(m, 2, axis=1)
+
+        h = AdaIN1d(self.dim_in, name="norm1")(x, s, mask)
+        h = nn.leaky_relu(h, 0.2)
+        if self.upsample:
+            pool_k = self.param(
+                "pool_kernel",
+                nn.initializers.lecun_normal(),
+                (3, 1, self.dim_in),
+            )
+            h = conv_transpose_1d(h, pool_k, 2, 1, out_pad=1, groups=self.dim_in)
+            pool_b = self.param("pool_bias", nn.initializers.zeros, (self.dim_in,))
+            h = h + pool_b
+            mask_r = up_mask(mask)
+        else:
+            mask_r = mask
+        h = nn.Conv(self.dim_out, (3,), padding=1, name="conv1")(h)
+        h = AdaIN1d(self.dim_out, name="norm2")(h, s, mask_r)
+        h = nn.leaky_relu(h, 0.2)
+        h = nn.Conv(self.dim_out, (3,), padding=1, name="conv2")(h)
+
+        sc = x
+        if self.upsample:
+            sc = jnp.repeat(sc, 2, axis=1)  # nearest x2
+        if self.dim_in != self.dim_out:
+            sc = nn.Conv(self.dim_out, (1,), use_bias=False, name="conv1x1")(sc)
+        out = (h + sc) / math.sqrt(2.0)
+        if mask_r is not None:
+            out = out * mask_r
+        return out
+
+
+class AdaINResBlock1(nn.Module):
+    """iSTFTNet generator resblock: dilated convs + AdaIN + Snake activation
+    (x + (1/a)*sin^2(a*x)); on [B, T, C]."""
+
+    channels: int
+    kernel: int
+    dilations: tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x, s, mask=None):
+        for i, d in enumerate(self.dilations):
+            a1 = self.param(f"alpha1_{i}", nn.initializers.ones, (1, 1, self.channels))
+            a2 = self.param(f"alpha2_{i}", nn.initializers.ones, (1, 1, self.channels))
+            xt = AdaIN1d(self.channels, name=f"adain1_{i}")(x, s, mask)
+            xt = xt + (1.0 / a1) * jnp.sin(a1 * xt) ** 2
+            pad = (self.kernel * d - d) // 2
+            xt = nn.Conv(
+                self.channels, (self.kernel,), kernel_dilation=(d,),
+                padding=pad, name=f"conv1_{i}",
+            )(xt)
+            xt = AdaIN1d(self.channels, name=f"adain2_{i}")(xt, s, mask)
+            xt = xt + (1.0 / a2) * jnp.sin(a2 * xt) ** 2
+            xt = nn.Conv(self.channels, (self.kernel,), padding=(self.kernel - 1) // 2,
+                         name=f"conv2_{i}")(xt)
+            x = x + xt
+        if mask is not None:
+            x = x * mask
+        return x
+
+
+# ---------------------------------------------------------------------------
+# text side: ALBERT + TextEncoder + DurationEncoder
+# ---------------------------------------------------------------------------
+
+
+class AlbertLayer(nn.Module):
+    hidden: int
+    heads: int
+    inter: int
+
+    @nn.compact
+    def __call__(self, x, bias):
+        B, T, H = x.shape
+        hd = self.hidden // self.heads
+        q = nn.Dense(self.hidden, name="q")(x).reshape(B, T, self.heads, hd)
+        k = nn.Dense(self.hidden, name="k")(x).reshape(B, T, self.heads, hd)
+        v = nn.Dense(self.hidden, name="v")(x).reshape(B, T, self.heads, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, self.hidden)
+        attn = nn.Dense(self.hidden, name="o")(ctx)
+        x = nn.LayerNorm(epsilon=1e-12, name="attn_ln")(x + attn)
+        f = nn.Dense(self.inter, name="ffn_in")(x)
+        f = nn.gelu(f, approximate=True)
+        f = nn.Dense(self.hidden, name="ffn_out")(f)
+        return nn.LayerNorm(epsilon=1e-12, name="out_ln")(x + f)
+
+
+class Albert(nn.Module):
+    """Custom ALBERT phoneme encoder: one parameter-shared layer applied
+    `albert_layers` times. (ids, lengths) -> last hidden [B, T, 768]."""
+
+    cfg: KokoroConfig
+
+    @nn.compact
+    def __call__(self, ids, lengths):
+        cfg = self.cfg
+        B, T = ids.shape
+        we = nn.Embed(cfg.vocab_size, cfg.albert_emb, name="word_emb")(ids)
+        pe = nn.Embed(cfg.albert_max_pos, cfg.albert_emb, name="pos_emb")(
+            jnp.arange(T)
+        )
+        te = nn.Embed(2, cfg.albert_emb, name="type_emb")(jnp.zeros_like(ids))
+        x = nn.LayerNorm(epsilon=1e-12, name="emb_ln")(we + pe[None] + te)
+        x = nn.Dense(cfg.albert_hidden, name="map_in")(x)
+        valid = jnp.arange(T)[None, :] < lengths[:, None]
+        bias = jnp.where(valid, 0.0, -1e9)[:, None, None, :]  # [B,1,1,T]
+        layer = AlbertLayer(
+            cfg.albert_hidden, cfg.albert_heads, cfg.albert_inter, name="layer"
+        )
+        for _ in range(cfg.albert_layers):
+            x = layer(x, bias)
+        return x
+
+
+class TextEncoder(nn.Module):
+    """Kokoro TextEncoder: embed -> depth x (conv k5 + LN + lrelu) -> BiLSTM.
+    (ids, lengths) -> t_en [B, T, 512]."""
+
+    cfg: KokoroConfig
+
+    @nn.compact
+    def __call__(self, ids, lengths):
+        cfg = self.cfg
+        B, T = ids.shape
+        mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+        x = nn.Embed(cfg.vocab_size, cfg.d_model, name="embed")(ids)
+        for i in range(cfg.n_layer):
+            x = x * mask
+            x = nn.Conv(cfg.d_model, (cfg.text_kernel,),
+                        padding=cfg.text_kernel // 2, name=f"conv_{i}")(x)
+            x = nn.LayerNorm(name=f"ln_{i}")(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = x * mask
+        x = BiLstm(cfg.d_model // 2, name="lstm")(x, lengths)
+        return x * mask
+
+
+class DurationEncoder(nn.Module):
+    """StyleTTS2 DurationEncoder: n_layer x (BiLSTM(d+sty -> d) then
+    AdaLayerNorm(d) + re-append style). (d_en, s, lengths) -> d [B,T,640]."""
+
+    cfg: KokoroConfig
+
+    @nn.compact
+    def __call__(self, d_en, s, lengths):
+        cfg = self.cfg
+        B, T, _ = d_en.shape
+        mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+        sb = jnp.broadcast_to(s[:, None, :], (B, T, cfg.style_dim))
+        x = jnp.concatenate([d_en, sb], axis=-1) * mask
+        for i in range(cfg.n_layer):
+            x = BiLstm(cfg.d_model // 2, name=f"lstm_{i}")(x, lengths)
+            x = AdaLayerNorm(cfg.d_model, name=f"adaln_{i}")(x, s)
+            x = jnp.concatenate([x, sb], axis=-1) * mask
+        return x
 
 
 class KokoroTextProgram(nn.Module):
-    """Albert + PostAlbert + Prosody-text: (tokens [B,N], style [B,256],
-    lengths [B]) -> (log_durations [B,N], latents [B,N,D])."""
+    """Albert + PostAlbert stages as one jitted program.
 
-    cfg: KokoroConfig = KokoroConfig()
+    (input_ids [B,T], lengths [B], style_s [B,128], speed []) ->
+      duration [B,T] (sigmoid-summed, speed-divided; host rounds/clamps),
+      d    [B,T,640] (DurationEncoder output),
+      t_en [B,T,512] (TextEncoder output).
+    Ref: `KokoroAneSynthesizer.swift:46-90` (albert/postAlbert stage I/O).
+    """
+
+    cfg: KokoroConfig = field(default_factory=KokoroConfig)
 
     @nn.compact
-    def __call__(self, tokens, style, lengths):
+    def __call__(self, ids, lengths, style_s, speed=1.0):
         cfg = self.cfg
-        dt = cfg.compute_dtype
-        B, N = tokens.shape
-        emb = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=dt, name="embed")(tokens)
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (MAX_TOKENS, cfg.d_model), jnp.float32
-        )
-        x = emb + pos[:N][None].astype(dt)
-        valid = jnp.arange(N)[None, :] < lengths[:, None]
-        att_mask = valid[:, None, None, :] & valid[:, None, :, None]
-        for i in range(cfg.n_albert_layers):
-            x = _TransformerBlock(cfg.d_model, cfg.n_heads, dt, name=f"albert{i}")(x, att_mask)
+        bert_dur = Albert(cfg, name="albert")(ids, lengths)
+        d_en = nn.Dense(cfg.d_model, name="bert_encoder")(bert_dur)
+        d = DurationEncoder(cfg, name="dur_encoder")(d_en, style_s, lengths)
+        x = BiLstm(cfg.d_model // 2, name="pred_lstm")(d, lengths)
+        dur = nn.Dense(cfg.max_dur, name="duration_proj")(x)
+        duration = jnp.sum(jax.nn.sigmoid(dur), axis=-1) / speed
+        t_en = TextEncoder(cfg, name="text_encoder")(ids, lengths)
+        return duration, d, t_en
 
-        s = nn.Dense(cfg.d_model, dtype=dt, name="style_proj")(style)[:, None, :]
-        xs = jnp.concatenate([x, jnp.broadcast_to(s, x.shape)], axis=-1)
-        dur_h = nn.Dense(cfg.d_model, dtype=dt, name="dur_fc1")(xs)
-        dur_h = nn.relu(dur_h)
-        log_dur = nn.Dense(1, dtype=dt, name="dur_fc2")(dur_h)[..., 0]
-        latents = nn.Dense(cfg.d_model, dtype=dt, name="latent_proj")(xs)
-        return log_dur.astype(jnp.float32), latents.astype(jnp.float32)
+
+# ---------------------------------------------------------------------------
+# audio side: alignment gather + prosody + iSTFTNet decoder
+# ---------------------------------------------------------------------------
+
+
+class Prosody(nn.Module):
+    """F0Ntrain: shared BiLSTM then 3 AdaIN resblocks (2x upsample in the
+    middle one) + 1x1 proj, for each of F0 and N.
+    (en [B,F,640], s, n_frames) -> (F0 [B,2F], N [B,2F])."""
+
+    cfg: KokoroConfig
+
+    @nn.compact
+    def __call__(self, en, s, n_frames):
+        cfg = self.cfg
+        d = cfg.d_model
+        B, F, _ = en.shape
+        mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(en.dtype)
+        x = BiLstm(d // 2, name="shared")(en, n_frames)
+
+        outs = []
+        for head in ("f0", "n"):
+            h = AdainResBlk1d(d, d, name=f"{head}_0")(x, s, mask)
+            h = AdainResBlk1d(d, d // 2, upsample=True, name=f"{head}_1")(h, s, mask)
+            mask2 = jnp.repeat(mask, 2, axis=1)
+            h = AdainResBlk1d(d // 2, d // 2, name=f"{head}_2")(h, s, mask2)
+            h = nn.Conv(1, (1,), name=f"{head}_proj")(h)
+            outs.append(h[..., 0] * mask2[..., 0])
+        return outs[0], outs[1]
+
+
+class SourceModule(nn.Module):
+    """SourceModuleHnNSF: harmonic sine source from the (sample-rate) F0
+    track. f0_up [B, L] -> harmonic source [B, L].
+
+    Matches istftnet SineGen: per-harmonic instantaneous frequency, random
+    initial phase per harmonic (except the fundamental), frame-rate cumsum
+    re-upsampled linearly, tanh(linear(sines)). `deterministic=True` zeroes
+    the random phase and additive noise (for equivalence tests).
+    """
+
+    cfg: KokoroConfig
+    harmonic_num: int = 8
+    sine_amp: float = 0.1
+    noise_std: float = 0.003
+    voiced_threshold: float = 10.0
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, f0_up):
+        cfg = self.cfg
+        B, L = f0_up.shape
+        upscale = int(np.prod(cfg.upsample_rates)) * cfg.gen_hop  # 300
+        n_h = self.harmonic_num + 1
+        fn = f0_up[..., None] * jnp.arange(1, n_h + 1)[None, None, :]
+        rad = (fn / SAMPLE_RATE) % 1.0
+        if not self.deterministic:
+            key = self.make_rng("noise")
+            k1, k2 = jax.random.split(key)
+            rand_ini = jax.random.uniform(k1, (B, n_h)).at[:, 0].set(0.0)
+            rad = rad.at[:, 0, :].add(rand_ini)
+        else:
+            k2 = None
+        # downsample instantaneous freq to frame rate, accumulate phase,
+        # re-upsample (linear, x upscale)
+        rad_f = linear_resize(rad, L // upscale)
+        phase = jnp.cumsum(rad_f, axis=1) * 2.0 * jnp.pi
+        phase = linear_resize(phase * upscale, L)
+        sines = jnp.sin(phase) * self.sine_amp
+        uv = (f0_up > self.voiced_threshold).astype(f0_up.dtype)[..., None]
+        if self.deterministic:
+            sine_waves = sines * uv
+        else:
+            noise_amp = uv * self.noise_std + (1 - uv) * self.sine_amp / 3
+            noise = noise_amp * jax.random.normal(k2, sines.shape)
+            sine_waves = sines * uv + noise
+        merged = jnp.tanh(nn.Dense(1, name="l_linear")(sine_waves))
+        return merged[..., 0]
+
+
+class Generator(nn.Module):
+    """iSTFTNet generator: 2-stage transposed-conv upsampling with
+    harmonic-source injection (STFT-domain noise convs + AdaIN snake
+    resblocks), snake resblocks per stage, conv_post -> (log-mag, phase)
+    -> iSTFT. (x [B,2F,512], s_timbre, f0_curve [B,2F]) -> audio [B,600F]."""
+
+    cfg: KokoroConfig
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, x, s, f0_curve):
+        cfg = self.cfg
+        rates = cfg.upsample_rates
+        n_up = len(rates)
+        upscale = int(np.prod(rates)) * cfg.gen_hop
+
+        # harmonic source at sample rate -> STFT-domain [B, frames, n_fft+2]
+        f0_up = jnp.repeat(f0_curve, upscale, axis=1)  # nearest x300
+        har = SourceModule(cfg, deterministic=self.deterministic, name="m_source")(
+            f0_up
+        )
+        mag, ph = stft_20(har, cfg.gen_n_fft, cfg.gen_hop)
+        har_spec = jnp.concatenate([mag, ph], axis=-1)  # [B, 120F+1, 22]
+
+        ch = cfg.upsample_initial
+        for i, (r, k) in enumerate(zip(rates, cfg.upsample_kernels)):
+            c_cur = cfg.upsample_initial // (2 ** (i + 1))
+            x = nn.leaky_relu(x, 0.1)
+            if i + 1 < n_up:
+                stride_f0 = int(np.prod(rates[i + 1 :]))
+                xs = nn.Conv(
+                    c_cur, (stride_f0 * 2,), strides=(stride_f0,),
+                    padding=(stride_f0 + 1) // 2, name=f"noise_conv_{i}",
+                )(har_spec)
+                xs = AdaINResBlock1(c_cur, 7, (1, 3, 5), name=f"noise_res_{i}")(xs, s)
+            else:
+                xs = nn.Conv(c_cur, (1,), name=f"noise_conv_{i}")(har_spec)
+                xs = AdaINResBlock1(c_cur, 11, (1, 3, 5), name=f"noise_res_{i}")(xs, s)
+            up_k = self.param(
+                f"up_kernel_{i}", nn.initializers.lecun_normal(), (k, ch, c_cur)
+            )
+            up_b = self.param(f"up_bias_{i}", nn.initializers.zeros, (c_cur,))
+            x = conv_transpose_1d(x, up_k, r, (k - r) // 2) + up_b
+            if i == n_up - 1:
+                # reflection_pad (1, 0): prepend a mirror frame
+                x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
+            x = x + xs
+            acc = 0.0
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernels, cfg.resblock_dilations)
+            ):
+                acc = acc + AdaINResBlock1(
+                    c_cur, rk, tuple(rd), name=f"resblock_{i}_{j}"
+                )(x, s)
+            x = acc / len(cfg.resblock_kernels)
+            ch = c_cur
+
+        x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(cfg.gen_n_fft + 2, (7,), padding=3, name="conv_post")(x)
+        n_bins = cfg.gen_n_fft // 2 + 1
+        spec = jnp.exp(x[..., :n_bins])
+        phase = jnp.sin(x[..., n_bins:])
+        return istft_20(spec, phase, cfg.gen_n_fft, cfg.gen_hop)
+
+
+class Decoder(nn.Module):
+    """iSTFTNet Decoder wrapper: F0/N stride-2 convs, encode block, 3+1
+    AdaIN decode blocks with (asr_res,F0,N) re-injection, then Generator.
+    (asr [B,F,512], F0_curve [B,2F], N [B,2F], s_timbre) -> audio."""
+
+    cfg: KokoroConfig
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, asr, f0_curve, n_curve, s, n_frames):
+        cfg = self.cfg
+        B, F, _ = asr.shape
+        mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(asr.dtype)
+
+        f0 = nn.Conv(1, (3,), strides=(2,), padding=1, name="f0_conv")(
+            f0_curve[..., None]
+        )
+        nn_ = nn.Conv(1, (3,), strides=(2,), padding=1, name="n_conv")(
+            n_curve[..., None]
+        )
+        x = jnp.concatenate([asr, f0, nn_], axis=-1) * mask
+        x = AdainResBlk1d(cfg.d_model + 2, 1024, name="encode")(x, s, mask)
+        asr_res = nn.Conv(64, (1,), name="asr_res")(asr)
+
+        blocks = [
+            AdainResBlk1d(1024 + 2 + 64, 1024, name="decode_0"),
+            AdainResBlk1d(1024 + 2 + 64, 1024, name="decode_1"),
+            AdainResBlk1d(1024 + 2 + 64, 1024, name="decode_2"),
+            AdainResBlk1d(1024 + 2 + 64, cfg.upsample_initial, upsample=True,
+                          name="decode_3"),
+        ]
+        for blk in blocks:
+            x = jnp.concatenate([x, asr_res, f0, nn_], axis=-1)
+            x = blk(x, s, mask)
+        return Generator(cfg, deterministic=self.deterministic, name="generator")(
+            x, s, f0_curve
+        )
 
 
 class KokoroAudioProgram(nn.Module):
-    """Prosody + Noise + Vocoder + iSTFT:
-    (latents [B,N,D], frame_tokens [B,F] int, style [B,256], n_frames [B]) ->
-    audio [B, F*HOP] f32."""
+    """Alignment + Prosody + Noise + Vocoder + Tail stages as one program.
 
-    cfg: KokoroConfig = KokoroConfig()
+    (d [B,T,640], t_en [B,T,512], frame_idx [B,F] (token per frame),
+     n_frames [B], style_s [B,128], style_timbre [B,128]) -> audio [B, 600*F].
+    The reference's one-hot alignment matmul (`KokoroAneSynthesizer.swift:
+    92-101` Alignment stage) becomes a gather over the padded frame grid.
+    """
+
+    cfg: KokoroConfig = field(default_factory=KokoroConfig)
+    deterministic: bool = False
 
     @nn.compact
-    def __call__(self, latents, frame_tokens, style, n_frames):
-        cfg = self.cfg
-        dt = cfg.compute_dtype
-        B, F = frame_tokens.shape
-        # alignment: gather token latents per frame
-        frames = jnp.take_along_axis(
-            latents, frame_tokens[..., None], axis=1
-        )  # [B, F, D]
-        s = nn.Dense(cfg.d_model, dtype=dt, name="style_proj")(style)[:, None, :]
-        x = frames.astype(dt) + s
-
-        # prosody predictor (F0 / noise amplitude per frame)
-        p = nn.Conv(cfg.d_model, (5,), padding="SAME", dtype=dt, name="pros_conv1")(x)
-        p = nn.silu(p)
-        p = nn.Conv(cfg.d_model, (5,), padding="SAME", dtype=dt, name="pros_conv2")(p)
-        f0 = nn.Dense(1, dtype=dt, name="f0_head")(p)[..., 0]  # [B, F]
-        noise_amp = jax.nn.softplus(nn.Dense(1, dtype=dt, name="noise_head")(p)[..., 0])
-
-        # harmonic source: phase accumulation of predicted F0 (f32 on VPU)
-        f0_hz = 80.0 + 400.0 * jax.nn.sigmoid(f0.astype(jnp.float32))
-        f0_samples = jnp.repeat(f0_hz, HOP, axis=1)  # [B, F*HOP]
-        phase = jnp.cumsum(2.0 * np.pi * f0_samples / SAMPLE_RATE, axis=1)
-        harmonic = jnp.sin(phase)
-
-        # vocoder trunk -> STFT magnitude + phase residual
-        v = nn.Conv(cfg.d_model, (5,), padding="SAME", dtype=dt, name="voc_conv1")(x)
-        v = nn.silu(v)
-        v = nn.Conv(cfg.d_model, (5,), padding="SAME", dtype=dt, name="voc_conv2")(v)
-        v = nn.silu(v)
-        n_bins = N_FFT // 2 + 1
-        mag = jax.nn.softplus(nn.Dense(n_bins, dtype=dt, name="mag_head")(v))
-        phs = nn.Dense(n_bins, dtype=dt, name="phase_head")(v)
-
-        # tail iSTFT (f32): overlap-add of mag * exp(i phase)
-        spec = mag.astype(jnp.float32) * jnp.exp(1j * phs.astype(jnp.float32))
-        frames_t = jnp.fft.irfft(spec, n=N_FFT, axis=-1)  # [B, F, N_FFT]
-        window = jnp.asarray(np.hanning(N_FFT).astype(np.float32))
-        frames_t = frames_t * window[None, None, :]
-        audio = _overlap_add(frames_t, HOP)  # [B, F*HOP + N_FFT]
-        audio = audio[:, N_FFT // 2 : N_FFT // 2 + F * HOP]
-
-        # mix in the harmonic source + noise, mask invalid frames
-        noise_gate = jnp.repeat(noise_amp.astype(jnp.float32), HOP, axis=1)
-        audio = audio + 0.05 * harmonic * noise_gate
-        sample_valid = (
-            jnp.arange(F * HOP)[None, :] < (n_frames * HOP)[:, None]
+    def __call__(self, d, t_en, frame_idx, n_frames, style_s, style_timbre):
+        B, F = frame_idx.shape
+        mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(d.dtype)
+        en = jnp.take_along_axis(d, frame_idx[..., None], axis=1) * mask
+        asr = jnp.take_along_axis(t_en, frame_idx[..., None], axis=1) * mask
+        f0, n_ = Prosody(self.cfg, name="prosody")(en, style_s, n_frames)
+        return Decoder(self.cfg, deterministic=self.deterministic, name="decoder")(
+            asr, f0, n_, style_timbre, n_frames
         )
-        return jnp.where(sample_valid, jnp.tanh(audio), 0.0)
 
 
-def _overlap_add(frames: jax.Array, hop: int) -> jax.Array:
-    """[B, F, W] -> [B, F*hop + W] via scatter-add."""
-    B, F, W = frames.shape
-    out_len = F * hop + W
-    idx = (jnp.arange(F)[:, None] * hop + jnp.arange(W)[None, :]).reshape(-1)
-    flat = frames.reshape(B, F * W)
-    return jax.vmap(lambda row: jnp.zeros(out_len).at[idx].add(row))(flat)
+# ---------------------------------------------------------------------------
+# host-side helpers
+# ---------------------------------------------------------------------------
 
 
 def expand_durations(durations: np.ndarray, max_frames: int) -> tuple[np.ndarray, int]:
-    """Host-side frame expansion (reference rounds/clamps host-side too):
-    per-token integer durations -> frame->token index map [max_frames]."""
-    durs = np.maximum(1, np.round(durations).astype(np.int64))
-    total = int(durs.sum())
+    """Round/clamp durations and expand to a per-frame token-index map.
+
+    Mirrors `KokoroAneSynthesizer.swift:74-86`: round, clamp >= 1, cap total
+    at max_frames. Returns (frame_idx [max_frames], total_frames).
+    """
+    pred = np.maximum(np.rint(durations).astype(np.int64), 1)
+    total = int(pred.sum())
     if total > max_frames:
-        # proportionally shrink to fit the static grid
-        durs = np.maximum(1, (durs * max_frames / total).astype(np.int64))
-        total = int(durs.sum())
-    frame_tokens = np.zeros(max_frames, np.int32)
-    pos = 0
-    for tok_idx, d in enumerate(durs):
-        frame_tokens[pos : pos + d] = tok_idx
-        pos += d
-    frame_tokens[pos:] = max(0, len(durs) - 1)
-    return frame_tokens, total
+        scale = max_frames / total
+        pred = np.maximum((pred * scale).astype(np.int64), 1)
+        total = int(min(pred.sum(), max_frames))
+    idx = np.zeros(max_frames, np.int32)
+    idx[:total] = np.repeat(np.arange(len(pred), dtype=np.int32), pred)[:total]
+    return idx, total

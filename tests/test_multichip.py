@@ -22,33 +22,36 @@ def test_mesh_and_param_sharding():
 
 
 def test_dryrun_multichip_entrypoint():
-    """Run the driver contract exactly as the driver does: its own process.
+    """Driver-env contract: dryrun_multichip must self-provision the mesh.
 
-    Skipped inside a full suite run by default: on this 1-core host the
-    parent pytest process's live XLA:CPU thread pools starve the child, and
-    the 8-way collective rendezvous overruns (observed: abort at the default
-    40 s termination timeout, or a 500 s stall with it raised). Standalone
-    the dryrun finishes in ~20 s and that is how the driver invokes it;
-    scripts/test.sh runs it right after the suite. Set
-    FLUID_DRYRUN_IN_SUITE=1 to force it inside pytest."""
+    The round-1 driver failure (MULTICHIP_r01.json ok:false) was a process
+    with ONE visible device calling dryrun_multichip(8) directly — nothing
+    had set --xla_force_host_platform_device_count. Reproduce exactly that:
+    a child with JAX_PLATFORMS=cpu and no device-count flag (1 CPU device),
+    which must detect the shortfall and re-exec its own virtual-mesh child.
+    """
     import os
     import subprocess
     import sys
     from pathlib import Path
 
-    if os.environ.get("FLUID_DRYRUN_IN_SUITE") != "1":
-        pytest.skip("runs standalone via scripts/test.sh (1-core starvation)")
-
     repo = Path(__file__).resolve().parent.parent
     env = dict(os.environ)
-    env.update({
-        "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
-        "PALLAS_AXON_POOL_IPS": "",
-    })
+    env.pop("_FLUID_DRYRUN_CHILD", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
     r = subprocess.run(
-        [sys.executable, str(repo / "__graft_entry__.py")],
-        capture_output=True, text=True, cwd=repo, env=env, timeout=500,
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=580,
     )
     assert r.returncode == 0, f"dryrun failed:\n{r.stderr[-2000:]}"
     assert "OK" in r.stdout, r.stdout
