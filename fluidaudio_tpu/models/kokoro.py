@@ -71,6 +71,8 @@ class KokoroConfig:
     albert_layers: int = 12
     albert_max_pos: int = 512
     # istftnet decoder
+    decoder_hidden: int = 1024
+    asr_res_ch: int = 64
     upsample_rates: tuple[int, ...] = (10, 6)
     upsample_kernels: tuple[int, ...] = (20, 12)
     upsample_initial: int = 512
@@ -575,15 +577,16 @@ class Decoder(nn.Module):
         nn_ = nn.Conv(1, (3,), strides=(2,), padding=1, name="n_conv")(
             n_curve[..., None]
         )
+        dh, rc = cfg.decoder_hidden, cfg.asr_res_ch
         x = jnp.concatenate([asr, f0, nn_], axis=-1) * mask
-        x = AdainResBlk1d(cfg.d_model + 2, 1024, name="encode")(x, s, mask)
-        asr_res = nn.Conv(64, (1,), name="asr_res")(asr)
+        x = AdainResBlk1d(cfg.d_model + 2, dh, name="encode")(x, s, mask)
+        asr_res = nn.Conv(rc, (1,), name="asr_res")(asr)
 
         blocks = [
-            AdainResBlk1d(1024 + 2 + 64, 1024, name="decode_0"),
-            AdainResBlk1d(1024 + 2 + 64, 1024, name="decode_1"),
-            AdainResBlk1d(1024 + 2 + 64, 1024, name="decode_2"),
-            AdainResBlk1d(1024 + 2 + 64, cfg.upsample_initial, upsample=True,
+            AdainResBlk1d(dh + 2 + rc, dh, name="decode_0"),
+            AdainResBlk1d(dh + 2 + rc, dh, name="decode_1"),
+            AdainResBlk1d(dh + 2 + rc, dh, name="decode_2"),
+            AdainResBlk1d(dh + 2 + rc, cfg.upsample_initial, upsample=True,
                           name="decode_3"),
         ]
         for blk in blocks:

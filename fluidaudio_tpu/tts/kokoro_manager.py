@@ -1,11 +1,14 @@
-"""KokoroManager: parallel TTS public API.
+"""KokoroManager: parallel TTS public API over the real Kokoro-82M graph.
 
 Behavioral parity: reference `KokoroAne/KokoroAneManager.swift:1-110` +
 `Pipeline/KokoroAneSynthesizer.swift:17-160`: text -> phonemizer -> vocab
-encode -> voice-pack style slice (by token count) -> staged synthesis ->
-24 kHz WAV; <=512 IPA tokens per call with auto-chunking; per-stage timings
-(`KokoroAneStageTimings`). The 7 device stages collapse into 2 jitted
-programs; duration rounding stays host-side like the reference.
+encode (178-symbol StyleTTS2 IPA table, ids wrapped [0, *ids, 0]) ->
+voice-pack style row by token count (style_timbre = ref[:128] feeds the
+decoder/vocoder stages, style_s = ref[128:] the duration/prosody stages,
+matching the reference VoicePack slices) -> staged synthesis -> 24 kHz WAV;
+<=512 IPA tokens per call with auto-chunking; per-stage timings
+(`KokoroAneStageTimings`). The reference's 7 CoreML stages collapse into 2
+jitted programs; duration rounding stays host-side like the reference.
 """
 
 from __future__ import annotations
@@ -37,12 +40,18 @@ from fluidaudio_tpu.utils.logging import get_logger
 
 logger = get_logger("tts.kokoro")
 
-# IPA character vocabulary (index 0 = pad)
-_IPA_CHARS = (
-    " abcdefghijklmnopqrstuvwxyz"
-    "ɑæʌɔəɛɝɪʊʉθðʃʒŋɹɾdʒtʃeɪaʊoʊɔɪˈˌː"
-    ".,!?;:'- "
+# StyleTTS2/Kokoro 178-symbol table: pad + punctuation + letters + IPA.
+_PAD = "$"
+_PUNCT = ';:,.!?¡¿—…"«»“” '
+_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_LETTERS_IPA = (
+    "ɑɐɒæɓʙβɔɕçɗɖðʤəɘɚɛɜɝɞɟʄɡɠɢʛɦɧħɥʜɨɪʝɭɬɫɮʟɱɯɰŋɳɲɴøɵɸθœɶʘɹɺɾɻʀʁɽʂʃʈʧʉʊʋⱱʌɣɤʍχʎʏʑʐʒʔʡʕʢǀǁǂǃˈˌːˑʼʴʰʱʲʷˠˤ˞↓↑→↗↘'̩'ᵻ"
 )
+SYMBOLS = [_PAD] + list(_PUNCT) + list(_LETTERS) + list(_LETTERS_IPA)
+VOCAB = {s: i for i, s in enumerate(SYMBOLS)}
+
+# voice packs index style rows by phoneme count: ref_s = pack[len(ps) - 1]
+VOICE_PACK_ROWS = 510
 
 
 @dataclass
@@ -71,48 +80,56 @@ class KokoroManager:
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
         speed: float = 1.0,
+        config: KokoroConfig | None = None,
     ):
-        self.cfg = KokoroConfig()
+        self.cfg = config or KokoroConfig()
         self.speed = speed
         self.text_program = KokoroTextProgram(self.cfg)
         self.audio_program = KokoroAudioProgram(self.cfg)
         self.g2p = EnglishG2P()
         self.post = AudioPostProcessor(SAMPLE_RATE)
-        self._vocab = {c: i + 1 for i, c in enumerate(dict.fromkeys(_IPA_CHARS))}
 
-        k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))
-        tokens = jnp.zeros((1, MAX_TOKENS), jnp.int32)
-        style = jnp.zeros((1, STYLE_DIM), jnp.float32)
-        lengths = jnp.array([MAX_TOKENS], jnp.int32)
+        cfg = self.cfg
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        lengths = jnp.array([8], jnp.int32)
+        s128 = jnp.zeros((1, cfg.style_dim), jnp.float32)
         self.params = {
-            "text": jax.jit(self.text_program.init)(k1, tokens, style, lengths),
+            "text": jax.jit(self.text_program.init)(k1, ids, lengths, s128),
             "audio": jax.jit(self.audio_program.init)(
-                k2,
-                jnp.zeros((1, MAX_TOKENS, self.cfg.d_model), jnp.float32),
-                jnp.zeros((1, self.cfg.max_frames), jnp.int32),
-                style,
-                jnp.array([self.cfg.max_frames], jnp.int32),
+                {"params": k2, "noise": k3},
+                jnp.zeros((1, 8, cfg.d_model + cfg.style_dim), jnp.float32),
+                jnp.zeros((1, 8, cfg.d_model), jnp.float32),
+                jnp.zeros((1, 16), jnp.int32),
+                jnp.array([16], jnp.int32),
+                s128,
+                s128,
             ),
         }
         base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.KOKORO_ANE)
+        self.has_real_weights = False
         for part in ("text", "audio"):
             f = base / f"{part}.npz"
             if f.exists():
                 self.params[part] = load_params(f, self.params[part])
+                self.has_real_weights = True
         self.voices = self._load_voices(base)
+        self._noise_key = jax.random.PRNGKey(rng_seed + 1)
         self._text_fn = jax.jit(self.text_program.apply)
-        self._audio_fn = jax.jit(self.audio_program.apply)
+        self._audio_fn = jax.jit(
+            lambda p, *a, key: self.audio_program.apply(p, *a, rngs={"noise": key})
+        )
 
     def _load_voices(self, base: Path) -> dict[str, np.ndarray]:
-        """Voice packs: [MAX_TOKENS, 256] style rows sliced by token count
-        (reference VoicePack)."""
+        """Voice packs: [510, 256] style rows indexed by phoneme count
+        (reference VoicePack; upstream packs are [510, 1, 256])."""
         f = base / "voices.npz"
         if f.exists():
             data = np.load(f)
-            return {k: data[k] for k in data.files}
+            return {k: data[k].reshape(-1, STYLE_DIM) for k in data.files}
         rng = np.random.RandomState(7)
         return {
-            name: rng.randn(MAX_TOKENS, STYLE_DIM).astype(np.float32) * 0.1
+            name: rng.randn(VOICE_PACK_ROWS, STYLE_DIM).astype(np.float32) * 0.1
             for name in ("af_heart", "af_bella", "am_adam")
         }
 
@@ -121,7 +138,8 @@ class KokoroManager:
         return sorted(self.voices)
 
     def encode_phonemes(self, phonemes: str) -> list[int]:
-        return [self._vocab.get(c, 0) for c in phonemes][: MAX_TOKENS - 2]
+        ids = [VOCAB[c] for c in phonemes if c in VOCAB]
+        return ids[: MAX_TOKENS - 2]
 
     def synthesize(self, text: str, voice: str = "af_heart") -> KokoroSynthesisResult:
         timings = KokoroStageTimings()
@@ -155,39 +173,64 @@ class KokoroManager:
             chunks.append(cur)
         return chunks
 
+    # static shape buckets: token count and frame count round up to these so
+    # repeated calls reuse compiled programs (the jit cache plays the role of
+    # the reference's enumerated CoreML shapes)
+    _TOKEN_BUCKETS = (64, 128, 256, MAX_TOKENS)
+
+    def _bucket(self, n: int, buckets) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
     def _synthesize_chunk(
         self, phonemes: str, voice: str, timings: KokoroStageTimings
     ) -> np.ndarray:
         ids = self.encode_phonemes(phonemes)
-        n = len(ids)
-        if n == 0:
+        if not ids:
             return np.zeros(0, np.float32)
-        tokens = np.zeros((1, MAX_TOKENS), np.int32)
-        tokens[0, :n] = ids
         pack = self.voices.get(voice)
         if pack is None:
             raise KeyError(f"unknown voice {voice!r}; available: {self.available_voices}")
-        style = pack[min(n, pack.shape[0] - 1)][None, :]  # style row by token count
+        ref_s = pack[min(len(ids) - 1, pack.shape[0] - 1)]
+        half = ref_s.shape[0] // 2  # [timbre | prosody] halves (ref VoicePack)
+        sd = self.cfg.style_dim
+        style_timbre = jnp.asarray(ref_s[None, :sd].astype(np.float32))
+        style_s = jnp.asarray(ref_s[None, half : half + sd].astype(np.float32))
+
+        wrapped = [0, *ids, 0]  # kokoro pads both ends with symbol 0 ('$')
+        n = len(wrapped)
+        bt = self._bucket(n, self._TOKEN_BUCKETS)
+        tokens = np.zeros((1, bt), np.int32)
+        tokens[0, :n] = wrapped
 
         t0 = time.perf_counter()
-        log_dur, latents = self._text_fn(
+        duration, d, t_en = self._text_fn(
             self.params["text"],
             jnp.asarray(tokens),
-            jnp.asarray(style),
             jnp.asarray([n], jnp.int32),
+            style_s,
+            jnp.float32(self.speed),
         )
-        durations = np.exp(np.asarray(log_dur[0][:n])) / self.speed
+        duration = np.asarray(duration[0][:n])
         timings.text_seconds += time.perf_counter() - t0
 
-        frame_tokens, total_frames = expand_durations(durations, self.cfg.max_frames)
-
+        max_f = self.cfg.max_frames
+        frame_idx, total_frames = expand_durations(duration, max_f)
+        bf = self._bucket(
+            total_frames, tuple(max_f // 8 * k for k in (1, 2, 4, 8))
+        )
         t0 = time.perf_counter()
         audio = self._audio_fn(
             self.params["audio"],
-            latents,
-            jnp.asarray(frame_tokens)[None, :],
-            jnp.asarray(style),
+            d,
+            t_en,
+            jnp.asarray(frame_idx[:bf])[None, :],
             jnp.asarray([total_frames], jnp.int32),
+            style_s,
+            style_timbre,
+            key=self._noise_key,
         )
         out = np.asarray(audio[0][: total_frames * HOP])
         timings.audio_seconds += time.perf_counter() - t0
