@@ -68,8 +68,8 @@ class PocketTtsManager:
         cfg = self.cfg
         self.flowlm = FlowLm(cfg)
         self.flow = FlowDecoder(cfg)
-        self.mimi = MimiDecoder(cfg)
-        self.mimi_enc = MimiEncoder(cfg)
+        self.mimi = MimiDecoder(cfg.mimi)
+        self.mimi_enc = MimiEncoder(cfg.mimi)
 
         k = jax.random.split(jax.random.PRNGKey(rng_seed), 4)
         kv = init_kv(cfg, 1)
@@ -78,13 +78,13 @@ class PocketTtsManager:
                 k[0], jnp.zeros((1, cfg.d_model)), jnp.zeros((1,), jnp.int32), kv
             ),
             "flow": jax.jit(self.flow.init)(
-                k[1], jnp.zeros((1, cfg.d_model)), jnp.zeros((1, LATENT_DIM))
+                k[1], jnp.zeros((1, cfg.d_model)), jnp.zeros((1, cfg.mimi.latent_dim))
             ),
-            "mimi": jax.jit(self.mimi.init, static_argnums=())(
-                k[2], jnp.zeros((1, LATENT_DIM)), self.mimi.init_states(1)
+            "mimi": jax.jit(self.mimi.init)(
+                k[2], jnp.zeros((1, cfg.mimi.latent_dim)), self.mimi.init_state(1)
             ),
             "mimi_enc": jax.jit(self.mimi_enc.init)(
-                k[3], jnp.zeros((1, FRAME_SAMPLES * 2))
+                k[3], jnp.zeros((1, cfg.mimi.hop * 2))
             ),
         }
         base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.POCKET_TTS)
@@ -100,6 +100,7 @@ class PocketTtsManager:
             f = base / f"{part}.npz"
             if f.exists():
                 self.params[part] = load_params(f, self.params[part])
+        self.frame_samples = cfg.mimi.hop  # 1920 at the base config
         self.voices: dict[str, np.ndarray] = self._load_voices(base)
         self._prefill_cache: dict[int, object] = {}
         self._generate_jit = jax.jit(self._generate_scan, static_argnums=(4,))
@@ -110,7 +111,7 @@ class PocketTtsManager:
             data = np.load(f)
             return {k: data[k] for k in data.files}
         rng = np.random.RandomState(3)
-        return {"default": rng.randn(VOICE_PROMPT_FRAMES, LATENT_DIM).astype(np.float32) * 0.3}
+        return {"default": rng.randn(VOICE_PROMPT_FRAMES, self.cfg.mimi.latent_dim).astype(np.float32) * 0.3}
 
     # ------------------------------------------------------------- voice clone
 
@@ -145,7 +146,10 @@ class PocketTtsManager:
             prompt_emb = self.flowlm.apply(
                 params, prompt_latents, method=FlowLm.embed_latent
             )
-            seq = jnp.concatenate([text_emb, prompt_emb], axis=0)  # [n, D]
+            bos = self.flowlm.apply(params, method=FlowLm.bos_embedding)[None]
+            # reference prefill order: BOS, voice prompt, text
+            # (PocketTtsSynthesizer.swift:519-526 prefillKVCache bosBeforeVoice)
+            seq = jnp.concatenate([bos, prompt_emb, text_emb], axis=0)  # [n, D]
 
             def step(carry, inp):
                 kv, pos = carry
@@ -167,7 +171,7 @@ class PocketTtsManager:
 
     def _generate_scan(self, params, kv, start_pos, first_cond, max_frames, noise):
         """One fused scan: flowlm step -> flow Euler -> mimi decode per frame."""
-        mimi_states = self.mimi.init_states(1)
+        mimi_states = self.mimi.init_state(1)
 
         def step(carry, frame_noise):
             kv, pos, cond, states, done = carry
@@ -203,7 +207,7 @@ class PocketTtsManager:
             KV_POSITIONS - tokens.shape[1] - VOICE_PROMPT_FRAMES - 1,
         )
         kv, pos, first_cond = self._prefill(tokens, jnp.asarray(prompt))
-        noise = jax.random.normal(jax.random.PRNGKey(seed), (max_frames, LATENT_DIM))
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (max_frames, self.cfg.mimi.latent_dim))
         t0 = time.perf_counter()
         audio, done = self._generate_jit(
             self.params, kv, pos, first_cond, max_frames, noise
@@ -221,7 +225,7 @@ class PocketTtsManager:
         """Yield 80 ms sample blocks as they are generated."""
         result = self.synthesize(text, voice, seed=seed)
         for i in range(result.frames):
-            yield result.samples[i * FRAME_SAMPLES : (i + 1) * FRAME_SAMPLES]
+            yield result.samples[i * self.frame_samples : (i + 1) * self.frame_samples]
 
     def _tokenize(self, text: str) -> jnp.ndarray:
         """SentencePiece tokenizer when `tokenizer.model` is cached (binary
