@@ -51,6 +51,9 @@ class ASRResult:
     duration: float
     processing_time: float
     token_timings: list[TokenTiming] = field(default_factory=list)
+    # updated TDT decoder carry when the caller passed `decoder_state` /
+    # single-window path (reference `AsrManager.transcribe(decoderState:)`)
+    decoder_state: object = None
 
     @property
     def rtfx(self) -> float:

@@ -54,7 +54,8 @@ class AsrManager:
         self.models = models
         self.config = config or ASRConfig()
         self.converter = AudioConverter()
-        self._pipeline_cache: dict[tuple[int, int], Any] = {}
+        self._pipeline_cache: dict[tuple, Any] = {}
+        self._language_masks: dict[str, np.ndarray] = {}
         vocab = models.tokenizer.vocabulary
         self._splice_safe = splice_safe_token_ids(vocab)
         self._case_canon = case_variant_canonical_ids(vocab)
@@ -74,11 +75,19 @@ class AsrManager:
             max_tokens=tdt.max_tokens_per_chunk,
         )
 
-    def build_pipeline(self, batch: int):
-        """Raw (unjitted) pipeline fn(params, audio [B,W], lengths [B])."""
+    def build_pipeline(self, batch: int, language: str | None = None):
+        """Raw (unjitted) pipeline fn(params, audio [B,W], lengths [B]).
+
+        `language` enables decode-time script filtering + English blocklist
+        (reference `TdtDecoderV3.swift:33-78`): the vocab mask is baked into
+        the compiled program as a constant.
+        """
         models = self.models
         dcfg = self._decode_cfg
         pcfg = models.spec.predictor
+        allowed_mask = (
+            jnp.asarray(self._language_mask(language)) if language else None
+        )
 
         def pipeline(params, audio, lengths):
             mel, mel_len = models.mel(audio, lengths)
@@ -92,17 +101,36 @@ class AsrManager:
 
             state = make_initial_state(dcfg, pcfg.n_layers, pcfg.pred_hidden, batch)
             result = tdt_greedy_decode(
-                dcfg, predictor_step, joint_logits, enc_out, enc_len, state
+                dcfg, predictor_step, joint_logits, enc_out, enc_len, state,
+                allowed_mask=allowed_mask,
             )
             return result, enc_len
 
         return pipeline
 
-    def _get_pipeline(self, batch: int, window_samples: int):
-        key = (batch, window_samples)
+    def _language_mask(self, language: str) -> np.ndarray:
+        """[vocab+1] bool: tokens allowed for `language` (script match minus
+        English blocklist; blank allowed slot is ignored by the filter)."""
+        if language not in self._language_masks:
+            from fluidaudio_tpu.utils.language import TokenLanguageFilter
+
+            vocab = dict(self.models.tokenizer.vocabulary)  # {id: piece}
+            filt = TokenLanguageFilter(language, vocab)
+            n = self.models.blank_id + 1
+            mask = np.zeros((n,), bool)
+            for tid in filt.allowed:
+                if tid < n:
+                    mask[tid] = True
+            self._language_masks[language] = mask
+        return self._language_masks[language]
+
+    def _get_pipeline(self, batch: int, window_samples: int,
+                      language: str | None = None):
+        key = (batch, window_samples, language)
         if key not in self._pipeline_cache:
-            self._pipeline_cache[key] = jax.jit(self.build_pipeline(batch))
-            logger.info("jit ASR pipeline batch=%d window=%d", batch, window_samples)
+            self._pipeline_cache[key] = jax.jit(self.build_pipeline(batch, language))
+            logger.info("jit ASR pipeline batch=%d window=%d lang=%s",
+                        batch, window_samples, language)
         return self._pipeline_cache[key]
 
     def warmup(self, batch: int | None = None, window_samples: int | None = None) -> None:
@@ -119,8 +147,20 @@ class AsrManager:
     # ------------------------------------------------------------ transcribe
 
     def transcribe(
-        self, audio: np.ndarray | str | Path, sample_rate: int | None = None
+        self,
+        audio: np.ndarray | str | Path,
+        sample_rate: int | None = None,
+        language: str | None = None,
+        decoder_state=None,
     ) -> ASRResult:
+        """Transcribe an array or file.
+
+        `language` enables decode-time script filtering (reference
+        `AsrManager.transcribe(..., language:)`); `decoder_state` lets the
+        caller carry TDT decoder state across calls (reference
+        `decoderState:` parameter) — the updated state is returned on
+        `ASRResult.decoder_state`.
+        """
         t_start = time.perf_counter()
         if isinstance(audio, (str, Path)):
             source = make_audio_source(
@@ -138,25 +178,71 @@ class AsrManager:
             return ASRResult("", 0.0, duration, time.perf_counter() - t_start)
 
         if n <= ASRConstants.MAX_MODEL_SAMPLES:
-            tokens = self._transcribe_single(source)
+            tokens, final_state = self._transcribe_single(
+                source, language, decoder_state
+            )
         else:
-            tokens = self._transcribe_chunked(source)
+            tokens, final_state = self._transcribe_chunked(source, language)
 
         tokens = ChunkProcessor(source).collapse_seam_word_duplicates(
             tokens, self.models.tokenizer.vocabulary
         )
-        return self._assemble_result(tokens, duration, t_start)
+        result = self._assemble_result(tokens, duration, t_start)
+        result.decoder_state = final_state
+        return result
 
-    def _transcribe_single(self, source: AudioSampleSource) -> list[TokenWindow]:
+    def _transcribe_single(
+        self, source: AudioSampleSource, language: str | None = None,
+        decoder_state=None,
+    ) -> tuple[list[TokenWindow], Any]:
         n = source.sample_count
         width = next((b for b in _BUCKETS if b >= n), ASRConstants.MAX_MODEL_SAMPLES)
-        fn = self._get_pipeline(1, width)
+        if decoder_state is None:
+            fn = self._get_pipeline(1, width, language)
+        else:
+            # caller-held state: decode continues from the provided carry
+            fn = self._get_stateful_pipeline(1, width, language)
         audio = jnp.asarray(source.copy_samples(0, width))[None, :]
         lengths = jnp.array([n], jnp.int32)
-        result, _ = fn(self.models.params, audio, lengths)
-        return self._extract_tokens(result, row=0, frame_offset=0)
+        if decoder_state is None:
+            result, _ = fn(self.models.params, audio, lengths)
+        else:
+            result, _ = fn(self.models.params, audio, lengths, decoder_state)
+        return self._extract_tokens(result, row=0, frame_offset=0), result.state
 
-    def _transcribe_chunked(self, source: AudioSampleSource) -> list[TokenWindow]:
+    def _get_stateful_pipeline(self, batch: int, window_samples: int,
+                               language: str | None = None):
+        key = ("stateful", batch, window_samples, language)
+        if key not in self._pipeline_cache:
+            models = self.models
+            dcfg = self._decode_cfg
+            allowed_mask = (
+                jnp.asarray(self._language_mask(language)) if language else None
+            )
+
+            def pipeline(params, audio, lengths, state):
+                mel, mel_len = models.mel(audio, lengths)
+                enc_out, enc_len = models.encoder.apply(
+                    params["encoder"], mel, mel_len)
+
+                def predictor_step(tokens, h, c):
+                    return models.predictor.apply(params["predictor"], tokens, h, c)
+
+                def joint_logits(f, g):
+                    return models.joint.apply(params["joint"], f, g)
+
+                result = tdt_greedy_decode(
+                    dcfg, predictor_step, joint_logits, enc_out, enc_len, state,
+                    allowed_mask=allowed_mask,
+                )
+                return result, enc_len
+
+            self._pipeline_cache[key] = jax.jit(pipeline)
+        return self._pipeline_cache[key]
+
+    def _transcribe_chunked(
+        self, source: AudioSampleSource, language: str | None = None
+    ) -> tuple[list[TokenWindow], Any]:
         cp = ChunkProcessor(source)
         layout, windows = cp.plan_windows(
             mel_chunk_context=self.config.mel_chunk_context,
@@ -165,7 +251,7 @@ class AsrManager:
         )
         B = self.config.parallel_chunk_batch
         W = layout.window_samples
-        fn = self._get_pipeline(B, W)
+        fn = self._get_pipeline(B, W, language)
 
         merged: list[TokenWindow] = []
         n_groups = -(-len(windows) // B)
@@ -183,7 +269,7 @@ class AsrManager:
                     merged, window_tokens, self._splice_safe, self._case_canon
                 )
             self.progress.emit((i // B + 1) / n_groups)
-        return merged
+        return merged, None
 
     def _extract_tokens(self, result, row: int, frame_offset: int) -> list[TokenWindow]:
         count = int(result.counts[row])

@@ -70,6 +70,43 @@ def make_initial_state(cfg: TdtDecodeConfig, n_layers: int, hidden: int, batch: 
     )
 
 
+def language_filter_rerank(
+    token_logits: jax.Array,  # [B, V] (vocab incl. blank)
+    k: jax.Array,  # [B] argmax token
+    conf: jax.Array,  # [B] argmax prob
+    allowed_mask: jax.Array,  # [V] bool: script-matching, non-blocklist tokens
+    blank_id: int,
+    top_k: int = 10,
+) -> tuple[jax.Array, jax.Array]:
+    """Script-aware top-K rerank inside the decode loop.
+
+    Mirrors the reference's two per-step passes (`TdtDecoderV3.swift:620-700`):
+    `tokenLanguageFilter` (replace a wrong-script top-1 with the best
+    right-script top-K candidate) and `applyEnglishBlocklist` (for non-English
+    Latin targets, swap blocklisted English words for the best allowed
+    candidate). Both collapse into one pass over a single `allowed_mask`
+    precomputed by `TokenLanguageFilter` (script match minus blocklist).
+    Blanks are never replaced and never chosen as replacements; when no
+    allowed candidate is in the top-K, the original prediction stands.
+    Replacement confidence = softmax over the top-K (reference formula).
+    """
+    top_k = min(top_k, token_logits.shape[-1])
+    tk_logits, tk_ids = jax.lax.top_k(token_logits, top_k)  # [B, K]
+    cand_ok = allowed_mask[tk_ids] & (tk_ids != blank_id)
+    masked = jnp.where(cand_ok, tk_logits, -jnp.inf)
+    best = jnp.argmax(masked, axis=-1)  # [B]
+    has_cand = jnp.isfinite(jnp.max(masked, axis=-1))
+
+    need_swap = (k != blank_id) & ~allowed_mask[k] & has_cand
+    best_id = jnp.take_along_axis(tk_ids, best[:, None], axis=-1)[:, 0]
+    new_k = jnp.where(need_swap, best_id, k)
+
+    tk_probs = jax.nn.softmax(tk_logits.astype(jnp.float32), axis=-1)
+    best_prob = jnp.take_along_axis(tk_probs, best[:, None], axis=-1)[:, 0]
+    new_conf = jnp.where(need_swap, best_prob, conf)
+    return new_k.astype(jnp.int32), new_conf
+
+
 def tdt_greedy_decode(
     cfg: TdtDecodeConfig,
     predictor_step: Callable[[jax.Array, jax.Array, jax.Array], tuple[jax.Array, jax.Array, jax.Array]],
@@ -77,11 +114,14 @@ def tdt_greedy_decode(
     encoder_out: jax.Array,  # [B, T, D] float
     encoder_lengths: jax.Array,  # [B] int32
     state: TdtDecodeState | None = None,
+    allowed_mask: jax.Array | None = None,  # [V] bool language filter
 ) -> TdtResult:
     """Greedy TDT decode over a batch of encoder outputs.
 
     `predictor_step(tokens, h, c) -> (g, h', c')`; `joint_logits(f, g) ->
     [B, vocab+1+n_dur]`. Both must be jit-traceable (e.g. bound flax applies).
+    `allowed_mask` enables decode-time script filtering (see
+    `language_filter_rerank`; reference `TdtDecoderV3.swift:33-78`).
     """
     B, T, _ = encoder_out.shape
     durations = jnp.asarray(cfg.durations, jnp.int32)
@@ -148,6 +188,10 @@ def tdt_greedy_decode(
         k = jnp.argmax(token_logits, axis=-1).astype(jnp.int32)
         probs = jax.nn.softmax(token_logits.astype(jnp.float32), axis=-1)
         conf = jnp.take_along_axis(probs, k[:, None], axis=-1)[:, 0]
+        if allowed_mask is not None:
+            k, conf = language_filter_rerank(
+                token_logits, k, conf, allowed_mask, cfg.blank_id
+            )
 
         force_blank = carry.sym_count >= cfg.max_symbols_per_step
         is_eou = (
