@@ -55,6 +55,20 @@ const std::map<std::string, std::string> kCurrency = {
     {"pound", "£"}, {"pounds", "£"}, {"yen", "¥"}, {"cent", "¢"},
     {"cents", "¢"}};
 
+const std::map<std::string, int> kMonthsEn = {
+    {"january", 1},  {"february", 2}, {"march", 3},    {"april", 4},
+    {"may", 5},      {"june", 6},     {"july", 7},     {"august", 8},
+    {"september", 9},{"october", 10}, {"november", 11},{"december", 12}};
+
+// fraction denominators (plural forms are unambiguous; singular forms are
+// gated to numerator 1 to avoid clobbering ordinals)
+const std::map<std::string, long long> kFracDen = {
+    {"half", 2},    {"halves", 2},  {"third", 3},   {"thirds", 3},
+    {"quarter", 4}, {"quarters", 4},{"fifth", 5},   {"fifths", 5},
+    {"sixth", 6},   {"sixths", 6},  {"seventh", 7}, {"sevenths", 7},
+    {"eighth", 8},  {"eighths", 8}, {"ninth", 9},   {"ninths", 9},
+    {"tenth", 10},  {"tenths", 10}};
+
 struct Token {
   std::string word;   // lowercased core
   std::string raw;    // original with punctuation
@@ -109,6 +123,9 @@ size_t parse_cardinal(const std::vector<Token>& toks, size_t i, long long* value
     auto m = kMagnitudes.find(w);
     if (u != kUnits.end()) {
       if (any && current % 10 != 0 && u->second < 10 && current != 0) break;
+      // teens may only follow a multiple of 100 ("one hundred fifteen"),
+      // never another small number ("seven fifteen" is a time, not 22)
+      if (any && u->second >= 10 && current % 100 != 0) break;
       current += u->second;
       any = true;
     } else if (t != kTens.end()) {
@@ -162,6 +179,55 @@ size_t parse_digit_string(const std::vector<Token>& toks, size_t i,
 }
 
 std::string format_number(long long v) { return std::to_string(v); }
+
+std::string two_digits(long long v) {
+  std::string s = std::to_string(v);
+  return s.size() < 2 ? "0" + s : s;
+}
+
+// Spoken year: "twenty twenty five" / "nineteen ninety nine" (two 2-digit
+// cardinal groups) or a plain 4-digit cardinal ("two thousand twenty one").
+size_t parse_year_en(const std::vector<Token>& toks, size_t i, long long* year) {
+  long long g1;
+  size_t n1 = parse_cardinal(toks, i, &g1);
+  if (n1 == 0) return 0;
+  if (g1 >= 1000 && g1 <= 2999) { *year = g1; return n1; }
+  if (g1 >= 13 && g1 <= 99 && toks[i + n1 - 1].suffix.empty()) {
+    long long g2;
+    size_t n2 = parse_cardinal(toks, i + n1, &g2);
+    if (n2 > 0 && g2 >= 0 && g2 <= 99) {
+      *year = g1 * 100 + g2;
+      return n1 + n2;
+    }
+  }
+  return 0;
+}
+
+// Spoken day of month: ordinal word ("third"), tens+ordinal ("twenty
+// fifth"), or a small cardinal (1..31).
+size_t parse_day_en(const std::vector<Token>& toks, size_t i, long long* day) {
+  if (i >= toks.size()) return 0;
+  auto t = kTens.find(toks[i].word);
+  if (t != kTens.end() && i + 1 < toks.size()) {
+    auto o = kOrdinalUnits.find(toks[i + 1].word);
+    if (o != kOrdinalUnits.end() && o->second < 10 && toks[i].suffix.empty()) {
+      *day = t->second + o->second;
+      return 2;
+    }
+  }
+  auto o = kOrdinalUnits.find(toks[i].word);
+  if (o != kOrdinalUnits.end() && o->second <= 31) {
+    *day = o->second;
+    return 1;
+  }
+  long long v;
+  size_t n = parse_cardinal(toks, i, &v);
+  if (n > 0 && v >= 1 && v <= 31) {
+    *day = v;
+    return n;
+  }
+  return 0;
+}
 
 // ----------------------------------------------------------------- German
 // German cardinals are single compound words ("dreihundertvierundzwanzig");
@@ -226,6 +292,7 @@ bool parse_german_token(const std::string& s, long long* out) {
 }
 
 size_t parse_cardinal_de(const std::vector<Token>& toks, size_t i, long long* value) {
+  if (i >= toks.size()) return 0;
   long long v;
   if (!parse_german_token(toks[i].word, &v)) return 0;
   size_t n = 1;
@@ -522,6 +589,7 @@ bool parse_italian_token(const std::string& s, long long* out) {
 }
 
 size_t parse_cardinal_it(const std::vector<Token>& toks, size_t i, long long* value) {
+  if (i >= toks.size()) return 0;
   long long v;
   if (!parse_italian_token(toks[i].word, &v)) return 0;
   size_t n = 1;
@@ -615,13 +683,76 @@ struct LangGrammar {
   std::string decimal_word;          // "komma" / "virgule" / "coma"
   std::vector<std::string> negative;
   std::vector<std::string> percent_alts = {};  // alternate single-word forms
+  // dates: spoken month names (lowercase; ru uses genitive forms)
+  std::map<std::string, int> months = {};
+  std::map<std::string, int> day_ordinals = {};  // spoken ordinal day forms
+  std::string day_month_sep = "";    // es/pt "de" between day and month
+  std::string date_day_suffix = "";  // de: "3." ordinal-dot day
+  // money composition: "<N> <currency> [conn] <M> <cent-word>" -> SYM N.MM
+  std::map<std::string, int> cent_words = {};
+  std::vector<std::string> cent_connectives = {};
+  // time: "<H> <time_word> [M]" -> "H:MM <time_word>" or "H h MM" (fr)
+  std::vector<std::string> time_words = {};
+  bool time_h_style = false;  // fr: "3 h 30"
 };
+
+std::string two_digits_g(long long v) {
+  std::string s = std::to_string(v);
+  return s.size() < 2 ? "0" + s : s;
+}
+
+// date tail: at position j (after a parsed day value), match
+// [sep] <month> [year]; returns consumed length and appends to text_out.
+size_t match_date_tail(const std::vector<Token>& toks, size_t j,
+                       const LangGrammar& g, long long day,
+                       std::string* text_out) {
+  size_t start = j;
+  if (!g.day_month_sep.empty() && j < toks.size() &&
+      toks[j].word == g.day_month_sep)
+    ++j;
+  if (j >= toks.size() || !g.months.count(toks[j].word)) return 0;
+  std::string s = std::to_string(day) + g.date_day_suffix;
+  if (!g.day_month_sep.empty()) s += " " + g.day_month_sep;
+  s += " " + toks[j].word;
+  size_t consumed = j + 1 - start;
+  if (toks[j].suffix.empty()) {
+    long long year;
+    size_t yn = g.parse(toks, j + 1, &year);
+    if (yn > 0 && year >= 1000 && year <= 2999) {
+      // es/pt year connective: "de dos mil veinte"
+      s += " " + std::to_string(year);
+      consumed += yn;
+    } else if (!g.day_month_sep.empty() && j + 1 < toks.size() &&
+               toks[j + 1].word == g.day_month_sep) {
+      size_t yn2 = g.parse(toks, j + 2, &year);
+      if (yn2 > 0 && year >= 1000 && year <= 2999) {
+        s += " " + g.day_month_sep + " " + std::to_string(year);
+        consumed += 1 + yn2;
+      }
+    }
+  }
+  *text_out = s;
+  return consumed;
+}
 
 std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar& g) {
   std::vector<std::string> out;
   out.reserve(toks.size());
   size_t i = 0;
   while (i < toks.size()) {
+    // spoken ordinal day + month ("dritter oktober" / "третьего марта")
+    if (!g.day_ordinals.empty() && g.day_ordinals.count(toks[i].word) &&
+        toks[i].suffix.empty()) {
+      std::string text_out;
+      size_t dn = match_date_tail(toks, i + 1, g,
+                                  g.day_ordinals.at(toks[i].word), &text_out);
+      if (dn > 0) {
+        out.push_back(toks[i].prefix + text_out + toks[i + dn].suffix);
+        i += 1 + dn;
+        continue;
+      }
+    }
+
     long long v;
     size_t n = g.parse(toks, i, &v);
     bool negative = false;
@@ -637,6 +768,45 @@ std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar&
     if (n > 0) {
       std::string num = (negative ? "-" : "") + format_number(v);
       size_t j = i + n;
+
+      // cardinal-day date: "<1..31> [de] <month> [year]"
+      if (!negative && v >= 1 && v <= 31 && !g.months.empty() &&
+          toks[j - 1].suffix.empty()) {
+        std::string text_out;
+        size_t dn = match_date_tail(toks, j, g, v, &text_out);
+        if (dn > 0) {
+          out.push_back(toks[i].prefix + text_out + toks[j + dn - 1].suffix);
+          i = j + dn;
+          continue;
+        }
+      }
+
+      // time: "<H> uhr [M]" -> "3:30 uhr"; fr "<H> heures [M]" -> "3 h 30"
+      if (!negative && v >= 0 && v <= 24 && !g.time_words.empty() &&
+          j < toks.size()) {
+        bool tw = false;
+        for (const auto& w : g.time_words)
+          if (toks[j].word == w) { tw = true; break; }
+        if (tw) {
+          long long mins = -1;
+          size_t mn = 0;
+          if (toks[j].suffix.empty()) {
+            mn = g.parse(toks, j + 1, &mins);
+            if (mn > 0 && (mins < 0 || mins > 59)) mn = 0;
+          }
+          std::string s;
+          if (g.time_h_style)
+            s = num + " h" + (mn > 0 ? " " + two_digits_g(mins) : "");
+          else
+            s = num + (mn > 0 ? ":" + two_digits_g(mins) : "") + " " +
+                toks[j].word;
+          size_t e = j + 1 + (mn > 0 ? mn : 0);
+          out.push_back(toks[i].prefix + s + toks[e - 1].suffix);
+          i = e;
+          continue;
+        }
+      }
+
       if (j < toks.size() && toks[j].word == g.decimal_word) {
         std::string frac;
         size_t k = j + 1;
@@ -670,8 +840,25 @@ std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar&
         continue;
       }
       if (j < toks.size() && g.currency.count(toks[j].word)) {
-        out.push_back(toks[i].prefix + g.currency.at(toks[j].word) + num +
-                      toks[j].suffix);
+        const std::string& sym = g.currency.at(toks[j].word);
+        // cents composition: "<N> euro [und] <M> cent" -> "€N.MM"
+        if (!g.cent_words.empty() && toks[j].suffix.empty()) {
+          size_t k = j + 1;
+          for (const auto& conn : g.cent_connectives) {
+            if (k < toks.size() && toks[k].word == conn) { ++k; break; }
+          }
+          long long cents;
+          size_t cn = g.parse(toks, k, &cents);
+          size_t cw = k + cn;
+          if (cn > 0 && cents >= 0 && cents <= 99 && cw < toks.size() &&
+              g.cent_words.count(toks[cw].word)) {
+            out.push_back(toks[i].prefix + sym + num + "." +
+                          two_digits_g(cents) + toks[cw].suffix);
+            i = cw + 1;
+            continue;
+          }
+        }
+        out.push_back(toks[i].prefix + sym + num + toks[j].suffix);
         i = j + 1;
         continue;
       }
@@ -690,19 +877,80 @@ std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar&
   return joined;
 }
 
+const std::map<std::string, int> kMonthsDe = {
+    {"januar", 1}, {"februar", 2}, {"märz", 3}, {"april", 4}, {"mai", 5},
+    {"juni", 6}, {"juli", 7}, {"august", 8}, {"september", 9},
+    {"oktober", 10}, {"november", 11}, {"dezember", 12}};
+const std::map<std::string, int> kMonthsFr = {
+    {"janvier", 1}, {"février", 2}, {"mars", 3}, {"avril", 4}, {"mai", 5},
+    {"juin", 6}, {"juillet", 7}, {"août", 8}, {"septembre", 9},
+    {"octobre", 10}, {"novembre", 11}, {"décembre", 12}};
+const std::map<std::string, int> kMonthsEs = {
+    {"enero", 1}, {"febrero", 2}, {"marzo", 3}, {"abril", 4}, {"mayo", 5},
+    {"junio", 6}, {"julio", 7}, {"agosto", 8}, {"septiembre", 9},
+    {"octubre", 10}, {"noviembre", 11}, {"diciembre", 12}};
+const std::map<std::string, int> kMonthsPt = {
+    {"janeiro", 1}, {"fevereiro", 2}, {"março", 3}, {"abril", 4}, {"maio", 5},
+    {"junho", 6}, {"julho", 7}, {"agosto", 8}, {"setembro", 9},
+    {"outubro", 10}, {"novembro", 11}, {"dezembro", 12}};
+const std::map<std::string, int> kMonthsIt = {
+    {"gennaio", 1}, {"febbraio", 2}, {"marzo", 3}, {"aprile", 4},
+    {"maggio", 5}, {"giugno", 6}, {"luglio", 7}, {"agosto", 8},
+    {"settembre", 9}, {"ottobre", 10}, {"novembre", 11}, {"dicembre", 12}};
+const std::map<std::string, int> kMonthsRu = {  // genitive (date) forms
+    {"января", 1}, {"февраля", 2}, {"марта", 3}, {"апреля", 4}, {"мая", 5},
+    {"июня", 6}, {"июля", 7}, {"августа", 8}, {"сентября", 9},
+    {"октября", 10}, {"ноября", 11}, {"декабря", 12}};
+
+const std::map<std::string, int> kDayOrdDe = {
+    {"erster", 1}, {"ersten", 1}, {"zweiter", 2}, {"zweiten", 2},
+    {"dritter", 3}, {"dritten", 3}, {"vierter", 4}, {"vierten", 4},
+    {"fünfter", 5}, {"fünften", 5}, {"sechster", 6}, {"sechsten", 6},
+    {"siebter", 7}, {"siebten", 7}, {"achter", 8}, {"achten", 8},
+    {"neunter", 9}, {"neunten", 9}, {"zehnter", 10}, {"zehnten", 10},
+    {"elfter", 11}, {"elften", 11}, {"zwölfter", 12}, {"zwölften", 12},
+    {"zwanzigster", 20}, {"zwanzigsten", 20},
+    {"dreißigster", 30}, {"dreißigsten", 30},
+    {"einunddreißigster", 31}, {"einunddreißigsten", 31}};
+const std::map<std::string, int> kDayOrdRu = {
+    {"первое", 1}, {"первого", 1}, {"второе", 2}, {"второго", 2},
+    {"третье", 3}, {"третьего", 3}, {"четвёртое", 4}, {"четвёртого", 4},
+    {"четвертое", 4}, {"четвертого", 4}, {"пятое", 5}, {"пятого", 5},
+    {"шестое", 6}, {"шестого", 6}, {"седьмое", 7}, {"седьмого", 7},
+    {"восьмое", 8}, {"восьмого", 8}, {"девятое", 9}, {"девятого", 9},
+    {"десятое", 10}, {"десятого", 10}, {"двадцатое", 20}, {"двадцатого", 20},
+    {"тридцатое", 30}, {"тридцатого", 30}};
+
 const LangGrammar kGerman = {
     parse_cardinal_de,
     {{"euro", "€"}, {"euros", "€"}, {"dollar", "$"}, {"dollars", "$"}},
     {"prozent"},
     "komma",
-    {"minus"}};
+    {"minus"},
+    {},
+    kMonthsDe,
+    kDayOrdDe,
+    "",
+    ".",  // "3. oktober"
+    {{"cent", 1}, {"cents", 1}},
+    {"und"},
+    {"uhr"}};
 
 const LangGrammar kFrench = {
     parse_cardinal_fr,
     {{"euro", "€"}, {"euros", "€"}, {"dollar", "$"}, {"dollars", "$"}},
     {"pour", "cent"},
     "virgule",
-    {"moins"}};
+    {"moins"},
+    {},
+    kMonthsFr,
+    {{"premier", 1}},
+    "",
+    "",
+    {{"centime", 1}, {"centimes", 1}},
+    {"et"},
+    {"heures", "heure"},
+    true};  // "3 h 30"
 
 const LangGrammar kPortuguese = {
     parse_cardinal_pt,
@@ -710,14 +958,28 @@ const LangGrammar kPortuguese = {
      {"dolar", "$"}, {"dolares", "$"}, {"real", "R$"}, {"reais", "R$"}},
     {"por", "cento"},
     "vírgula",
-    {"menos"}};
+    {"menos"},
+    {},
+    kMonthsPt,
+    {{"primeiro", 1}},
+    "de",
+    "",
+    {{"cêntimo", 1}, {"cêntimos", 1}, {"centavo", 1}, {"centavos", 1}},
+    {"e", "com"}};
 
 const LangGrammar kItalian = {
     parse_cardinal_it,
     {{"euro", "€"}, {"euri", "€"}, {"dollaro", "$"}, {"dollari", "$"}},
     {"per", "cento"},
     "virgola",
-    {"meno"}};
+    {"meno"},
+    {},
+    kMonthsIt,
+    {{"primo", 1}},
+    "",
+    "",
+    {{"centesimo", 1}, {"centesimi", 1}},
+    {"e"}};
 
 const LangGrammar kRussian = {
     parse_cardinal_ru,
@@ -726,7 +988,13 @@ const LangGrammar kRussian = {
     {"процентов"},
     "запятая",
     {"минус"},
-    {"процент", "процента"}};
+    {"процент", "процента"},
+    kMonthsRu,
+    kDayOrdRu,
+    "",
+    "",
+    {{"копейка", 1}, {"копейки", 1}, {"копеек", 1}},
+    {"и"}};
 
 const LangGrammar kSpanish = {
     parse_cardinal_es,
@@ -734,7 +1002,14 @@ const LangGrammar kSpanish = {
      {"dolar", "$"}, {"dolares", "$"}, {"peso", "$"}, {"pesos", "$"}},
     {"por", "ciento"},
     "coma",
-    {"menos"}};
+    {"menos"},
+    {},
+    kMonthsEs,
+    {{"primero", 1}},
+    "de",
+    "",
+    {{"céntimo", 1}, {"céntimos", 1}, {"centavo", 1}, {"centavos", 1}},
+    {"con", "y"}};
 
 }  // namespace
 
@@ -769,8 +1044,60 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
   while (i < toks.size()) {
     const Token& tk = toks[i];
 
+    // date: "<month> <day> [year]" — "june third twenty twenty five"
+    // -> "june 3 2025". A month word with NO adjacent day/year is left
+    // alone: this is the ambiguity gate standing in for the reference's
+    // NLTagger pass ("may i help" / "march on") —
+    // ITN/TextNormalizer.swift NLTagger gate.
+    if (kMonthsEn.count(tk.word) && tk.suffix.empty()) {
+      long long day;
+      size_t dn = parse_day_en(toks, i + 1, &day);
+      if (dn > 0) {
+        size_t j = i + 1 + dn;
+        std::string text_out = tk.prefix + tk.word + " " + format_number(day);
+        long long year;
+        size_t yn = (toks[j - 1].suffix.empty())
+                        ? parse_year_en(toks, j, &year) : 0;
+        if (yn > 0) {
+          text_out += " " + format_number(year);
+          j += yn;
+        }
+        text_out += toks[j - 1].suffix;
+        out.push_back(text_out);
+        i = j;
+        continue;
+      }
+      long long year;  // "march twenty twenty" (month + year, no day)
+      size_t yn = parse_year_en(toks, i + 1, &year);
+      if (yn > 0 && year >= 1900) {
+        out.push_back(tk.prefix + tk.word + " " + format_number(year) +
+                      toks[i + yn].suffix);
+        i += 1 + yn;
+        continue;
+      }
+    }
+
     // ordinal word
     auto ord = kOrdinalUnits.find(tk.word);
+    if (ord != kOrdinalUnits.end()) {
+      // ambiguity gate for "second" (time-unit noun vs ordinal): convert
+      // only in ordinal-looking contexts — after a tens word ("twenty
+      // second"), in "the second of <month>", or before a month name
+      bool gated = tk.word == "second";
+      if (gated) {
+        bool tens_before = i > 0 && kTens.count(toks[i - 1].word) &&
+                           toks[i - 1].suffix.empty();
+        bool of_month = i + 2 < toks.size() && toks[i + 1].word == "of" &&
+                        kMonthsEn.count(toks[i + 2].word);
+        bool month_after = i + 1 < toks.size() &&
+                           kMonthsEn.count(toks[i + 1].word);
+        if (!(tens_before || of_month || month_after)) {
+          out.push_back(tk.raw);
+          ++i;
+          continue;
+        }
+      }
+    }
     if (ord != kOrdinalUnits.end()) {
       long long base = 0;
       size_t pre = 0;
@@ -815,6 +1142,81 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
     if (n > 0) {
       std::string num = (negative ? "-" : "") + format_number(v);
       size_t j = i + n;
+
+      // time: "<hour> [minutes] am/pm" -> "5:30 p.m."; "<hour> o'clock"
+      if (!negative && v >= 1 && v <= 24 && n <= 2) {
+        auto ampm_at = [&](size_t p) -> std::string {
+          if (p >= toks.size()) return "";
+          const std::string& w = toks[p].word;
+          if (w == "am" || w == "pm") return w == "am" ? "a.m." : "p.m.";
+          if ((w == "a" || w == "p") && p + 1 < toks.size() &&
+              toks[p + 1].word == "m")
+            return w == "a" ? "a.m." : "p.m.";
+          return "";
+        };
+        auto ampm_len = [&](size_t p) -> size_t {
+          return toks[p].word.size() == 1 ? 2 : 1;
+        };
+        if (j < toks.size() &&
+            (toks[j].word == "o'clock" || toks[j].word == "oclock")) {
+          out.push_back(toks[i].prefix + num + " o'clock" + toks[j].suffix);
+          i = j + 1;
+          continue;
+        }
+        std::string marker = ampm_at(j);
+        if (!marker.empty()) {  // "five pm" -> "5 p.m."
+          size_t e = j + ampm_len(j);
+          out.push_back(toks[i].prefix + num + " " + marker +
+                        toks[e - 1].suffix);
+          i = e;
+          continue;
+        }
+        long long mins;
+        size_t mn = toks[j - 1].suffix.empty()
+                        ? parse_cardinal(toks, j, &mins) : 0;
+        if (mn > 0 && mins >= 0 && mins <= 59) {
+          marker = ampm_at(j + mn);
+          if (!marker.empty()) {  // "five thirty p m" -> "5:30 p.m."
+            size_t e = j + mn + ampm_len(j + mn);
+            out.push_back(toks[i].prefix + num + ":" + two_digits(mins) +
+                          " " + marker + toks[e - 1].suffix);
+            i = e;
+            continue;
+          }
+        }
+      }
+
+      // fraction: "three quarters" -> "3/4"; "one half" -> "1/2";
+      // "five and two thirds" -> "5 2/3". Singular denominators only bind
+      // to numerator 1 (else they are ordinals).
+      if (!negative && j < toks.size()) {
+        auto fr = kFracDen.find(toks[j].word);
+        if (fr != kFracDen.end() &&
+            (toks[j].word.back() == 's' || toks[j].word == "half" || v == 1)) {
+          out.push_back(toks[i].prefix + num + "/" +
+                        format_number(fr->second) + toks[j].suffix);
+          i = j + 1;
+          continue;
+        }
+        // whole-and-fraction composition
+        if (toks[j].word == "and" && j + 1 < toks.size()) {
+          long long fnum;
+          size_t fn = parse_cardinal(toks, j + 1, &fnum);
+          if (fn > 0 && j + 1 + fn < toks.size()) {
+            auto fr2 = kFracDen.find(toks[j + 1 + fn].word);
+            if (fr2 != kFracDen.end() &&
+                (toks[j + 1 + fn].word.back() == 's' ||
+                 toks[j + 1 + fn].word == "half" || fnum == 1)) {
+              out.push_back(toks[i].prefix + num + " " + format_number(fnum) +
+                            "/" + format_number(fr2->second) +
+                            toks[j + 1 + fn].suffix);
+              i = j + 2 + fn;
+              continue;
+            }
+          }
+        }
+      }
+
       // decimal part: "point five nine"
       if (j < toks.size() && toks[j].word == "point") {
         std::string frac;
@@ -837,10 +1239,26 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
         i = j + 1;
         continue;
       }
-      // currency
+      // currency (+ cents composition: "five dollars and thirty cents"
+      // -> "$5.30")
       if (j < toks.size() && kCurrency.count(toks[j].word)) {
-        out.push_back(toks[i].prefix + kCurrency.at(toks[j].word) + num +
-                      toks[j].suffix);
+        const std::string& sym = kCurrency.at(toks[j].word);
+        size_t k = j + 1;
+        if (sym != "¢" && k < toks.size() && toks[j].suffix.empty()) {
+          size_t and_skip = (toks[k].word == "and") ? 1 : 0;
+          long long cents;
+          size_t cn = parse_cardinal(toks, k + and_skip, &cents);
+          size_t cw = k + and_skip + cn;
+          if (cn > 0 && cents >= 0 && cents <= 99 && cw < toks.size() &&
+              (toks[cw].word == "cents" || toks[cw].word == "cent" ||
+               toks[cw].word == "pence")) {
+            out.push_back(toks[i].prefix + sym + num + "." +
+                          two_digits(cents) + toks[cw].suffix);
+            i = cw + 1;
+            continue;
+          }
+        }
+        out.push_back(toks[i].prefix + sym + num + toks[j].suffix);
         i = j + 1;
         continue;
       }

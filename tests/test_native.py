@@ -152,3 +152,61 @@ class TestItnMultilingual:
 
     def test_unsupported_language_is_identity(self, norm):
         assert norm.normalize("にじゅうさん", "ja") == "にじゅうさん"
+
+
+class TestItnDatesTimesFractionsMoney:
+    """Round-2 grammar depth: dates, times, fractions, money composition,
+    and the ambiguity gate (reference `ITN/TextNormalizer.swift:21-133`;
+    the gate stands in for its NLTagger pass)."""
+
+    @pytest.fixture(scope="class")
+    def norm(self):
+        from fluidaudio_tpu.itn.normalizer import TextNormalizer
+
+        n = TextNormalizer()
+        if not n.is_native_available:
+            pytest.skip("native lib not built")
+        return n
+
+    @pytest.mark.parametrize("lang,src,want", [
+        # --- dates ---
+        ("en", "june third twenty twenty five", "june 3 2025"),
+        ("en", "march twenty first", "march 21"),
+        ("en", "the twenty second of may", "the 22nd of may"),
+        ("de", "dritter oktober zweitausendzwanzig", "3. oktober 2020"),
+        ("fr", "le trois octobre deux mille vingt", "le 3 octobre 2020"),
+        ("es", "tres de octubre de dos mil veinte", "3 de octubre de 2020"),
+        ("pt", "três de outubro", "3 de outubro"),
+        ("it", "tre ottobre duemilaventi", "3 ottobre 2020"),
+        ("ru", "третьего марта", "3 марта"),
+        # --- times ---
+        ("en", "five thirty p m", "5:30 p.m."),
+        ("en", "seven fifteen am", "7:15 a.m."),
+        ("en", "ten o'clock", "10 o'clock"),
+        ("en", "five pm", "5 p.m."),
+        ("de", "drei uhr dreißig", "3:30 uhr"),
+        ("fr", "trois heures trente", "3 h 30"),
+        # --- fractions ---
+        ("en", "three quarters of the cake", "3/4 of the cake"),
+        ("en", "one half", "1/2"),
+        ("en", "five and two thirds", "5 2/3"),
+        # --- money composition ---
+        ("en", "five dollars and thirty cents", "$5.30"),
+        ("en", "three pounds fifty pence", "£3.50"),
+        ("de", "drei euro und fünfzig cent", "€3.50"),
+        ("fr", "trois euros et cinquante centimes", "€3.50"),
+        ("es", "tres euros con cincuenta céntimos", "€3.50"),
+        ("pt", "dois euros e vinte centavos", "€2.20"),
+        ("it", "tre euro e cinquanta centesimi", "€3.50"),
+        ("ru", "три рубля пятьдесят копеек", "₽3.50"),
+    ])
+    def test_vectors(self, norm, lang, src, want):
+        assert norm.normalize(src, lang) == want
+
+    @pytest.mark.parametrize("src", [
+        "may i help you",          # month word with no day context
+        "wait a second please",    # time-unit noun, not an ordinal
+        "march on the city",       # verb, no day context
+    ])
+    def test_ambiguity_gate(self, norm, src):
+        assert norm.normalize(src, "en") == src
