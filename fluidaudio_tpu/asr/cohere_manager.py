@@ -32,6 +32,7 @@ from fluidaudio_tpu.utils.logging import get_logger
 logger = get_logger("asr.cohere")
 
 MAX_CALL_SECONDS = 35.0
+OVERLAP_SECONDS = 5.0  # CohereAsrConfig.chunkOverlapSeconds (hop = 30 s)
 
 
 class CoherePipeline:
@@ -45,9 +46,10 @@ class CoherePipeline:
         self.cfg = config or COHERE_BASE
         self.encoder = CohereEncoder(self.cfg)
         self.decoder = CohereDecoderStep(self.cfg)
-        # natural-log mel with per-feature CMVN (the reference computes CMVN
-        # with ddof=1 — matches MelFrontend's normalize="per_feature")
-        self.mel = MelFrontend(MelConfig(n_mels=self.cfg.n_mels, normalize="per_feature"))
+        # natural-log mel with per-feature CMVN (ddof=1) and fmax 8000
+        # (reference CohereMelSpectrogram, CohereAsrConfig.MelSpec)
+        self.mel = MelFrontend(MelConfig(
+            n_mels=self.cfg.n_mels, normalize="per_feature", f_max=8000.0))
         base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.COHERE)
 
         k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))
@@ -102,12 +104,17 @@ class CoherePipeline:
         cap = min(
             int(MAX_CALL_SECONDS * sample_rate), (self.cfg.max_audio_frames - 1) * 160
         )
-        texts = []
         width = min(cap, max(16_000, 1 << int(np.ceil(np.log2(max(1, samples.size))))))
         width = min(width, cap)
         fn = self._pipeline(width)
-        for start in range(0, samples.size, cap):
+        # long-form: 35 s windows with 5 s overlap (hop 30 s), token-level
+        # overlap dedup at the seams (reference CoherePipeline.swift:541-574)
+        hop = max(1, cap - int(OVERLAP_SECONDS * sample_rate))
+        merged: list[int] = []
+        for start in range(0, max(1, samples.size - int(samples.size > cap)), hop):
             seg = samples[start : start + cap]
+            if seg.size == 0:
+                break
             padded = np.zeros(width, np.float32)
             padded[: min(seg.size, width)] = seg[:width]
             result = fn(
@@ -118,11 +125,26 @@ class CoherePipeline:
             )
             n = int(result.counts[0])
             ids = [int(t) for t in np.asarray(result.tokens[0][:n])
-                   if int(t) not in (self.cfg.bos_id, self.cfg.eos_id)]
-            texts.append(self.tokenizer.decode(ids))
+                   if int(t) not in (self.cfg.bos_id, self.cfg.eos_id,
+                                     self.cfg.pad_id)]
+            merged = self._merge_tokens(merged, ids)
+            if start + cap >= samples.size:
+                break
         return ASRResult(
-            text=" ".join(t for t in texts if t).strip(),
+            text=self.tokenizer.decode(merged).strip(),
             confidence=1.0,
             duration=duration,
             processing_time=time.perf_counter() - t0,
         )
+
+    @staticmethod
+    def _merge_tokens(prev: list[int], new: list[int]) -> list[int]:
+        """Splice consecutive windows: drop the longest suffix of `prev` that
+        prefixes `new` (overlap re-decode), then append."""
+        if not prev:
+            return list(new)
+        from fluidaudio_tpu.asr.sequence_matcher import find_suffix_prefix_match
+
+        m = find_suffix_prefix_match(prev, new, lambda a, b: a == b)
+        skip = m.length if m is not None else 0
+        return prev + list(new[skip:])

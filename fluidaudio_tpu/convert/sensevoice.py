@@ -70,6 +70,9 @@ def convert_sensevoice_state_dict(
     }
     for i in range(1, cfg.n_layers):
         params[f"block{i}"] = _block(sd, f"encoder.encoders.{i - 1}")
+    for i in range(cfg.tp_blocks):
+        params[f"tp_block{i}"] = _block(sd, f"encoder.tp_encoders.{i}")
+    params["tp_norm"] = _ln(sd, "encoder.tp_norm")
     return params
 
 

@@ -42,10 +42,18 @@ class LSEENDDiarizer:
         *,
         step_ms: int = 500,
         threshold: float = 0.5,
+        variant: str = "dih3",
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
     ):
+        """`variant` selects one of the 4 upstream fine-tunes
+        (ami/ch/dih2/dih3, reference ModelNames.swift:49-52); each ships
+        per-step-size weights."""
         assert 100 <= step_ms <= 500 and step_ms % 100 == 0
+        from fluidaudio_tpu.convert.lseend import LSEEND_VARIANTS
+
+        assert variant in LSEEND_VARIANTS, f"variant must be one of {LSEEND_VARIANTS}"
+        self.variant = variant
         self.cfg = config or LSEEND_BASE
         self.step_frames = step_ms // 100
         self.threshold = threshold
@@ -62,7 +70,13 @@ class LSEENDDiarizer:
         self.params = jax.jit(self.model.init)(
             jax.random.PRNGKey(rng_seed), dummy, init_state(self.cfg, 1)
         )
-        ckpt = base / "model.npz"
+        # per-variant/step asset layout mirrors the reference repo subfolders
+        candidates = [
+            base / variant / f"model_{step_ms}ms.npz",
+            base / variant / "model.npz",
+            base / "model.npz",
+        ]
+        ckpt = next((c for c in candidates if c.exists()), candidates[-1])
         if ckpt.exists():
             self.params = load_params(ckpt, self.params)
         else:

@@ -1,15 +1,21 @@
-"""Cohere-style encoder-decoder (Whisper-like) multilingual ASR.
+"""Cohere Transcribe encoder-decoder multilingual ASR (14 languages).
 
-Explicit JAX equivalent of the reference's Cohere CoreML graphs
-(`Cohere/CoherePipeline.swift:5-80`): own mel recipe (natural-log,
-CMVN ddof=1), conv-subsampled transformer encoder with additive cross-attn
-pad mask (-1e4), autoregressive decoder with EXTERNAL KV cache, greedy decode
-with repetition penalty + no-repeat-ngram, 35 s per call cap, SentencePiece
-byte-fallback tokenizer at the manager level.
+Explicit JAX equivalent of the reference's Cohere CoreML graphs at the
+documented dimensions (`Cohere/CohereAsrConfig.swift:25-60`): Conformer
+encoder hidden 1280 x 48 layers over a 128-mel/35 s input (mel: preemph 0.97,
+n_fft 512, hop 160, fmax 8000, natural-log + CMVN ddof=1,
+`CohereMelSpectrogram`), transformer decoder hidden 1024, 8 heads x 128
+head-dim, 8 layers, EXTERNAL KV cache over maxSeqLen=108 positions
+(`CoherePipeline.swift:690-715` cache shape), additive -1e4 cross-attn pad
+mask, vocab 16384, special tokens unk=0/noSpeech=1/pad=2/eos=3/start=4/
+pnc=5/startOfContext=7; greedy decode with repetition penalty +
+no-repeat-ngram; long-form = 35 s windows with 5 s overlap
+(`CohereAsrConfig.chunkOverlapSeconds`).
 
 TPU design: the whole greedy decode (prefill + token loop) is one
 `lax.while_loop` with the KV caches as carried [L, B, max_len, H, Dh] arrays —
-the reference pays one CoreML call per generated token.
+the reference pays one CoreML call per generated token. The Conformer
+encoder is the shared `models/conformer.py` trunk at the Cohere width.
 """
 
 from __future__ import annotations
@@ -25,16 +31,21 @@ import numpy as np
 
 @dataclass(frozen=True)
 class CohereConfig:
-    vocab_size: int = 51_866
-    d_model: int = 768
-    n_heads: int = 12
-    n_encoder_layers: int = 12
-    n_decoder_layers: int = 12
+    # documented dims: CohereAsrConfig.swift:25-60
+    vocab_size: int = 16_384
+    enc_hidden: int = 1280
+    n_encoder_layers: int = 48
+    n_enc_heads: int = 8
+    d_model: int = 1024  # decoder hidden
+    n_heads: int = 8  # decoder heads (head_dim 128)
+    n_decoder_layers: int = 8
     n_mels: int = 128
     max_audio_frames: int = 3500  # 35 s at 10 ms hop
-    max_decode_tokens: int = 448
-    bos_id: int = 1
-    eos_id: int = 2
+    max_decode_tokens: int = 108  # CohereAsrConfig.maxSeqLen
+    bos_id: int = 4  # startToken
+    eos_id: int = 3  # eosToken
+    pad_id: int = 2
+    no_speech_id: int = 1
     repetition_penalty: float = 1.3
     no_repeat_ngram: int = 3
     dtype: str = "bfloat16"
@@ -50,40 +61,34 @@ class CohereConfig:
 
 COHERE_BASE = CohereConfig()
 COHERE_TEST = CohereConfig(
-    vocab_size=64, d_model=32, n_heads=4, n_encoder_layers=2, n_decoder_layers=2,
+    vocab_size=64, enc_hidden=32, n_encoder_layers=2, n_enc_heads=4,
+    d_model=32, n_heads=4, n_decoder_layers=2,
     n_mels=16, max_audio_frames=64, max_decode_tokens=16, dtype="float32",
 )
 
 
 class CohereEncoder(nn.Module):
+    """Conformer encoder at the Cohere width (shared trunk,
+    `models/conformer.py`): mel [B, n_mels, T] -> (enc [B, T', 1280], mask)."""
+
     cfg: CohereConfig
 
     @nn.compact
     def __call__(self, mel: jax.Array, mel_lengths: jax.Array):
-        """mel [B, n_mels, T] -> (enc [B, T//2, D], enc_mask [B, T//2])."""
+        from fluidaudio_tpu.models.conformer import ConformerConfig, ConformerEncoder
+
         cfg = self.cfg
-        dt = cfg.compute_dtype
-        x = jnp.transpose(mel, (0, 2, 1)).astype(dt)
-        x = nn.Conv(cfg.d_model, (3,), padding="SAME", dtype=dt, name="conv1")(x)
-        x = nn.gelu(x)
-        x = nn.Conv(cfg.d_model, (3,), strides=(2,), padding="SAME", dtype=dt, name="conv2")(x)
-        x = nn.gelu(x)
-        B, T, _ = x.shape
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (cfg.max_audio_frames // 2 + 1, cfg.d_model), jnp.float32)
-        x = x + pos[:T][None].astype(dt)
-        enc_lengths = (mel_lengths + 1) // 2
-        mask = jnp.arange(T)[None, :] < enc_lengths[:, None]
-        att = mask[:, None, None, :] & mask[:, None, :, None]
-        for i in range(cfg.n_encoder_layers):
-            h = nn.LayerNorm(dtype=dt, name=f"ln{i}")(x)
-            x = x + nn.SelfAttention(num_heads=cfg.n_heads, dtype=dt, name=f"att{i}")(h, mask=att)
-            f = nn.LayerNorm(dtype=dt, name=f"fln{i}")(x)
-            f = nn.Dense(cfg.d_model * 4, dtype=dt, name=f"ff1_{i}")(f)
-            f = nn.gelu(f)
-            x = x + nn.Dense(cfg.d_model, dtype=dt, name=f"ff2_{i}")(f)
-        x = nn.LayerNorm(dtype=dt, name="final_ln")(x)
-        return x, mask
+        ccfg = ConformerConfig(
+            n_mels=cfg.n_mels,
+            d_model=cfg.enc_hidden,
+            n_layers=cfg.n_encoder_layers,
+            n_heads=cfg.n_enc_heads,
+            subsampling_channels=max(32, cfg.enc_hidden // 8),
+            dtype=cfg.dtype,
+        )
+        enc, enc_lengths = ConformerEncoder(ccfg, name="conformer")(mel, mel_lengths)
+        mask = jnp.arange(enc.shape[1])[None, :] < enc_lengths[:, None]
+        return enc, mask
 
 
 class CohereDecoderStep(nn.Module):

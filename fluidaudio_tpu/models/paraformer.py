@@ -129,18 +129,26 @@ class _DecoderBlock(nn.Module):
         B, U, _ = x.shape
         Tenc = enc.shape[1]
 
-        # self "attention": FSMN over the masked normed sequence
-        h = nn.LayerNorm(dtype=dt, name="norm1")(x)
+        # FunASR DecoderLayerSANM order: the FFN runs FIRST and has NO
+        # residual of its own — the layer residual (the original input) joins
+        # AFTER the FSMN memory block:
+        #   t = ffn(norm1(x)); x = x + fsmn(norm2(t)); x = x + cross(norm3(x))
+        residual = x
+        t = nn.LayerNorm(dtype=dt, name="norm1")(x)
+        t = _DecoderFfn(cfg, name="ffn")(t)
+
+        # self "attention": FSMN memory conv over the masked normed FFN output
+        h = nn.LayerNorm(dtype=dt, name="norm2")(t)
         hm = h * tok_mask[..., None].astype(dt)
         left = (cfg.fsmn_kernel - 1) // 2
         mem = nn.Conv(D, (cfg.fsmn_kernel,),
                       padding=((left, cfg.fsmn_kernel - 1 - left),),
                       feature_group_count=D, use_bias=False, dtype=dt,
                       name="fsmn")(hm)
-        x = x + mem * tok_mask[..., None].astype(dt)
+        x = residual + mem * tok_mask[..., None].astype(dt)
 
         # cross attention: q from decoder, fused k/v from encoder memory
-        h = nn.LayerNorm(dtype=dt, name="norm2")(x)
+        h = nn.LayerNorm(dtype=dt, name="norm3")(x)
         q = nn.Dense(D, dtype=dt, name="q")(h).reshape(B, U, H, hd)
         kv = nn.Dense(2 * D, dtype=dt, name="kv")(enc)
         k, v = jnp.split(kv, 2, axis=-1)
@@ -150,10 +158,7 @@ class _DecoderBlock(nn.Module):
         scores = jnp.where(cross_mask, scores, jnp.finfo(dt).min)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
         att = jnp.einsum("bhut,bthd->buhd", probs, v).reshape(B, U, D)
-        x = x + nn.Dense(D, dtype=dt, name="out")(att)
-
-        h = nn.LayerNorm(dtype=dt, name="norm3")(x)
-        return x + _DecoderFfn(cfg, name="ffn")(h)
+        return x + nn.Dense(D, dtype=dt, name="out")(att)
 
 
 class Paraformer(nn.Module):
@@ -185,9 +190,10 @@ class Paraformer(nn.Module):
         y = emb.astype(dt)
         for i in range(cfg.n_decoder_layers):
             y = _DecoderBlock(cfg, name=f"dec{i}")(y, enc, tok_mask, cross_mask)
-        # decoders3: final FFN-only layer, then after_norm + output head
+        # decoders3: final FFN-only DecoderLayerSANM — FunASR returns the FFN
+        # output directly, with NO residual (x = ffn(norm1(tgt)))
         h = nn.LayerNorm(dtype=dt, name="dec3_norm1")(y)
-        y = y + _DecoderFfn(cfg, name="dec3_ffn")(h)
+        y = _DecoderFfn(cfg, name="dec3_ffn")(h)
         y = nn.LayerNorm(dtype=dt, name="dec_ln")(y)
         logits = nn.Dense(cfg.vocab_size, dtype=dt, name="head")(y)
         return logits.astype(jnp.float32), counts

@@ -38,6 +38,7 @@ class SenseVoiceConfig:
     vocab_size: int = 25_055
     d_model: int = 512
     n_layers: int = 50
+    tp_blocks: int = 20  # timestamp-predictor SANM stack (FunASR tp_encoders)
     n_heads: int = 4
     ffn_dim: int = 2048
     fsmn_kernel: int = 11
@@ -56,7 +57,8 @@ class SenseVoiceConfig:
 
 SENSEVOICE_SMALL = SenseVoiceConfig()
 SENSEVOICE_TEST = SenseVoiceConfig(
-    vocab_size=64, d_model=64, n_layers=2, n_heads=4, ffn_dim=128, dtype="float32"
+    vocab_size=64, d_model=64, n_layers=2, tp_blocks=1, n_heads=4, ffn_dim=128,
+    dtype="float32"
 )
 
 
@@ -145,7 +147,9 @@ class SenseVoiceEncoder(nn.Module):
     textnorm] rows of the 560-d special-token table) are concatenated with
     the LFR features, scaled by sqrt(d_model) and summed with 1-indexed
     sinusoidal positions, then encoders0 (in 560) + (n_layers-1) SANM blocks,
-    after_norm, and the CTC head."""
+    after_norm, the tp_encoders timestamp-predictor stack (tp_blocks SANM
+    layers) + tp_norm — upstream FunASR runs the CTC head on the tp output,
+    not on after_norm — and the CTC head."""
 
     cfg: SenseVoiceConfig = SENSEVOICE_SMALL
 
@@ -179,5 +183,8 @@ class SenseVoiceEncoder(nn.Module):
         for i in range(1, cfg.n_layers):
             x = _SanmBlock(cfg, in_size=cfg.d_model, name=f"block{i}")(x, pad_mask)
         x = nn.LayerNorm(dtype=dt, name="final_ln")(x)
+        for i in range(cfg.tp_blocks):
+            x = _SanmBlock(cfg, in_size=cfg.d_model, name=f"tp_block{i}")(x, pad_mask)
+        x = nn.LayerNorm(dtype=dt, name="tp_norm")(x)
         logits = nn.Dense(cfg.vocab_size, dtype=dt, name="ctc_head")(x)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -118,6 +118,7 @@ class MelConfig:
     center: bool = True  # constant (zero) center padding by n_fft//2
     normalize: str | None = None  # None | "per_feature"
     mag_power: float = 2.0
+    f_max: float | None = None  # mel filterbank upper edge (None = sr/2)
 
     @property
     def n_freq_bins(self) -> int:
@@ -151,7 +152,7 @@ def log_mel_numpy(audio: np.ndarray, cfg: MelConfig, last_sample: float = 0.0) -
     T = cfg.num_frames(audio.shape[0])
     win = hann_window(cfg.win_length, cfg.window_periodic)
     off = (cfg.n_fft - cfg.win_length) // 2
-    fb = slaney_mel_filterbank(cfg.n_fft, cfg.n_mels, cfg.sample_rate)
+    fb = slaney_mel_filterbank(cfg.n_fft, cfg.n_mels, cfg.sample_rate, f_max=cfg.f_max)
     out = np.zeros((cfg.n_mels, T), dtype=np.float32)
     for t in range(T):
         frame = np.zeros(cfg.n_fft, dtype=np.float32)
@@ -204,7 +205,7 @@ class MelFrontend:
         dft = np.concatenate([win[:, None] * np.cos(phase), -win[:, None] * np.sin(phase)], axis=1)
         self._dft = jnp.asarray(dft, dtype=jnp.float32)  # [win, 2*bins]
         self._melfb_t = jnp.asarray(
-            slaney_mel_filterbank(cfg.n_fft, cfg.n_mels, cfg.sample_rate).T
+            slaney_mel_filterbank(cfg.n_fft, cfg.n_mels, cfg.sample_rate, f_max=cfg.f_max).T
         )  # [bins, n_mels]
 
     def num_frames(self, num_samples: int) -> int:

@@ -71,3 +71,77 @@ def test_no_repeat_ngram_bans_loop():
     # must break the cycle (EOS fallback fires)
     assert 2 in ids
     assert len(ids) < 8
+
+
+def test_cohere_converters_tree_match_and_run():
+    """Synthetic NeMo-conformer + transformer-decoder state dicts convert to
+    trees that structurally match and run the full pipeline."""
+    from fluidaudio_tpu.convert.cohere import (
+        cohere_conformer_config,
+        convert_cohere_decoder_state_dict,
+        convert_cohere_encoder_state_dict,
+    )
+    from fluidaudio_tpu.models.cohere_asr import CohereDecoderStep, CohereEncoder
+    from fluidaudio_tpu.models.predictor import PredictorConfig
+
+    from tests.test_convert import synthetic_nemo_state_dict, tree_shapes
+
+    cfg = COHERE_TEST
+    ccfg = cohere_conformer_config(cfg)
+    rng = np.random.RandomState(0)
+    pcfg = PredictorConfig(vocab_size=8, pred_hidden=8, n_layers=1,
+                           enc_hidden=ccfg.d_model, joint_hidden=8, n_durations=2)
+    enc_sd = synthetic_nemo_state_dict(ccfg, pcfg, rng)
+    enc_params = convert_cohere_encoder_state_dict(enc_sd, cfg)
+
+    D, FF = cfg.d_model, cfg.d_model * 4
+    dec_sd = {
+        "decoder.embed_tokens.weight": rng.randn(cfg.vocab_size, D) * 0.05,
+        "decoder.embed_positions.weight": rng.randn(cfg.max_decode_tokens, D) * 0.02,
+        "decoder.layer_norm.weight": np.abs(rng.randn(D)) + 0.5,
+        "decoder.layer_norm.bias": rng.randn(D) * 0.05,
+    }
+    for i in range(cfg.n_decoder_layers):
+        b = f"decoder.layers.{i}"
+        for ln in ("self_attn_layer_norm", "encoder_attn_layer_norm",
+                   "final_layer_norm"):
+            dec_sd[f"{b}.{ln}.weight"] = np.abs(rng.randn(D)) + 0.5
+            dec_sd[f"{b}.{ln}.bias"] = rng.randn(D) * 0.05
+        for att in ("self_attn", "encoder_attn"):
+            src = D if att == "self_attn" else cfg.enc_hidden
+            for m, insz in (("q_proj", D), ("k_proj", src), ("v_proj", src),
+                            ("out_proj", D)):
+                dec_sd[f"{b}.{att}.{m}.weight"] = rng.randn(D, insz) * 0.05
+                dec_sd[f"{b}.{att}.{m}.bias"] = rng.randn(D) * 0.05
+        dec_sd[f"{b}.fc1.weight"] = rng.randn(FF, D) * 0.05
+        dec_sd[f"{b}.fc1.bias"] = rng.randn(FF) * 0.05
+        dec_sd[f"{b}.fc2.weight"] = rng.randn(D, FF) * 0.05
+        dec_sd[f"{b}.fc2.bias"] = rng.randn(D) * 0.05
+    dec_params = convert_cohere_decoder_state_dict(dec_sd, cfg)
+
+    encoder = CohereEncoder(cfg)
+    mel = jnp.asarray(rng.randn(1, cfg.n_mels, 32).astype(np.float32) * 0.1)
+    mlen = jnp.array([32], jnp.int32)
+    want = jax.eval_shape(lambda: encoder.init(jax.random.PRNGKey(0), mel, mlen))
+    assert tree_shapes(want) == tree_shapes(enc_params), (
+        f"missing={set(tree_shapes(want)) - set(tree_shapes(enc_params))}\n"
+        f"extra={set(tree_shapes(enc_params)) - set(tree_shapes(want))}")
+    enc, mask = encoder.apply(enc_params, mel, mlen)
+    assert enc.shape[-1] == cfg.enc_hidden
+
+    decoder = CohereDecoderStep(cfg)
+    L, H, Dh = cfg.n_decoder_layers, cfg.n_heads, cfg.head_dim
+    M = cfg.max_decode_tokens
+    k0 = jnp.zeros((L, 1, M, H, Dh), jnp.float32)
+    want_d = jax.eval_shape(lambda: decoder.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32), k0, k0, enc, mask))
+    assert tree_shapes(want_d) == tree_shapes(dec_params), (
+        f"missing={set(tree_shapes(want_d)) - set(tree_shapes(dec_params))}\n"
+        f"extra={set(tree_shapes(dec_params)) - set(tree_shapes(want_d))}")
+
+    def step(token, pos, k, v, e, m):
+        return decoder.apply(dec_params, token, pos, k, v, e, m)
+
+    res = cohere_greedy_decode(cfg, step, enc, mask)
+    assert np.asarray(res.tokens).shape == (1, M)

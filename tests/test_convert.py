@@ -519,6 +519,10 @@ def synthetic_sensevoice_state_dict(cfg, rng):
     sd.update(block("encoder.encoders0.0", F))
     for i in range(cfg.n_layers - 1):
         sd.update(block(f"encoder.encoders.{i}", D))
+    for i in range(cfg.tp_blocks):
+        sd.update(block(f"encoder.tp_encoders.{i}", D))
+    sd["encoder.tp_norm.weight"] = rng.randn(D)
+    sd["encoder.tp_norm.bias"] = rng.randn(D)
     sd["encoder.after_norm.weight"] = rng.randn(D)
     sd["encoder.after_norm.bias"] = rng.randn(D)
     sd["ctc.ctc_lo.weight"] = rng.randn(cfg.vocab_size, D) * 0.05

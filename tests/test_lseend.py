@@ -63,3 +63,91 @@ def test_state_recurrence_changes_output(diarizer):
     # (with random weights the gated update is near a fixed point, so the
     # difference is small but real)
     assert not np.array_equal(a_with_history, a_other_history)
+
+
+def test_lseend_converter_tree_matches_and_mha_equivalence():
+    """Synthetic torch-layout sd converts to a structurally-matching tree, and
+    the fused-MHA remap numerically equals torch nn.MultiheadAttention."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from fluidaudio_tpu.convert.lseend import _mha, convert_lseend_state_dict
+    from fluidaudio_tpu.models.lseend import (
+        LSEEND_TEST,
+        MAX_SPEAKERS,
+        LsEendModel,
+        init_state,
+    )
+
+    cfg = LSEEND_TEST
+    rng = np.random.RandomState(0)
+    D, FF = cfg.d_model, cfg.d_model * 4
+
+    def mha(base):
+        return {
+            f"{base}.in_proj_weight": rng.randn(3 * D, D) * 0.05,
+            f"{base}.in_proj_bias": rng.randn(3 * D) * 0.05,
+            f"{base}.out_proj.weight": rng.randn(D, D) * 0.05,
+            f"{base}.out_proj.bias": rng.randn(D) * 0.05,
+        }
+
+    sd = {
+        "enc.input_proj.weight": rng.randn(D, cfg.feat_dim) * 0.05,
+        "enc.input_proj.bias": rng.randn(D) * 0.05,
+        "dec.slot_init": rng.randn(MAX_SPEAKERS, D) * 0.05,
+        "dec.gate.weight": rng.randn(D, 2 * D) * 0.05,
+        "dec.gate.bias": rng.randn(D) * 0.05,
+        "dec.cand.weight": rng.randn(D, D) * 0.05,
+        "dec.cand.bias": rng.randn(D) * 0.05,
+        **mha("dec.cross_attn"),
+    }
+    for i in range(cfg.n_layers):
+        sd.update(mha(f"enc.layers.{i}.self_attn"))
+        sd[f"enc.layers.{i}.norm1.weight"] = np.abs(rng.randn(D)) + 0.5
+        sd[f"enc.layers.{i}.norm1.bias"] = rng.randn(D) * 0.05
+        sd[f"enc.layers.{i}.norm2.weight"] = np.abs(rng.randn(D)) + 0.5
+        sd[f"enc.layers.{i}.norm2.bias"] = rng.randn(D) * 0.05
+        sd[f"enc.layers.{i}.fc1.weight"] = rng.randn(FF, D) * 0.05
+        sd[f"enc.layers.{i}.fc1.bias"] = rng.randn(FF) * 0.05
+        sd[f"enc.layers.{i}.fc2.weight"] = rng.randn(D, FF) * 0.05
+        sd[f"enc.layers.{i}.fc2.bias"] = rng.randn(D) * 0.05
+
+    params = convert_lseend_state_dict(sd, cfg)
+    model = LsEendModel(cfg)
+    feats = jnp.asarray(rng.randn(1, 5, cfg.feat_dim).astype(np.float32) * 0.1)
+    state = init_state(cfg, 1)
+    want = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), feats, state))
+
+    def shapes(tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = "/".join(str(getattr(q, "key", q)) for q in path)
+            out[key] = tuple(getattr(leaf, "shape", np.shape(leaf)))
+        return out
+
+    assert shapes(want) == shapes(params), (
+        f"missing={set(shapes(want)) - set(shapes(params))}\n"
+        f"extra={set(shapes(params)) - set(shapes(want))}")
+    acts, new_state = model.apply(params, feats, state)
+    assert acts.shape == (1, 5, MAX_SPEAKERS)
+    assert np.isfinite(np.asarray(acts)).all()
+
+    # fused-MHA remap == torch nn.MultiheadAttention (self-attention case)
+    import flax.linen as nn
+
+    tm = torch.nn.MultiheadAttention(D, cfg.n_heads, batch_first=True)
+    with torch.no_grad():
+        tm.in_proj_weight.copy_(torch.tensor(sd["enc.layers.0.self_attn.in_proj_weight"], dtype=torch.float32))
+        tm.in_proj_bias.copy_(torch.tensor(sd["enc.layers.0.self_attn.in_proj_bias"], dtype=torch.float32))
+        tm.out_proj.weight.copy_(torch.tensor(sd["enc.layers.0.self_attn.out_proj.weight"], dtype=torch.float32))
+        tm.out_proj.bias.copy_(torch.tensor(sd["enc.layers.0.self_attn.out_proj.bias"], dtype=torch.float32))
+    x = rng.randn(2, 6, D).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = tm(torch.tensor(x), torch.tensor(x), torch.tensor(x))
+    fl = nn.MultiHeadDotProductAttention(num_heads=cfg.n_heads)
+    got = fl.apply({"params": _mha(sd, "enc.layers.0.self_attn", cfg.n_heads)},
+                   jnp.asarray(x), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5, rtol=1e-4)
