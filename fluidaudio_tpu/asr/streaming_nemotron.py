@@ -47,7 +47,9 @@ logger = get_logger("asr.nemotron")
 
 NEMOTRON_TIERS_MS = (560, 1120, 2240)
 
-# multilingual locale -> prompt id (0 = auto-detect)
+# fallback multilingual locale -> prompt id table (0 = auto-detect); the
+# real mapping ships in the model's metadata.json (prompt_dictionary,
+# reference NemotronMultilingualStreamingConfig.swift:95-120)
 NEMOTRON_LOCALES = {
     loc: i
     for i, loc in enumerate(
@@ -56,6 +58,62 @@ NEMOTRON_LOCALES = {
          "ko", "vi", "th", "id", "ms"]
     )
 }
+
+
+@dataclass
+class NemotronMultilingualMetadata:
+    """Operational config from the multilingual pack's metadata.json
+    (reference `NemotronMultilingualStreamingConfig.swift:11-105`): the
+    prompt-id dictionary, the auto-detect default (101), the prompt-table
+    size (128) and the `<xx-XX>` language-tag token ids the model emits
+    (filtered from transcripts; the first one = detected language)."""
+
+    num_prompts: int = 128
+    default_prompt_id: int = 101
+    prompt_dictionary: dict | None = None
+    lang_tag_token_ids: frozenset = frozenset()
+
+    def __post_init__(self):
+        if self.prompt_dictionary is None:
+            self.prompt_dictionary = {"auto": self.default_prompt_id}
+
+    @classmethod
+    def load(cls, path):
+        import json as _json
+
+        try:
+            meta = _json.loads(Path(path).read_text())
+        except (OSError, ValueError):
+            return cls()
+        return cls(
+            num_prompts=int(meta.get("num_prompts", 128)),
+            default_prompt_id=int(meta.get("default_prompt_id", 101)),
+            prompt_dictionary=dict(meta.get("prompt_dictionary", {"auto": 101})),
+            lang_tag_token_ids=frozenset(meta.get("lang_tag_token_ids", [])),
+        )
+
+    def prompt_id(self, language: str | None) -> int:
+        """Resolve a language code to a prompt id with the reference's
+        normalization fallbacks (`promptId(forLanguage:)`): exact ->
+        underscore->dash -> xx-XX casing -> bare-prefix match -> default."""
+        if not language:
+            return self.default_prompt_id
+        d = self.prompt_dictionary
+        if language in d:
+            return d[language]
+        dashed = language.replace("_", "-")
+        if dashed in d:
+            return d[dashed]
+        if "-" in dashed:
+            lang, _, region = dashed.partition("-")
+            cased = f"{lang.lower()}-{region.upper()}"
+            if cased in d:
+                return d[cased]
+        prefix = dashed.split("-")[0].lower()
+        for key, pid in d.items():
+            if key.split("-")[0].lower() == prefix:
+                return pid
+        return self.default_prompt_id
 
 
 @dataclass(frozen=True)
@@ -119,12 +177,11 @@ class StreamingNemotronAsrManager:
         self.mel_frames = self.chunk_samples // MEL_HOP
         self.on_partial = on_partial
         self.language = language
-        self.prompt_id = NEMOTRON_LOCALES.get(language, 0) if spec.multilingual else 0
 
         self.enc_cfg = enc_cfg or StreamingConformerConfig(
             d_model=spec.d_model, n_layers=spec.n_layers
         )
-        n_prompts = len(NEMOTRON_LOCALES) if spec.multilingual else 0
+        n_prompts = 128 if spec.multilingual else 0  # metadata num_prompts
         self.encoder = _PromptedEncoder(self.enc_cfg, n_prompts)
         self.pred_cfg = PredictorConfig(
             vocab_size=spec.vocab_size, pred_hidden=640, n_layers=1,
@@ -138,6 +195,13 @@ class StreamingNemotronAsrManager:
         )
         self.mel = MelFrontend(MelConfig(center=False, normalize=None))
         self._init_params(checkpoint_dir, rng_seed)
+        if spec.multilingual:
+            self.prompt_id = self.metadata.prompt_id(
+                None if language == "auto" else language
+            )
+        else:
+            self.prompt_id = 0
+        self.detected_language: str | None = None
         self._step = jax.jit(self._chunk_step)
 
     def _init_params(self, checkpoint_dir, rng_seed):
@@ -158,7 +222,29 @@ class StreamingNemotronAsrManager:
                 jnp.zeros((1, self.pred_cfg.pred_hidden)),
             ),
         }
-        base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(self.spec.repo)
+        root = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(self.spec.repo)
+        # per-tier (and per-language for multilingual) asset subfolders: the
+        # reference selects the HF subfolder at download
+        # (StreamingNemotronMultilingualAsrManager.swift:24)
+        candidates = [root / f"{self.chunk_ms}ms", root]
+        if self.spec.multilingual and self.language not in ("auto", ""):
+            lang_key = self.language.replace("_", "-").split("-")[0].lower()
+            candidates = [root / lang_key / f"{self.chunk_ms}ms",
+                          root / lang_key] + candidates
+        base = next(
+            (c for c in candidates if (c / "encoder.npz").exists()), candidates[-1]
+        )
+        if not self.spec.multilingual:
+            self.metadata = NemotronMultilingualMetadata(
+                num_prompts=0, default_prompt_id=0)
+        elif (base / "metadata.json").exists():
+            self.metadata = NemotronMultilingualMetadata.load(base / "metadata.json")
+        else:  # no metadata asset: fall back to the built-in locale table
+            self.metadata = NemotronMultilingualMetadata(
+                num_prompts=128,
+                default_prompt_id=NEMOTRON_LOCALES["auto"],
+                prompt_dictionary=dict(NEMOTRON_LOCALES),
+            )
         loaded = False
         for part in ("encoder", "predictor", "joint"):
             f = base / f"{part}.npz"
@@ -233,9 +319,21 @@ class StreamingNemotronAsrManager:
             jnp.array([self.prompt_id], jnp.int32),
         )
         count = int(result.counts[0])
-        ids = [int(t) for t in np.asarray(result.tokens[0][:count])]
+        raw_ids = [int(t) for t in np.asarray(result.tokens[0][:count])]
         frames = np.asarray(result.token_times[0][:count])
-        ts_ms = [(state.enc_frames_emitted + int(f)) * 80.0 for f in frames]
+        # multilingual: the model emits leading <xx-XX> language-tag tokens —
+        # filter them from the transcript, surface the first as the detected
+        # language (NemotronMultilingualStreamingConfig.swift:44-47)
+        tag_ids = getattr(self.metadata, "lang_tag_token_ids", frozenset())
+        ids, ts_ms = [], []
+        for t, f in zip(raw_ids, frames):
+            if t in tag_ids:
+                if self.detected_language is None:
+                    piece = self.tokenizer.piece(t) or ""
+                    self.detected_language = piece.strip("<>▁ ") or None
+                continue
+            ids.append(t)
+            ts_ms.append((state.enc_frames_emitted + int(f)) * 80.0)
         state.tokens.extend(ids)
         state.timestamps_ms.extend(ts_ms)
         state.enc_frames_emitted += self.mel_frames // 8
