@@ -158,7 +158,416 @@ def cmd_diarization_benchmark(args: argparse.Namespace) -> int:
     return 0
 
 
+def _iter_fleurs(dataset_dir: Path):
+    """Yield (lang, utt_id, wav_path, transcript) from a FLEURS-style tree:
+    `<dataset_dir>/<lang>/test.tsv` (TAB columns: id, filename, transcript,
+    [extras...]) with wavs next to the tsv or under `<lang>/audio/`."""
+    for lang_dir in sorted(p for p in dataset_dir.iterdir() if p.is_dir()):
+        tsv = lang_dir / "test.tsv"
+        if not tsv.exists():
+            continue
+        for line in tsv.read_text().splitlines():
+            cols = line.split("\t")
+            if len(cols) < 3:
+                continue
+            utt_id, fname, text = cols[0], cols[1], cols[2]
+            for cand in (lang_dir / fname, lang_dir / "audio" / fname,
+                         lang_dir / "audio" / "test" / fname):
+                if cand.exists():
+                    yield lang_dir.name, utt_id, cand, text
+                    break
+
+
+def cmd_fleurs_benchmark(args: argparse.Namespace) -> int:
+    """Multilingual WER with decode-time language filtering (reference
+    `FleursBenchmark.swift`): per-language WER + macro average; the FLEURS
+    locale (e.g. `ru_ru`) selects the script filter passed to
+    `AsrManager.transcribe(language=...)`."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.metrics.text_normalizer import normalize_for_scoring
+    from fluidaudio_tpu.metrics.wer import WerBreakdown, levenshtein
+    from fluidaudio_tpu.models.zoo import AsrModels
+
+    dataset_dir = Path(args.dataset_dir)
+    utts = list(_iter_fleurs(dataset_dir))
+    if args.languages:
+        wanted = set(args.languages.split(","))
+        utts = [u for u in utts if u[0] in wanted]
+    if args.max_files:
+        by_lang: dict[str, int] = {}
+        kept = []
+        for u in utts:
+            if by_lang.get(u[0], 0) < args.max_files:
+                kept.append(u)
+                by_lang[u[0]] = by_lang.get(u[0], 0) + 1
+        utts = kept
+    if not utts:
+        print(f"no utterances found under {dataset_dir} "
+              "(expected <lang>/test.tsv + wavs per FLEURS layout)")
+        return 1
+
+    models = AsrModels.load(args.version, allow_random_init=args.allow_random_init)
+    manager = AsrManager(models, ASRConfig(parallel_chunk_batch=args.batch))
+
+    per_lang: dict[str, WerBreakdown] = {}
+    audio_s: dict[str, float] = {}
+    wall_s: dict[str, float] = {}
+    for lang, utt_id, wav, ref in utts:
+        iso = lang.split("_")[0].split("-")[0]  # ru_ru -> ru
+        t0 = time.perf_counter()
+        result = manager.transcribe(
+            wav, language=None if args.no_filter else iso
+        )
+        wall = time.perf_counter() - t0
+        b = levenshtein(
+            normalize_for_scoring(ref).split(),
+            normalize_for_scoring(result.text).split(),
+        )
+        prev = per_lang.get(lang, WerBreakdown(0, 0, 0, 0, 0))
+        per_lang[lang] = WerBreakdown(
+            prev.errors + b.errors,
+            prev.substitutions + b.substitutions,
+            prev.insertions + b.insertions,
+            prev.deletions + b.deletions,
+            prev.reference_length + b.reference_length,
+        )
+        audio_s[lang] = audio_s.get(lang, 0.0) + result.duration
+        wall_s[lang] = wall_s.get(lang, 0.0) + wall
+        if args.verbose:
+            print(f"  [{lang}] {utt_id}: wer {b.rate * 100:.2f}%")
+
+    langs = {
+        lang: {
+            "wer_pct": round(agg.rate * 100, 3),
+            "rtfx": round(audio_s[lang] / max(wall_s[lang], 1e-9), 1),
+            "reference_words": agg.reference_length,
+        }
+        for lang, agg in per_lang.items()
+    }
+    summary = {
+        "languages": langs,
+        "macro_wer_pct": round(
+            sum(v["wer_pct"] for v in langs.values()) / len(langs), 3
+        ),
+        "rtfx": round(sum(audio_s.values()) / max(sum(wall_s.values()), 1e-9), 1),
+        "version": args.version,
+        "language_filter": not args.no_filter,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_vad_benchmark(args: argparse.Namespace) -> int:
+    """VAD accuracy/F1 over a labeled directory (reference VadBenchmark):
+    either labels.json {id: {"label": "speech"|"nonspeech"}} next to wavs, or
+    a musan-style tree ({speech,music,noise}/ category folders)."""
+    import numpy as np
+
+    from fluidaudio_tpu.utils.converter import AudioConverter
+    from fluidaudio_tpu.vad import VadManager
+
+    root = Path(args.dataset_dir)
+    items: list[tuple[Path, bool]] = []
+    labels_file = root / "labels.json"
+    if labels_file.exists():
+        labels = json.loads(labels_file.read_text())
+        for fid, meta in labels.items():
+            wav = root / f"{fid}.wav"
+            if wav.exists():
+                lab = str(meta.get("label", meta.get("category", ""))).lower()
+                items.append((wav, lab.startswith("speech")))
+    else:
+        for cat in ("speech", "music", "noise"):
+            for wav in sorted((root / cat).glob("*.wav")):
+                items.append((wav, cat == "speech"))
+    if args.max_files:
+        items = items[: args.max_files]
+    if not items:
+        print(f"no labeled wavs under {root} (labels.json or musan layout)")
+        return 1
+
+    manager = VadManager()
+    conv = AudioConverter()
+    tp = fp = tn = fn = 0
+    total_audio = total_wall = 0.0
+    for wav, is_speech in items:
+        samples = conv.resample_file(wav)
+        t0 = time.perf_counter()
+        results = manager.process(samples)
+        total_wall += time.perf_counter() - t0
+        total_audio += samples.size / 16000
+        probs = [r.probability for r in results]
+        pred = float(np.mean([p > args.threshold for p in probs])) > 0.25
+        if pred and is_speech:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif is_speech:
+            fn += 1
+        else:
+            tn += 1
+        if args.verbose:
+            print(f"  {wav.name}: speech={is_speech} pred={pred}")
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    summary = {
+        "files": len(items),
+        "accuracy_pct": round((tp + tn) / len(items) * 100, 2),
+        "f1_pct": round(200 * precision * recall / max(precision + recall, 1e-9), 2),
+        "rtfx": round(total_audio / max(total_wall, 1e-9), 1),
+        "threshold": args.threshold,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_tts_benchmark(args: argparse.Namespace) -> int:
+    """TTS RTFx (+ optional ASR round-trip WER) over a sentence list
+    (reference TtsBenchmark.swift)."""
+    from fluidaudio_tpu.tts import KokoroManager
+
+    sentences = (
+        Path(args.sentences).read_text().splitlines()
+        if args.sentences
+        else ["The quick brown fox jumps over the lazy dog."] * args.n
+    )
+    sentences = [s for s in sentences if s.strip()][: args.n]
+    manager = KokoroManager()
+    total_audio = total_wall = 0.0
+    wers = []
+    for text in sentences:
+        t0 = time.perf_counter()
+        r = manager.synthesize(text, voice=args.voice)
+        total_wall += time.perf_counter() - t0
+        total_audio += r.duration
+        if args.roundtrip:
+            from fluidaudio_tpu.asr.config import ASRConfig
+            from fluidaudio_tpu.asr.manager import AsrManager
+            from fluidaudio_tpu.models.zoo import AsrModels
+            from fluidaudio_tpu.tts.roundtrip import tts_asr_roundtrip
+
+            if not hasattr(manager, "_rt_asr"):
+                manager._rt_asr = AsrManager(
+                    AsrModels.load("v3", allow_random_init=True), ASRConfig())
+            wers.append(
+                tts_asr_roundtrip(manager, manager._rt_asr, text,
+                                  voice=args.voice).wer)
+    summary = {
+        "sentences": len(sentences),
+        "audio_seconds": round(total_audio, 2),
+        "rtfx": round(total_audio / max(total_wall, 1e-9), 2),
+        "voice": args.voice,
+    }
+    if wers:
+        summary["roundtrip_wer_pct"] = round(sum(wers) / len(wers) * 100, 2)
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_sortformer_benchmark(args: argparse.Namespace) -> int:
+    """Sortformer DER vs RTTM references (reference SortformerBenchmark)."""
+    from fluidaudio_tpu.diarizer.metrics import compute_der
+    from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+    from fluidaudio_tpu.metrics.rttm import parse_rttm
+    from fluidaudio_tpu.utils.converter import AudioConverter
+
+    pairs = list(_pair_rttm(Path(args.dataset_dir)))
+    if not pairs:
+        print("no (wav, rttm) pairs found")
+        return 1
+    manager = SortformerDiarizer()
+    conv = AudioConverter()
+    ders, total_audio, total_wall = [], 0.0, 0.0
+    for wav, rttm in pairs:
+        samples = conv.resample_file(wav)
+        reference = parse_rttm(rttm)
+        t0 = time.perf_counter()
+        result = (manager.process_offline(samples) if args.mode == "offline"
+                  else manager.process(samples))
+        total_wall += time.perf_counter() - t0
+        total_audio += samples.size / 16000
+        der = compute_der(reference, result.segments, collar=args.collar)
+        ders.append(der.der)
+        if args.verbose:
+            print(f"  {wav.name}: DER {der.der * 100:.2f}%")
+    summary = {
+        "files": len(pairs),
+        "der_pct": round(sum(ders) / len(ders) * 100, 3),
+        "mode": args.mode,
+        "rtfx": round(total_audio / max(total_wall, 1e-9), 1),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_ctc_earnings_benchmark(args: argparse.Namespace) -> int:
+    """Earnings22 keyword-spotting: WER + keyword recall/F1 (reference
+    CtcEarningsBenchmark). Layout: <id>.wav + <id>.txt + labels.json with
+    per-file {"keywords": [...]} lists."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.custom_vocab import CustomVocabularyContext, VocabularyTerm
+    from fluidaudio_tpu.asr.keyword_spotter import CtcKeywordSpotter, KeywordSpotterConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.metrics.text_normalizer import normalize_for_scoring
+    from fluidaudio_tpu.metrics.wer import WerBreakdown, levenshtein
+    from fluidaudio_tpu.models.zoo import AsrModels
+    from fluidaudio_tpu.utils.converter import AudioConverter
+
+    root = Path(args.dataset_dir)
+    labels = json.loads((root / "labels.json").read_text()) \
+        if (root / "labels.json").exists() else {}
+    items = []
+    for wav in sorted(root.glob("*.wav")):
+        txt = wav.with_suffix(".txt")
+        if txt.exists():
+            kws = labels.get(wav.stem, {}).get("keywords", [])
+            items.append((wav, txt.read_text().strip(), [k.lower() for k in kws]))
+    if args.max_files:
+        items = items[: args.max_files]
+    if not items:
+        print(f"no <id>.wav + <id>.txt pairs under {root}")
+        return 1
+
+    models = AsrModels.load(args.version, allow_random_init=args.allow_random_init)
+    manager = AsrManager(models, ASRConfig())
+    conv = AudioConverter()
+    agg = WerBreakdown(0, 0, 0, 0, 0)
+    kw_tp = kw_fn = kw_fp = 0
+    total_audio = total_wall = 0.0
+    for wav, ref, keywords in items:
+        samples = conv.resample_file(wav)
+        t0 = time.perf_counter()
+        result = manager.transcribe(samples)
+        spots = []
+        if keywords:
+            ctx = CustomVocabularyContext(
+                [VocabularyTerm(k) for k in keywords],
+                tokenizer=models.tokenizer)
+            spotter = CtcKeywordSpotter(
+                ctx, KeywordSpotterConfig(vocab_size=models.blank_id))
+            spots = spotter.spot(samples)
+        total_wall += time.perf_counter() - t0
+        total_audio += samples.size / 16000
+        b = levenshtein(normalize_for_scoring(ref).split(),
+                        normalize_for_scoring(result.text).split())
+        agg = WerBreakdown(
+            agg.errors + b.errors, agg.substitutions + b.substitutions,
+            agg.insertions + b.insertions, agg.deletions + b.deletions,
+            agg.reference_length + b.reference_length)
+        found = {s.keyword.lower() for s in spots}
+        ref_words = set(normalize_for_scoring(ref).split())
+        for kw in keywords:
+            present = kw in ref_words or kw in normalize_for_scoring(ref)
+            if present and kw in found:
+                kw_tp += 1
+            elif present:
+                kw_fn += 1
+            elif kw in found:
+                kw_fp += 1
+    recall = kw_tp / max(kw_tp + kw_fn, 1)
+    precision = kw_tp / max(kw_tp + kw_fp, 1)
+    summary = {
+        "files": len(items),
+        "wer_pct": round(agg.rate * 100, 3),
+        "keyword_recall_pct": round(recall * 100, 2),
+        "keyword_f1_pct": round(
+            200 * precision * recall / max(precision + recall, 1e-9), 2),
+        "rtfx": round(total_audio / max(total_wall, 1e-9), 1),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_download_dataset(args: argparse.Namespace) -> int:
+    """Stage a benchmark dataset into the cache (egress-gated)."""
+    from fluidaudio_tpu.registry.datasets import DatasetDownloader
+
+    dl = DatasetDownloader(root=args.output_dir)
+    name = args.dataset
+    try:
+        if name == "ami-sdm":
+            out = dl.download_ami("sdm")
+        elif name == "ami-ihm":
+            out = dl.download_ami("ihm")
+        elif name.startswith("musan"):
+            out = dl.download_musan(name.split("-", 1)[1] if "-" in name else "mini50")
+        elif name == "earnings22-kws":
+            out = dl.download_earnings22_kws(max_files=args.max_files or 10)
+        elif name == "voices":
+            out = dl.download_voices_subset(max_files=args.max_files or 50)
+        else:
+            print(f"unknown dataset {name!r}")
+            return 1
+    except Exception as e:  # OfflineError surfaces cleanly
+        print(f"download failed: {e}")
+        return 1
+    print(json.dumps({"dataset": name, "path": str(out)}))
+    return 0
+
+
 def register(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "vad-benchmark",
+        help="VAD accuracy/F1 over labeled wavs (musan layout or labels.json)",
+    )
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--threshold", type=float, default=0.85)
+    p.add_argument("--max-files", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_vad_benchmark)
+
+    p = sub.add_parser("tts-benchmark", help="TTS RTFx (+ round-trip WER)")
+    p.add_argument("--sentences", help="text file, one sentence per line")
+    p.add_argument("-n", type=int, default=4)
+    p.add_argument("--voice", default="af_heart")
+    p.add_argument("--roundtrip", action="store_true")
+    p.set_defaults(fn=cmd_tts_benchmark)
+
+    p = sub.add_parser(
+        "sortformer-benchmark", help="Sortformer DER vs RTTM references"
+    )
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--mode", choices=["streaming", "offline"], default="streaming")
+    p.add_argument("--collar", type=float, default=0.25)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_sortformer_benchmark)
+
+    p = sub.add_parser(
+        "ctc-earnings-benchmark",
+        help="Earnings22 WER + keyword recall/F1 (CTC-WS boosting)",
+    )
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--version", default="v3")
+    p.add_argument("--max-files", type=int, default=0)
+    p.add_argument("--allow-random-init", action="store_true")
+    p.set_defaults(fn=cmd_ctc_earnings_benchmark)
+
+    p = sub.add_parser(
+        "download-dataset",
+        help="stage a benchmark dataset (ami-sdm/ami-ihm/musan-*/earnings22-kws/voices)",
+    )
+    p.add_argument("dataset")
+    p.add_argument("--output-dir")
+    p.add_argument("--max-files", type=int, default=0)
+    p.set_defaults(fn=cmd_download_dataset)
+
+    p = sub.add_parser(
+        "fleurs-benchmark",
+        help="multilingual WER (FLEURS layout) with decode-time script filter",
+    )
+    p.add_argument("--dataset-dir", required=True,
+                   help="dir with <lang>/test.tsv + wavs (FLEURS layout)")
+    p.add_argument("--version", default="v3")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--max-files", type=int, default=0, help="per language")
+    p.add_argument("--languages", default="", help="comma list, e.g. ru_ru,pl_pl")
+    p.add_argument("--no-filter", action="store_true",
+                   help="disable decode-time language filtering")
+    p.add_argument("--allow-random-init", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_fleurs_benchmark)
+
     p = sub.add_parser(
         "asr-benchmark",
         help="WER benchmark over a local LibriSpeech-layout directory",

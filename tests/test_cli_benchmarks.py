@@ -88,3 +88,39 @@ def test_emission_delay_benchmark(capsys):
     # emission delay can never beat the chunk size + mel lookahead
     if summary["tokens"]:
         assert summary["emission_delay_p50_ms"] >= 0
+
+
+@pytest.fixture(scope="module")
+def fleurs_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fleurs")
+    rng = np.random.RandomState(1)
+    for lang in ("en_us", "ru_ru"):
+        d = root / lang
+        (d / "audio").mkdir(parents=True)
+        lines = []
+        for i in range(2):
+            fname = f"{i}.wav"
+            write_wav(d / "audio" / fname, rng.randn(16000) * 0.05)
+            lines.append(f"{i}\t{fname}\thello world\traw\textras")
+        (d / "test.tsv").write_text("\n".join(lines))
+    return root
+
+
+def test_fleurs_benchmark_summary(fleurs_dir, capsys):
+    rc = main(["fleurs-benchmark", "--dataset-dir", str(fleurs_dir),
+               "--version", "test-tiny", "--allow-random-init"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(summary["languages"]) == {"en_us", "ru_ru"}
+    assert summary["language_filter"] is True
+    assert summary["macro_wer_pct"] >= 0
+
+
+def test_fleurs_benchmark_language_subset(fleurs_dir, capsys):
+    rc = main(["fleurs-benchmark", "--dataset-dir", str(fleurs_dir),
+               "--languages", "en_us", "--no-filter",
+               "--version", "test-tiny", "--allow-random-init"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(summary["languages"]) == {"en_us"}
+    assert summary["language_filter"] is False
