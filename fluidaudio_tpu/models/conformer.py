@@ -46,6 +46,10 @@ class ConformerConfig:
     att_context_left: int = -1
     att_context_right: int = -1
     dtype: str = "bfloat16"  # compute dtype
+    # "auto": fused Pallas rel-pos attention on TPU for full-context models
+    # (ops/attention_pallas.py — one VMEM-resident kernel per (batch, head)
+    # instead of ~7 HBM passes); "xla": always the einsum path.
+    attention_backend: str = "auto"
 
     @property
     def compute_dtype(self):
@@ -105,12 +109,24 @@ class GLUConv(nn.Module):
 
 
 class RelPosMHSA(nn.Module):
-    """Transformer-XL style relative positional multi-head self-attention."""
+    """Transformer-XL style relative positional multi-head self-attention.
+
+    Two compute paths with identical semantics:
+      - XLA einsum path (always correct, any mask shape)
+      - fused Pallas kernel (`ops/attention_pallas.relpos_attention`) for
+        full-context models on TPU — selected via cfg.attention_backend,
+        requires the caller to pass `lengths` (per-row valid key counts).
+    """
 
     cfg: ConformerConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, att_mask: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        att_mask: jax.Array,
+        lengths: jax.Array | None = None,
+    ) -> jax.Array:
         cfg = self.cfg
         B, T, _ = x.shape
         H, Dh = cfg.n_heads, cfg.head_dim
@@ -124,21 +140,40 @@ class RelPosMHSA(nn.Module):
         # relative position embeddings for offsets [-(T-1), T-1]
         pos = _rel_sinusoid(T, cfg.d_model).astype(dt)  # [2T-1, D]
         p = nn.Dense(cfg.d_model, use_bias=False, dtype=dt, name="pos")(pos)
-        p = p.reshape(2 * T - 1, H, Dh)
 
         u = self.param("pos_bias_u", nn.initializers.zeros, (H, Dh), jnp.float32)
         w = self.param("pos_bias_v", nn.initializers.zeros, (H, Dh), jnp.float32)
 
-        # content score: (q + u) . k
-        ac = jnp.einsum("bthd,bshd->bhts", q + u.astype(dt), k)
-        # position score: (q + w) . p, then shift to align relative offsets
-        bd = jnp.einsum("bthd,rhd->bhtr", q + w.astype(dt), p)  # [B,H,T,2T-1]
-        bd = _rel_shift(bd)  # [B,H,T,T]
+        use_pallas = (
+            cfg.attention_backend != "xla"
+            and lengths is not None
+            and cfg.att_context_left < 0
+            and cfg.att_context_right < 0
+            and Dh == 128
+            and jax.default_backend() not in ("cpu",)
+        )
+        if use_pallas:
+            from fluidaudio_tpu.ops.attention_pallas import relpos_attention
 
-        scores = (ac + bd) / np.sqrt(Dh)
-        scores = jnp.where(att_mask[:, None, :, :], scores, jnp.finfo(dt).min)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, cfg.d_model)
+            qu = (q + u.astype(dt)).transpose(0, 2, 1, 3)  # [B,H,T,Dh]
+            qw = (q + w.astype(dt)).transpose(0, 2, 1, 3)
+            kt = k.transpose(0, 2, 1, 3)
+            vt = v.transpose(0, 2, 1, 3)
+            ph = p.reshape(2 * T - 1, H, Dh).transpose(1, 0, 2)  # [H,2T-1,Dh]
+            out = relpos_attention(qu, qw, kt, vt, ph, lengths, T)
+            out = out.astype(dt).transpose(0, 2, 1, 3).reshape(B, T, cfg.d_model)
+        else:
+            p = p.reshape(2 * T - 1, H, Dh)
+            # content score: (q + u) . k
+            ac = jnp.einsum("bthd,bshd->bhts", q + u.astype(dt), k)
+            # position score: (q + w) . p, then shift to align relative offsets
+            bd = jnp.einsum("bthd,rhd->bhtr", q + w.astype(dt), p)  # [B,H,T,2T-1]
+            bd = _rel_shift(bd)  # [B,H,T,T]
+
+            scores = (ac + bd) / np.sqrt(Dh)
+            scores = jnp.where(att_mask[:, None, :, :], scores, jnp.finfo(dt).min)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, cfg.d_model)
         return nn.Dense(cfg.d_model, dtype=dt, name="out")(out)
 
 
@@ -165,7 +200,13 @@ class ConformerBlock(nn.Module):
     cfg: ConformerConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, pad_mask: jax.Array, att_mask: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        pad_mask: jax.Array,
+        att_mask: jax.Array,
+        lengths: jax.Array | None = None,
+    ) -> jax.Array:
         cfg = self.cfg
         dt = cfg.compute_dtype
         d_ff = cfg.d_model * cfg.ffn_expansion
@@ -177,7 +218,7 @@ class ConformerBlock(nn.Module):
             return nn.Dense(cfg.d_model, dtype=dt, name=f"{name}_fc2")(h)
 
         x = x + 0.5 * ffn(x, "ffn1")
-        x = x + RelPosMHSA(cfg, name="mhsa")(x, att_mask)
+        x = x + RelPosMHSA(cfg, name="mhsa")(x, att_mask, lengths)
         x = x + GLUConv(cfg, name="conv")(x, pad_mask)
         x = x + 0.5 * ffn(x, "ffn2")
         return nn.LayerNorm(dtype=dt, name="final_ln")(x)
@@ -241,7 +282,7 @@ class ConformerEncoder(nn.Module):
             att &= ctx[None, :, :]
 
         for i in range(cfg.n_layers):
-            x = ConformerBlock(cfg, name=f"block{i}")(x, pad_mask, att)
+            x = ConformerBlock(cfg, name=f"block{i}")(x, pad_mask, att, out_lengths)
 
         x = x * pad_mask[..., None].astype(x.dtype)
         return x.astype(jnp.float32), out_lengths
