@@ -6,9 +6,15 @@ instances. TPU re-design (SURVEY §2.10): the N streams' conformer caches and
 decode states stack on the batch axis, so every chunk tick is ONE device call
 for all streams — throughput scales with N at near-constant latency.
 
-Streams advance in lockstep ticks; a stream with insufficient buffered audio
-is stepped with a zero chunk and masked out of its transcript (its caches
-still advance deterministically, mirroring a silent input).
+Ragged arrival (realistic serving): streams buffer audio at independent
+rates and may join/leave mid-session. Every tick steps the full static batch
+on device, but rows without a full chunk carry a False entry in the step's
+`active` mask — their conformer caches and decoder state are re-selected
+from the pre-step values inside the jitted step, so a stalled or late-joining
+stream produces EXACTLY the transcript it would produce running solo
+(tests/test_multi_stream.py::test_ragged_join_leave_transcript_invariance).
+`open_stream` reuses freed slots after `close_stream`, resetting that row's
+caches/decode state in place.
 """
 
 from __future__ import annotations
@@ -100,16 +106,34 @@ class MultiStreamEouManager:
         ]
         self._step = jax.jit(self._chunk_step)
 
-    def _chunk_step(self, params, mel_chunk, caches, dec_state):
+    def _chunk_step(self, params, mel_chunk, caches, dec_state, active):
         enc, new_caches = self.encoder.apply(params["encoder"], mel_chunk, caches)
-        lengths = jnp.full((self.n,), enc.shape[1], jnp.int32)
+        lengths = jnp.where(active, enc.shape[1], 0).astype(jnp.int32)
         result = tdt_greedy_decode(
             self.dcfg,
             lambda t, h, c: self.predictor.apply(params["predictor"], t, h, c),
             lambda f, g: self.joint.apply(params["joint"], f, g),
             enc, lengths, dec_state,
         )
-        return result, new_caches
+        # freeze state for inactive rows: caches batch axes are (0,1,1,0)
+        # (StreamingCaches pre_cache/channel/time/channel_len), decode state
+        # h/c are [L, B, H], last_token/time_jump [B]
+        a0 = active[:, None, None]
+        a1 = active[None, :, None, None]
+        kept = type(caches)(
+            pre_cache=jnp.where(a0, new_caches.pre_cache, caches.pre_cache),
+            channel=jnp.where(a1, new_caches.channel, caches.channel),
+            time=jnp.where(a1, new_caches.time, caches.time),
+            channel_len=jnp.where(active, new_caches.channel_len, caches.channel_len),
+        )
+        ns = result.state
+        kept_state = type(dec_state)(
+            h=jnp.where(active[None, :, None], ns.h, dec_state.h),
+            c=jnp.where(active[None, :, None], ns.c, dec_state.c),
+            last_token=jnp.where(active, ns.last_token, dec_state.last_token),
+            time_jump=jnp.zeros_like(ns.time_jump),
+        )
+        return result, kept, kept_state
 
     def feed(self, stream_idx: int, audio: np.ndarray) -> None:
         s = self.streams[stream_idx]
@@ -117,6 +141,39 @@ class MultiStreamEouManager:
 
     def end_stream(self, stream_idx: int) -> None:
         self.streams[stream_idx].ended = True
+
+    # ------------------------------------------------------- ragged slots
+
+    def close_stream(self, stream_idx: int) -> None:
+        """Free a slot for reuse (its transcript remains readable until the
+        slot is re-opened)."""
+        self.streams[stream_idx].ended = True
+
+    def open_stream(self) -> int:
+        """Claim a free (ended) slot for a newly-joining stream; resets that
+        row's conformer caches, decoder state and transcript in place."""
+        for i, s in enumerate(self.streams):
+            if s.ended:
+                self._reset_slot(i)
+                self.streams[i] = _PerStream(pending=np.zeros(0, np.float32))
+                return i
+        raise RuntimeError(f"all {self.n} stream slots are live")
+
+    def _reset_slot(self, i: int) -> None:
+        c = self.caches
+        self.caches = type(c)(
+            pre_cache=c.pre_cache.at[i].set(0.0),
+            channel=c.channel.at[:, i].set(0.0),
+            time=c.time.at[:, i].set(0.0),
+            channel_len=c.channel_len.at[i].set(0),
+        )
+        d = self.dec_state
+        self.dec_state = type(d)(
+            h=d.h.at[:, i].set(0.0),
+            c=d.c.at[:, i].set(0.0),
+            last_token=d.last_token.at[i].set(self.dcfg.blank_id),
+            time_jump=d.time_jump.at[i].set(0),
+        )
 
     @property
     def ready(self) -> bool:
@@ -141,9 +198,8 @@ class MultiStreamEouManager:
 
         mel, _ = self.mel(jnp.asarray(window), last_samples=jnp.asarray(last))
         mel = mel[:, :, : self.mel_frames]
-        result, self.caches = self._step(self.params, mel, self.caches, self.dec_state)
-        self.dec_state = result.state._replace(
-            time_jump=jnp.zeros_like(result.state.time_jump)
+        result, self.caches, self.dec_state = self._step(
+            self.params, mel, self.caches, self.dec_state, jnp.asarray(active)
         )
 
         counts = np.asarray(result.counts)

@@ -42,3 +42,53 @@ def test_stream_isolation_matches_feed_order(manager):
     while manager.ready:
         manager.tick()
     assert manager.transcript(1) == before
+
+
+def test_ragged_join_leave_transcript_invariance():
+    """A stream that joins mid-session gets EXACTLY the transcript it would
+    get running solo: inactive rows' caches/decoder state are frozen."""
+    rng = np.random.RandomState(7)
+    audio = (rng.randn(24000) * 0.2).astype(np.float32)
+
+    # solo run
+    solo = MultiStreamEouManager(n_streams=2, chunk_ms=320, enc_cfg=TINY)
+    solo.feed(0, audio)
+    while solo.ready:
+        solo.tick()
+    want = solo.transcript(0)
+
+    # ragged run: stream 0 runs for a while alone; stream 1 joins late with
+    # the same audio and must reproduce `want`
+    m = MultiStreamEouManager(n_streams=2, chunk_ms=320, enc_cfg=TINY)
+    m.streams[1].ended = True  # slot 1 initially closed
+    other = (rng.randn(24000) * 0.1).astype(np.float32)
+    m.feed(0, other[:12000])
+    for _ in range(2):
+        if m.ready:
+            m.tick()
+    late = m.open_stream()
+    assert late == 1
+    m.feed(late, audio[:8000])
+    m.feed(0, other[12000:])
+    while m.ready:
+        m.tick()
+    m.feed(late, audio[8000:])
+    while m.ready:
+        m.tick()
+    assert m.transcript(late) == want
+
+
+def test_close_and_reopen_resets_slot():
+    rng = np.random.RandomState(9)
+    m = MultiStreamEouManager(n_streams=2, chunk_ms=320, enc_cfg=TINY)
+    m.feed(0, (rng.randn(16000) * 0.2).astype(np.float32))
+    m.feed(1, (rng.randn(16000) * 0.2).astype(np.float32))
+    while m.ready:
+        m.tick()
+    m.close_stream(1)
+    slot = m.open_stream()
+    assert slot == 1
+    assert m.transcript(slot) == ""
+    with pytest.raises(RuntimeError):
+        # both slots live now (slot 1 reopened, slot 0 never ended)
+        m.open_stream()
