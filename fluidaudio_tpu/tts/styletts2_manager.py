@@ -1,15 +1,21 @@
-"""StyleTTS2Manager: reference-audio-styled TTS.
+"""StyleTTS2Manager: reference-audio-styled TTS (LibriTTS iteration_3).
 
-Behavioral parity: reference `StyleTTS2/StyleTTS2Manager.swift:37` +
-Synthesizer/GlueOps/MelExtractor/DiffusionSchedule/Phonemizer/TextCleaner:
-8 stages over 3 jitted programs; style from reference audio (or a stored
-default); Misaki-style phonemization (shared EnglishG2P); 24 kHz out.
+Behavioral parity: reference `StyleTTS2/StyleTTS2Manager.swift:37` driving the
+8-stage synthesizer (`StyleTTS2Synthesizer.swift:33-133`), TextCleaner symbol
+table (`StyleTTS2TextCleaner.swift:9-71`), reference-mel extractor quirk
+(`StyleTTS2MelExtractor.swift` / `StyleTTS2Constants.swift:37-52`: 16 kHz
+filterbank applied to 24 kHz audio, n_fft 2048, win 1200, hop 300,
+(log(mel+1e-5)+4)/4), Karras/ADPM2 noise contract
+(`StyleTTS2DiffusionSchedule.swift`), alpha/beta style blending and
+duration rounding (`StyleTTS2GlueOps.swift`), 50-sample tail trim.
+
+TPU re-design: 8 CoreML stages -> 4 jitted programs (models/styletts2.py)
+over static token/frame buckets (reference buckets 64/128/256,
+`StyleTTS2Constants.bucketTokenSizes`).
 """
 
 from __future__ import annotations
 
-import re
-import time
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -19,16 +25,19 @@ import numpy as np
 
 from fluidaudio_tpu.models.kokoro import expand_durations
 from fluidaudio_tpu.models.styletts2 import (
+    DIFFUSION_STEPS,
     HOP,
     SAMPLE_RATE,
     STYLE_DIM,
     STYLETTS2_BASE,
-    StyleEncoder,
-    StyleTts2Acoustic,
+    StyleTts2AcousticProgram,
     StyleTts2Config,
-    StyleTts2Text,
+    StyleTts2PredictProgram,
+    StyleTts2StyleProgram,
+    StyleTts2TextProgram,
+    blend_style,
+    round_durations,
 )
-from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
 from fluidaudio_tpu.registry import DownloadUtils, Repo
 from fluidaudio_tpu.tts.g2p import EnglishG2P
 from fluidaudio_tpu.utils.checkpoint import load_params
@@ -36,15 +45,99 @@ from fluidaudio_tpu.utils.logging import get_logger
 
 logger = get_logger("tts.styletts2")
 
-_IPA_VOCAB = {c: i + 1 for i, c in enumerate(dict.fromkeys(
-    " abcdefghijklmnopqrstuvwxyzɑæʌɔəɛɝɪʊθðʃʒŋɹeɪaʊoʊɔɪˈˌ.,!?;:'-"
-))}
+# --------------------------------------------------------------------------
+# TextCleaner: pad + punctuation + letters + IPA, canonical training order
+# (StyleTTS2TextCleaner.swift:13-48; later duplicates overwrite earlier ids)
+# --------------------------------------------------------------------------
+
+_PAD = "$"
+_PUNCTUATION = ';:,.!?¡¿—…"«»“” '
+_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_IPA = (
+    "ɑɐɒæɓʙβɔɕçɗɖðʤəɘɚɛɜɝɞɟʄɡɠɢʛɦɧħɥʜɨɪʝɭɬɫɮʟɱɯɰŋɳɲɴøɵɸθœɶʘɹɺɾɻʀʁɽʂʃʈʧʉʊʋⱱʌɣɤʍχʎʏʑʐʒʔʡʕʢǀǁǂǃˈˌːˑʼʴʰʱʲʷˠˤ˞↓↑→↗↘'̩'ᵻ"
+)
+SYMBOLS = [_PAD] + list(_PUNCTUATION) + list(_LETTERS) + list(_IPA)
+_CHAR_TO_ID = {c: i for i, c in enumerate(SYMBOLS)}  # last write wins
+
+
+def text_cleaner_encode(phonemes: str, prepend_pad: bool = True) -> list[int]:
+    """espeak-IPA string -> TextCleaner ids; unknown chars silently dropped
+    (`StyleTTS2TextCleaner.encode`)."""
+    ids = [0] if prepend_pad else []
+    ids.extend(_CHAR_TO_ID[c] for c in phonemes if c in _CHAR_TO_ID)
+    return ids
+
+
+# --------------------------------------------------------------------------
+# reference-audio mel (torchaudio parity incl. the 16 kHz filterbank quirk)
+# --------------------------------------------------------------------------
+
+_MEL_SR_QUIRK = 16_000  # filterbank built at 16 kHz, audio is 24 kHz
+_MEL_NFFT = 2_048
+_MEL_WIN = 1_200
+_MEL_HOP = 300
+
+
+def _htk_filterbank(n_fft: int, n_mels: int, sr: int) -> np.ndarray:
+    """torchaudio default melscale_fbanks: HTK scale, no norm."""
+    f_max = sr / 2.0
+    m_min, m_max = 0.0, 2595.0 * np.log10(1.0 + f_max / 700.0)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = 700.0 * (10.0 ** (m_pts / 2595.0) - 1.0)
+    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    fb = np.zeros((n_fft // 2 + 1, n_mels))
+    for m in range(n_mels):
+        lo, ctr, hi = f_pts[m], f_pts[m + 1], f_pts[m + 2]
+        up = (freqs - lo) / max(ctr - lo, 1e-10)
+        down = (hi - freqs) / max(hi - ctr, 1e-10)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb.astype(np.float32)
+
+
+_FB_CACHE: dict[int, np.ndarray] = {}
+
+
+def styletts2_ref_mel(audio_24k: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """24 kHz mono f32 -> normalized log-mel [n_mels, T] (torchaudio parity:
+    reflect-pad center, periodic hann(1200), power 2, HTK filterbank built at
+    16 kHz — the upstream `make_preprocess()` never overrides sample_rate)."""
+    x = np.asarray(audio_24k, np.float32).reshape(-1)
+    if n_mels not in _FB_CACHE:
+        _FB_CACHE[n_mels] = _htk_filterbank(_MEL_NFFT, n_mels, _MEL_SR_QUIRK)
+    pad = _MEL_NFFT // 2
+    if x.size < 2:
+        x = np.zeros(2, np.float32)
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    n_frames = 1 + (xp.size - _MEL_NFFT) // _MEL_HOP
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(_MEL_WIN) / _MEL_WIN)  # periodic
+    wpad = (_MEL_NFFT - _MEL_WIN) // 2
+    win_full = np.zeros(_MEL_NFFT, np.float32)
+    win_full[wpad : wpad + _MEL_WIN] = win
+    idx = np.arange(n_frames)[:, None] * _MEL_HOP + np.arange(_MEL_NFFT)[None, :]
+    frames = xp[idx] * win_full[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=-1)) ** 2  # [T, n_fft//2+1]
+    mel = spec @ _FB_CACHE[n_mels]  # [T, n_mels]
+    return ((np.log(mel + 1e-5) + 4.0) / 4.0).T.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
 
 
 @dataclass
 class StyleTts2Result:
     samples: np.ndarray
     sample_rate: int
+
+
+_TOKEN_BUCKETS = (64, 128, 256)  # StyleTTS2Constants.bucketTokenSizes
+_MEL_BUCKETS = (128, 256, 512, 1024)
+
+
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
 
 
 class StyleTTS2Manager:
@@ -55,27 +148,36 @@ class StyleTTS2Manager:
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
     ):
-        self.cfg = config or STYLETTS2_BASE
-        cfg = self.cfg
-        self.style_enc = StyleEncoder(cfg)
-        self.text_model = StyleTts2Text(cfg)
-        self.acoustic = StyleTts2Acoustic(cfg)
+        self.cfg = cfg = config or STYLETTS2_BASE
+        self.text_prog = StyleTts2TextProgram(cfg)
+        self.style_prog = StyleTts2StyleProgram(cfg)
+        self.predict_prog = StyleTts2PredictProgram(cfg)
+        self.acoustic_prog = StyleTts2AcousticProgram(cfg, deterministic=True)
         self.g2p = EnglishG2P()
-        self.ref_mel = MelFrontend(MelConfig(n_mels=cfg.n_mels, normalize=None))
 
-        k = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
+        tb = min(cfg.max_tokens, _TOKEN_BUCKETS[0])
+        fb = min(cfg.max_frames, 64)
+        k = jax.random.split(jax.random.PRNGKey(rng_seed), 4)
+        ids0 = jnp.zeros((1, tb), jnp.int32)
+        len0 = jnp.array([tb], jnp.int32)
+        bert0 = jnp.zeros((1, tb, cfg.albert_hidden))
         self.params = {
-            "style": jax.jit(self.style_enc.init)(
-                k[0], jnp.zeros((1, cfg.n_mels, 101)), jnp.zeros((1, STYLE_DIM))
+            "text": self.text_prog.init(k[0], ids0, len0),
+            "style": self.style_prog.init(
+                k[1], jnp.zeros((1, cfg.n_mels, 128)), jnp.array([128], jnp.int32),
+                bert0, len0, jnp.zeros((1, 2 * cfg.style_dim)),
+                jnp.zeros((DIFFUSION_STEPS - 1, 1, 2 * cfg.style_dim)),
             ),
-            "text": jax.jit(self.text_model.init)(
-                k[1], jnp.zeros((1, cfg.max_tokens), jnp.int32),
-                jnp.zeros((1, STYLE_DIM)), jnp.array([cfg.max_tokens], jnp.int32),
+            "predict": self.predict_prog.init(
+                k[2], jnp.zeros((1, tb, cfg.d_model)),
+                jnp.zeros((1, cfg.style_dim)), len0,
             ),
-            "acoustic": jax.jit(self.acoustic.init)(
-                k[2], jnp.zeros((1, cfg.max_tokens, cfg.d_model)),
-                jnp.zeros((1, cfg.max_frames), jnp.int32),
-                jnp.zeros((1, STYLE_DIM)), jnp.array([cfg.max_frames], jnp.int32),
+            "acoustic": self.acoustic_prog.init(
+                k[3],
+                jnp.zeros((1, tb, cfg.d_model + cfg.style_dim)),
+                jnp.zeros((1, tb, cfg.d_model)),
+                jnp.zeros((1, fb), jnp.int32), jnp.array([fb], jnp.int32),
+                jnp.zeros((1, cfg.style_dim)), jnp.zeros((1, cfg.style_dim)),
             ),
         }
         base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.STYLETTS2)
@@ -83,59 +185,72 @@ class StyleTTS2Manager:
             f = base / f"{part}.npz"
             if f.exists():
                 self.params[part] = load_params(f, self.params[part])
-        self._style_fn = jax.jit(self.style_enc.apply)
-        self._text_fn = jax.jit(self.text_model.apply)
-        self._acoustic_fn = jax.jit(self.acoustic.apply)
-        self._default_style = np.zeros(STYLE_DIM, np.float32)
+        self._text_fn = jax.jit(self.text_prog.apply)
+        self._style_fn = jax.jit(self.style_prog.apply)
+        self._predict_fn = jax.jit(self.predict_prog.apply)
+        self._acoustic_fn = jax.jit(self.acoustic_prog.apply)
+        self._default_ref = np.zeros((1, 2 * cfg.style_dim), np.float32)
 
-    def style_from_reference(self, samples_24k: np.ndarray, seed: int = 0) -> np.ndarray:
-        """ref_encoder + diffusion sampler (style from reference audio)."""
-        x = np.asarray(samples_24k, np.float32).reshape(-1)
-        # mel at 24 kHz input is approximated with the 16 kHz frontend config
-        # applied to resampled audio at init-time fidelity; real checkpoints
-        # ship their own mel constants.
-        width = 16000
-        from fluidaudio_tpu.utils.converter import resample
-
-        x16 = resample(x, SAMPLE_RATE, 16000)
-        buf = np.zeros(width, np.float32)
-        buf[: min(x16.size, width)] = x16[:width]
-        mel, _ = self.ref_mel(jnp.asarray(buf)[None, :])
-        noise = jax.random.normal(jax.random.PRNGKey(seed), (1, STYLE_DIM))
-        return np.asarray(self._style_fn(self.params["style"], mel, noise))[0]
+    # ------------------------------------------------------------------ api
 
     def synthesize(
         self,
         text: str,
         reference_audio: np.ndarray | None = None,
+        *,
+        alpha: float = 0.3,
+        beta: float = 0.7,
+        noise_seed: int = 0,
         speed: float = 1.0,
     ) -> StyleTts2Result:
-        style = (
-            self.style_from_reference(reference_audio)
-            if reference_audio is not None
-            else self._default_style
-        )[None, :]
-        phonemes = self.g2p.phonemize(_clean_text(text))
-        ids = [_IPA_VOCAB.get(c, 0) for c in phonemes][: self.cfg.max_tokens]
-        n = max(1, len(ids))
-        tokens = np.zeros((1, self.cfg.max_tokens), np.int32)
-        tokens[0, : len(ids)] = ids
+        """Text -> 24 kHz samples. `alpha`/`beta` blend the diffusion-sampled
+        style against the reference style (`StyleTTS2Synthesizer.swift:33-40`;
+        defaults 0.3/0.7)."""
+        cfg = self.cfg
+        phonemes = self.g2p.phonemize(text)
+        ids = text_cleaner_encode(phonemes)[: cfg.max_tokens]
+        n = len(ids)
+        tb = _bucket(n, tuple(b for b in _TOKEN_BUCKETS if b <= cfg.max_tokens) or (cfg.max_tokens,))
+        tokens = np.zeros((1, tb), np.int32)
+        tokens[0, :n] = ids
+        lengths = jnp.asarray([n], jnp.int32)
 
-        log_dur, latents = self._text_fn(
-            self.params["text"], jnp.asarray(tokens), jnp.asarray(style),
-            jnp.asarray([n], jnp.int32),
+        bert_dur, d_en, t_en = self._text_fn(
+            self.params["text"], jnp.asarray(tokens), lengths
         )
-        durations = np.exp(np.asarray(log_dur[0][:n])) / speed
-        frame_tokens, total = expand_durations(durations, self.cfg.max_frames)
+
+        # style: ref_encoder + ADPM2 diffusion sampling
+        if reference_audio is not None:
+            mel = styletts2_ref_mel(reference_audio, cfg.n_mels)
+        else:
+            mel = styletts2_ref_mel(np.zeros(SAMPLE_RATE, np.float32), cfg.n_mels)
+        frames = mel.shape[1]
+        mb = _bucket(frames, _MEL_BUCKETS)
+        mel_pad = np.zeros((1, cfg.n_mels, mb), np.float32)
+        mel_pad[0, :, :frames] = mel[:, :mb]
+        rng = np.random.RandomState(noise_seed)
+        noise_init = rng.randn(1, 2 * cfg.style_dim).astype(np.float32)
+        noises_aux = rng.randn(DIFFUSION_STEPS - 1, 1, 2 * cfg.style_dim).astype(np.float32)
+        s_pred, ref_s = self._style_fn(
+            self.params["style"], jnp.asarray(mel_pad),
+            jnp.asarray([min(frames, mb)], jnp.int32), bert_dur, lengths,
+            jnp.asarray(noise_init), jnp.asarray(noises_aux),
+        )
+        ref128, s128 = blend_style(np.asarray(s_pred), np.asarray(ref_s), alpha, beta)
+
+        d, dur_logits = self._predict_fn(
+            self.params["predict"], d_en, jnp.asarray(s128), lengths
+        )
+        durations = round_durations(np.asarray(dur_logits)[0], n).astype(np.float64)
+        durations = np.maximum(np.rint(durations / max(speed, 0.05)), 1)
+        frame_idx, total = expand_durations(durations, cfg.max_frames)
+        fbkt = _bucket(total, tuple(b for b in (256, 512, 1024, 2048) if b <= cfg.max_frames) or (cfg.max_frames,))
         audio = self._acoustic_fn(
-            self.params["acoustic"], latents, jnp.asarray(frame_tokens)[None],
-            jnp.asarray(style), jnp.asarray([total], jnp.int32),
+            self.params["acoustic"], d, t_en,
+            jnp.asarray(frame_idx[:fbkt])[None], jnp.asarray([total], jnp.int32),
+            jnp.asarray(s128), jnp.asarray(ref128),
         )
-        return StyleTts2Result(
-            samples=np.asarray(audio[0][: total * HOP]), sample_rate=SAMPLE_RATE
-        )
-
-
-def _clean_text(text: str) -> str:
-    """TextCleaner: collapse whitespace, strip unsupported symbols."""
-    return re.sub(r"\s+", " ", re.sub(r"[^\w\s.,!?;:'-]", "", text)).strip()
+        samples = np.asarray(audio[0])[: total * HOP + 1]
+        trim = min(50, samples.size)  # tail trim (Synthesizer.swift:127-131)
+        return StyleTts2Result(samples=samples[: samples.size - trim],
+                               sample_rate=SAMPLE_RATE)
