@@ -1,14 +1,29 @@
-"""Supertonic3Manager: 31-language 44.1 kHz TTS with flow matching + CFG.
+"""Supertonic3Manager: 31-language 44.1 kHz TTS (step-fed flow matching).
 
-Behavioral parity: reference `Supertonic3/Supertonic3Manager.swift:36` +
-Synthesizer/LatentSampler/TextChunker/UnicodeProcessor: 4 stages, unicode
-tokenization, per-voice style JSON, sentence chunking for long text.
+Behavioral parity with the reference pipeline
+(`Supertonic3/Supertonic3Manager.swift:36`, `Supertonic3Synthesizer.swift:33-216`):
+  - UnicodeProcessor text normalization: NFKD, emoji strip, symbol/abbrev
+    replacement tables, spacing cleanup, sentence-final period, <lang> tags,
+    unicode_indexer.json codepoint lookup (-1 for unknown)
+    (`Supertonic3UnicodeProcessor.swift:81-195`)
+  - chunking: 70 Latin / 57 CJK chars, 0.05 s silence between chunks
+    (`Supertonic3Constants.swift:79-94`)
+  - per-chunk: duration_predictor -> speed-scaled duration (floor 0.05 s) ->
+    Box-Muller noisy latent + mask (`Supertonic3LatentSampler.swift:24-71`) ->
+    8 vector_estimator steps -> vocoder -> trim to duration*sr samples
+  - styles: per-voice (ttl [50,256], dp [8,16]) tensors from the voice JSON
+
+TPU re-design: the reference's 8 fed-back CoreML dispatches become ONE jitted
+program that unrolls the denoise loop on device; latent lengths live in
+static buckets (the reference's ANE buckets 128/256/512 play the same role,
+`Supertonic3Types.swift:75-95`).
 """
 
 from __future__ import annotations
 
 import json
 import re
+import unicodedata
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -16,17 +31,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fluidaudio_tpu.models.kokoro import expand_durations
 from fluidaudio_tpu.models.supertonic3 import (
-    HOP,
-    LATENT_DIM,
+    DEFAULT_TOTAL_STEPS,
+    DP_STYLE_DIM,
+    DP_STYLE_TOKENS,
     SAMPLE_RATE,
+    SAMPLES_PER_LATENT,
     SUPERTONIC3_BASE,
+    TTL_STYLE_DIM,
+    TTL_STYLE_TOKENS,
     Supertonic3Config,
-    Supertonic3Estimator,
-    Supertonic3Text,
+    Supertonic3DurationPredictor,
+    Supertonic3TextEncoder,
+    Supertonic3VectorEstimator,
     Supertonic3Vocoder,
-    unicode_tokenize,
+    sample_noisy_latent,
 )
 from fluidaudio_tpu.registry import DownloadUtils, Repo
 from fluidaudio_tpu.utils.checkpoint import load_params
@@ -34,15 +53,62 @@ from fluidaudio_tpu.utils.logging import get_logger
 
 logger = get_logger("tts.supertonic3")
 
+AVAILABLE_LANGUAGES = {
+    "en", "ko", "ja", "ar", "bg", "cs", "da", "de", "el", "es", "et", "fi",
+    "fr", "hi", "hr", "hu", "id", "it", "lt", "lv", "nl", "pl", "pt", "ro",
+    "ru", "sk", "sl", "sv", "tr", "uk", "vi", "na",
+}
+CJK_LANGUAGES = {"ko", "ja"}
+MAX_CHUNK_LATIN = 70
+MAX_CHUNK_CJK = 57
+DEFAULT_SPEED = 1.05
+DEFAULT_SILENCE_S = 0.05
 
-@dataclass
-class Supertonic3Result:
-    samples: np.ndarray
-    sample_rate: int
+_SYMBOL_REPLACEMENTS = [
+    ("–", "-"), ("‑", "-"), ("—", "-"), ("_", " "),
+    ("“", '"'), ("”", '"'), ("‘", "'"), ("’", "'"),
+    ("´", "'"), ("`", "'"), ("[", " "), ("]", " "), ("|", " "),
+    ("/", " "), ("#", " "), ("→", " "), ("←", " "),
+]
+_DECORATIVE = ["♥", "☆", "♡", "©", "\\"]
+_EXPRESSIONS = [("@", " at "), ("e.g.,", "for example, "), ("i.e.,", "that is, ")]
+_EMOJI_RANGES = (
+    (0x1F600, 0x1F64F), (0x1F300, 0x1F5FF), (0x1F680, 0x1F6FF),
+    (0x1F700, 0x1F77F), (0x1F780, 0x1F7FF), (0x1F800, 0x1F8FF),
+    (0x1F900, 0x1F9FF), (0x1FA00, 0x1FA6F), (0x1FA70, 0x1FAFF),
+    (0x2600, 0x26FF), (0x2700, 0x27BF), (0x1F1E6, 0x1F1FF),
+)
+_SENT_END = re.compile(
+    "[.!?;:,'\"“”‘’)\\]}…。」』】〉》›»]$"
+)
+
+
+def preprocess_text(raw: str, lang: str) -> str:
+    """`Supertonic3UnicodeProcessor.preprocess` parity."""
+    text = unicodedata.normalize("NFKD", raw)
+    text = "".join(
+        c for c in text
+        if not any(lo <= ord(c) <= hi for lo, hi in _EMOJI_RANGES)
+    )
+    for old, new in _SYMBOL_REPLACEMENTS:
+        text = text.replace(old, new)
+    for sym in _DECORATIVE:
+        text = text.replace(sym, "")
+    for old, new in _EXPRESSIONS:
+        text = text.replace(old, new)
+    for old in (" ,", " .", " !", " ?", " ;", " :", " '"):
+        text = text.replace(old, old[1:])
+    for rep, single in (('""', '"'), ("''", "'"), ("``", "`")):
+        while rep in text:
+            text = text.replace(rep, single)
+    text = re.sub(r"\s+", " ", text).strip()
+    if text and not _SENT_END.search(text):
+        text += "."
+    return f"<{lang}>{text}</{lang}>"
 
 
 def chunk_text(text: str, max_chars: int) -> list[str]:
-    """TextChunker: sentence-boundary packing."""
+    """`Supertonic3TextChunker` behavior: sentence-boundary packing."""
     parts = re.split(r"(?<=[.!?;])\s+", text.strip())
     chunks, cur = [], ""
     for p in parts:
@@ -56,6 +122,36 @@ def chunk_text(text: str, max_chars: int) -> list[str]:
     return chunks
 
 
+class UnicodeIndexer:
+    """unicode_indexer.json: flat codepoint -> id list; -1 for unknown.
+
+    Without the downloaded asset a deterministic fallback maps codepoints
+    into the configured vocab (stable across runs; replaced verbatim once
+    the real indexer is cached)."""
+
+    def __init__(self, table: list[int] | None, vocab_size: int):
+        self.table = table
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str, max_len: int) -> tuple[np.ndarray, int]:
+        ids = np.zeros((max_len,), np.int64)
+        n = min(len(text), max_len)
+        for j, ch in enumerate(text[:max_len]):
+            cp = ord(ch)
+            if self.table is not None:
+                ids[j] = self.table[cp] if cp < len(self.table) else -1
+            else:
+                ids[j] = 1 + (cp % (self.vocab_size - 2))
+        return ids, n
+
+
+@dataclass
+class Supertonic3Result:
+    samples: np.ndarray
+    sample_rate: int
+    duration: float
+
+
 class Supertonic3Manager:
     def __init__(
         self,
@@ -63,48 +159,82 @@ class Supertonic3Manager:
         *,
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
+        total_steps: int = DEFAULT_TOTAL_STEPS,
     ):
-        self.cfg = config or SUPERTONIC3_BASE
-        cfg = self.cfg
-        self.text_model = Supertonic3Text(cfg)
-        self.estimator = Supertonic3Estimator(cfg)
+        self.cfg = cfg = config or SUPERTONIC3_BASE
+        self.total_steps = total_steps
+        self.text_enc = Supertonic3TextEncoder(cfg)
+        self.dur_pred = Supertonic3DurationPredictor(cfg)
+        self.estimator = Supertonic3VectorEstimator(cfg)
         self.vocoder = Supertonic3Vocoder(cfg)
 
-        k = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
+        T, L = cfg.text_t, cfg.max_latent
+        k = jax.random.split(jax.random.PRNGKey(rng_seed), 4)
+        ids0 = jnp.zeros((1, T), jnp.int32)
+        tm0 = jnp.ones((1, T))
+        ttl0 = jnp.zeros((1, TTL_STYLE_TOKENS, TTL_STYLE_DIM))
+        dp0 = jnp.zeros((1, DP_STYLE_TOKENS, DP_STYLE_DIM))
+        from fluidaudio_tpu.models.supertonic3 import LATENT_CH
+
         self.params = {
-            "text": jax.jit(self.text_model.init)(
-                k[0], jnp.zeros((1, cfg.max_tokens), jnp.int32),
-                jnp.zeros((1, cfg.style_dim)), jnp.array([cfg.max_tokens], jnp.int32),
+            "text_encoder": self.text_enc.init(k[0], ids0, tm0, ttl0),
+            "duration_predictor": self.dur_pred.init(k[1], ids0, tm0, dp0),
+            "vector_estimator": self.estimator.init(
+                k[2], jnp.zeros((1, LATENT_CH, L)), jnp.zeros((1, 256, T)),
+                ttl0, jnp.ones((1, 1, L)), tm0[:, None, :],
+                jnp.zeros((1,)), jnp.ones((1,)),
             ),
-            "estimator": jax.jit(self.estimator.init)(
-                k[1], jnp.zeros((1, cfg.max_tokens, cfg.d_model)),
-                jnp.zeros((1, cfg.max_frames), jnp.int32),
-                jnp.zeros((1, cfg.style_dim)),
-                jnp.zeros((1, cfg.max_frames, LATENT_DIM)),
-            ),
-            "vocoder": jax.jit(self.vocoder.init)(
-                k[2], jnp.zeros((1, cfg.max_frames, LATENT_DIM)),
-                jnp.array([cfg.max_frames], jnp.int32),
-            ),
+            "vocoder": self.vocoder.init(k[3], jnp.zeros((1, LATENT_CH, L))),
         }
         base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.SUPERTONIC3)
         for part in self.params:
             f = base / f"{part}.npz"
             if f.exists():
                 self.params[part] = load_params(f, self.params[part])
+        self.indexer = self._load_indexer(base)
         self.voices = self._load_voices(base)
-        self._text_fn = jax.jit(self.text_model.apply)
-        self._est_fn = jax.jit(self.estimator.apply)
+
+        self._text_fn = jax.jit(self.text_enc.apply)
+        self._dur_fn = jax.jit(self.dur_pred.apply)
         self._voc_fn = jax.jit(self.vocoder.apply)
 
-    def _load_voices(self, base: Path) -> dict[str, np.ndarray]:
+        est = self.estimator
+
+        @jax.jit
+        def denoise(params, z, text_emb, style_ttl, latent_mask, text_mask):
+            total = jnp.full((z.shape[0],), float(total_steps))
+            for step in range(total_steps):
+                cur = jnp.full((z.shape[0],), float(step))
+                z = est.apply(params, z, text_emb, style_ttl, latent_mask,
+                              text_mask, cur, total)
+            return z
+
+        self._denoise_fn = denoise
+
+    # ---------------------------------------------------------------- assets
+
+    def _load_indexer(self, base: Path) -> UnicodeIndexer:
+        f = base / "unicode_indexer.json"
+        if f.exists():
+            return UnicodeIndexer(json.loads(f.read_text()), self.cfg.vocab_size)
+        return UnicodeIndexer(None, self.cfg.vocab_size)
+
+    def _load_voices(self, base: Path) -> dict[str, dict[str, np.ndarray]]:
+        """Voice style files: {name: {"ttl": [50,256], "dp": [8,16]}}."""
         f = base / "voices.json"
         if f.exists():
             raw = json.loads(f.read_text())
-            return {k: np.asarray(v, np.float32) for k, v in raw.items()}
+            return {
+                k: {"ttl": np.asarray(v["ttl"], np.float32).reshape(
+                        TTL_STYLE_TOKENS, TTL_STYLE_DIM),
+                    "dp": np.asarray(v["dp"], np.float32).reshape(
+                        DP_STYLE_TOKENS, DP_STYLE_DIM)}
+                for k, v in raw.items()
+            }
         rng = np.random.RandomState(11)
         return {
-            name: rng.randn(self.cfg.style_dim).astype(np.float32) * 0.1
+            name: {"ttl": rng.randn(TTL_STYLE_TOKENS, TTL_STYLE_DIM).astype(np.float32) * 0.1,
+                   "dp": rng.randn(DP_STYLE_TOKENS, DP_STYLE_DIM).astype(np.float32) * 0.1}
             for name in ("sara", "marcus")
         }
 
@@ -112,32 +242,73 @@ class Supertonic3Manager:
     def available_voices(self) -> list[str]:
         return sorted(self.voices)
 
-    def synthesize(self, text: str, voice: str = "sara", seed: int = 0
-                   ) -> Supertonic3Result:
+    # ------------------------------------------------------------------- api
+
+    def synthesize(
+        self,
+        text: str,
+        voice: str = "sara",
+        language: str = "en",
+        *,
+        speed: float = DEFAULT_SPEED,
+        total_steps: int | None = None,
+        silence_duration: float = DEFAULT_SILENCE_S,
+        seed: int = 0,
+    ) -> Supertonic3Result:
+        if language not in AVAILABLE_LANGUAGES:
+            raise ValueError(f"unsupported language {language!r}")
         style = self.voices.get(voice)
         if style is None:
             raise KeyError(f"unknown voice {voice!r}; available {self.available_voices}")
-        style = style[None, :]
-        pieces = []
-        for ci, chunk in enumerate(chunk_text(text, self.cfg.max_tokens - 2)):
-            ids = unicode_tokenize(chunk, self.cfg.vocab_size, self.cfg.max_tokens)
-            n = max(1, len(ids))
-            tokens = np.zeros((1, self.cfg.max_tokens), np.int32)
-            tokens[0, : len(ids)] = ids
-            log_dur, latents = self._text_fn(
-                self.params["text"], jnp.asarray(tokens), jnp.asarray(style),
-                jnp.asarray([n], jnp.int32),
-            )
-            durations = np.exp(np.asarray(log_dur[0][:n]))
-            frame_tokens, total = expand_durations(durations, self.cfg.max_frames)
-            noise = jax.random.normal(
-                jax.random.PRNGKey(seed + ci), (1, self.cfg.max_frames, LATENT_DIM)
-            )
-            z = self._est_fn(
-                self.params["estimator"], latents, jnp.asarray(frame_tokens)[None],
-                jnp.asarray(style), noise,
-            )
-            audio = self._voc_fn(self.params["vocoder"], z, jnp.asarray([total], jnp.int32))
-            pieces.append(np.asarray(audio[0][: total * HOP]))
-        samples = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
-        return Supertonic3Result(samples=samples, sample_rate=SAMPLE_RATE)
+        max_len = MAX_CHUNK_CJK if language in CJK_LANGUAGES else MAX_CHUNK_LATIN
+        chunks = chunk_text(text, max_len)
+        if not chunks:
+            raise ValueError("empty text")
+
+        silence = np.zeros(max(0, int(silence_duration * SAMPLE_RATE)), np.float32)
+        pieces: list[np.ndarray] = []
+        duration_total = 0.0
+        for ci, chunk in enumerate(chunks):
+            samples, dur = self._infer(chunk, language, style, speed, seed + ci)
+            if ci:
+                pieces.append(silence)
+                duration_total += silence_duration
+            pieces.append(samples)
+            duration_total += dur
+        return Supertonic3Result(
+            samples=np.concatenate(pieces), sample_rate=SAMPLE_RATE,
+            duration=duration_total,
+        )
+
+    def _infer(self, chunk: str, language: str, style, speed: float, seed: int):
+        cfg = self.cfg
+        cleaned = preprocess_text(chunk, language)
+        ids, n = self.indexer.encode(cleaned, cfg.text_t)
+        tokens = jnp.asarray(ids, jnp.int32)[None]
+        tmask = jnp.asarray(
+            (np.arange(cfg.text_t) < n).astype(np.float32)
+        )[None]
+        ttl = jnp.asarray(style["ttl"])[None]
+        dp = jnp.asarray(style["dp"])[None]
+
+        dur = float(np.asarray(
+            self._dur_fn(self.params["duration_predictor"], tokens, tmask, dp)
+        )[0])
+        dur = max(0.05, dur / max(speed, 0.05))
+        # cap to the latent bucket
+        max_dur = cfg.max_latent * SAMPLES_PER_LATENT / SAMPLE_RATE
+        dur = min(dur, max_dur)
+
+        text_emb = self._text_fn(self.params["text_encoder"], tokens, tmask, ttl)
+
+        rng = np.random.RandomState(seed)
+        z, lmask, true_len = sample_noisy_latent(
+            np.array([dur]), cfg.max_latent, rng
+        )
+        z = self._denoise_fn(
+            self.params["vector_estimator"], jnp.asarray(z), text_emb, ttl,
+            jnp.asarray(lmask), tmask[:, None, :],
+        )
+        wav = np.asarray(self._voc_fn(self.params["vocoder"], z))[0]
+        trim = min(wav.size, int(SAMPLE_RATE * dur))
+        return (wav[:trim] if trim else wav), dur

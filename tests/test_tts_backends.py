@@ -4,9 +4,22 @@ import numpy as np
 import pytest
 
 from fluidaudio_tpu.models.styletts2 import STYLETTS2_TEST
-from fluidaudio_tpu.models.supertonic3 import SUPERTONIC3_TEST
-from fluidaudio_tpu.tts.styletts2_manager import StyleTTS2Manager
-from fluidaudio_tpu.tts.supertonic_manager import Supertonic3Manager, chunk_text
+from fluidaudio_tpu.models.supertonic3 import (
+    LATENT_CH,
+    SAMPLES_PER_LATENT,
+    SUPERTONIC3_TEST,
+    latent_len_for_duration,
+    sample_noisy_latent,
+)
+from fluidaudio_tpu.tts.styletts2_manager import (
+    StyleTTS2Manager,
+    text_cleaner_encode,
+)
+from fluidaudio_tpu.tts.supertonic_manager import (
+    Supertonic3Manager,
+    chunk_text,
+    preprocess_text,
+)
 
 
 @pytest.fixture(scope="module")
@@ -16,7 +29,7 @@ def styletts2():
 
 @pytest.fixture(scope="module")
 def supertonic():
-    return Supertonic3Manager(SUPERTONIC3_TEST)
+    return Supertonic3Manager(SUPERTONIC3_TEST, total_steps=2)
 
 
 def test_styletts2_default_style(styletts2):
@@ -34,12 +47,27 @@ def test_styletts2_reference_style_changes_output(styletts2):
     assert a.samples.shape != b.samples.shape or not np.array_equal(a.samples, b.samples)
 
 
+def test_styletts2_text_cleaner_table():
+    # pad + punctuation + letters + IPA = 178 symbols (ref vocab size)
+    from fluidaudio_tpu.tts.styletts2_manager import SYMBOLS
+
+    assert len(SYMBOLS) == 178
+    ids = text_cleaner_encode("ab c!")
+    assert ids[0] == 0  # leading pad insertion
+    assert all(0 <= i < 178 for i in ids)
+    # unknown chars silently dropped
+    assert len(text_cleaner_encode("a☃b")) == 3  # pad + a + b
+
+
 def test_supertonic_synthesize(supertonic):
     r = supertonic.synthesize("forty four kilohertz output", voice="sara")
     assert r.sample_rate == 44_100
     assert r.samples.size > 0 and np.abs(r.samples).max() <= 1.0
+    assert r.duration > 0
     with pytest.raises(KeyError):
         supertonic.synthesize("x", voice="nobody")
+    with pytest.raises(ValueError):
+        supertonic.synthesize("x", language="xx")
 
 
 def test_supertonic_chunking():
@@ -48,6 +76,53 @@ def test_supertonic_chunking():
     assert len(chunks) > 1
     assert all(len(c) <= 35 for c in chunks)
     assert " ".join(chunks).split() == text.split()
+
+
+def test_supertonic_preprocess_parity():
+    # lang wrap + appended period
+    assert preprocess_text("hello world", "en") == "<en>hello world.</en>"
+    # NFKD + symbol replacement + abbreviation expansion
+    out = preprocess_text("a—b @ c", "de")
+    assert out == "<de>a-b at c.</de>"
+    # existing terminal punctuation is preserved
+    assert preprocess_text("done!", "en") == "<en>done!</en>"
+    # emoji stripped
+    assert preprocess_text("hi \U0001F600there", "en") == "<en>hi there.</en>"
+
+
+def test_supertonic_latent_sampler_math():
+    # latent_len = ceil(dur * sr / 3072) (Supertonic3LatentSampler.swift)
+    assert latent_len_for_duration(0.0) == 0
+    assert latent_len_for_duration(1.0) == (44_100 + 3071) // 3072
+    rng = np.random.RandomState(0)
+    z, mask, true_len = sample_noisy_latent(np.array([0.5, 1.0]), 32, rng)
+    assert z.shape == (2, LATENT_CH, 32) and mask.shape == (2, 1, 32)
+    l0 = latent_len_for_duration(0.5)
+    assert mask[0, 0, :l0].all() and not mask[0, 0, l0:].any()
+    # masked positions are zeroed in the latent
+    assert np.all(z[0, :, l0:] == 0)
+    assert true_len == latent_len_for_duration(1.0)
+
+
+def test_supertonic_estimator_feedback_contract(supertonic):
+    """vector_estimator returns x + dt*v — calling with current_step k and
+    feeding back matches the reference's loop contract; a zero-init out_proj
+    at seed init means the first call changes nothing but shapes hold."""
+    import jax.numpy as jnp
+
+    cfg = supertonic.cfg
+    z = jnp.asarray(np.random.RandomState(0).randn(1, LATENT_CH, cfg.max_latent)
+                    .astype(np.float32))
+    te = jnp.zeros((1, 256, cfg.text_t))
+    ttl = jnp.zeros((1, 50, 256))
+    lm = jnp.ones((1, 1, cfg.max_latent))
+    tm = jnp.ones((1, 1, cfg.text_t))
+    out = supertonic.estimator.apply(
+        supertonic.params["vector_estimator"], z, te, ttl, lm, tm,
+        jnp.zeros((1,)), jnp.full((1,), 8.0),
+    )
+    assert out.shape == z.shape
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_roundtrip_harness(supertonic):
