@@ -4,7 +4,11 @@ import numpy as np
 import pytest
 
 from fluidaudio_tpu.metrics import cer, normalize_for_scoring, parse_rttm, wer, write_rttm
-from fluidaudio_tpu.utils.audio_stream import AudioStream
+from fluidaudio_tpu.utils.audio_stream import (
+    AudioRingBuffer,
+    AudioStream,
+    AudioStreamError,
+)
 
 
 def test_wer_basic():
@@ -43,15 +47,15 @@ def test_rttm_roundtrip():
     assert parse_rttm(out) == segs
 
 
-class TestAudioStream:
+class TestAudioRingBuffer:
     def test_append_read(self):
-        s = AudioStream(capacity_samples=100)
+        s = AudioRingBuffer(capacity_samples=100)
         s.append(np.arange(10, dtype=np.float32))
         np.testing.assert_array_equal(s.read(0, 10), np.arange(10))
         assert s.available == 10
 
     def test_gap_zero_fill(self):
-        s = AudioStream(capacity_samples=100)
+        s = AudioRingBuffer(capacity_samples=100)
         s.append(np.ones(5, np.float32))
         s.append(np.ones(5, np.float32) * 2, at_index=8)  # gap 5..8
         out = s.read(0, 13)
@@ -59,7 +63,7 @@ class TestAudioStream:
         np.testing.assert_array_equal(out[8:], np.full(5, 2.0))
 
     def test_capacity_window_slides(self):
-        s = AudioStream(capacity_samples=16)
+        s = AudioRingBuffer(capacity_samples=16)
         s.append(np.arange(40, dtype=np.float32))
         assert s.start_index == 24 and s.end_index == 40
         np.testing.assert_array_equal(s.read_latest(4), np.arange(36, 40))
@@ -67,8 +71,122 @@ class TestAudioStream:
         assert np.all(s.read(0, 8) == 0)
 
     def test_sliding_chunks(self):
-        s = AudioStream(capacity_samples=64)
+        s = AudioRingBuffer(capacity_samples=64)
         s.append(np.arange(20, dtype=np.float32))
         chunks = list(s.chunks(8, hop=4))
         assert [pos for pos, _ in chunks] == [0, 4, 8, 12]
         np.testing.assert_array_equal(chunks[1][1], np.arange(4, 12))
+
+
+class TestAudioStreamChunking:
+    """Reference AudioStream.swift chunk-assembly semantics."""
+
+    def test_geometry_validation(self):
+        with pytest.raises(AudioStreamError):
+            AudioStream(chunk_duration=0.0)
+        with pytest.raises(AudioStreamError):
+            AudioStream(chunk_duration=1.0, chunk_skip=2.0)
+        with pytest.raises(AudioStreamError):
+            AudioStream(chunk_duration=1.0, buffer_capacity_seconds=0.5)
+
+    def test_start_silent_first_chunk_after_skip(self):
+        # chunk 1.0 s / skip 0.25 s @ sr 8: first chunk fires after 2 samples
+        s = AudioStream(chunk_duration=1.0, chunk_skip=0.25, sample_rate=8.0)
+        assert s.chunk_size == 8 and s.skip_size == 2
+        s.write(np.array([1.0], np.float32))
+        assert not s.has_new_chunk
+        s.write(np.array([2.0], np.float32))
+        chunk, ts = s.read_chunk_if_available()
+        # 6 samples of implicit leading silence + the 2 written
+        np.testing.assert_array_equal(chunk, [0, 0, 0, 0, 0, 0, 1, 2])
+        assert ts == pytest.approx(-0.75)
+
+    def test_wait_full_then_overlap(self):
+        s = AudioStream(
+            chunk_duration=1.0, chunk_skip=0.5, sample_rate=8.0,
+            startup_strategy="wait_full",
+        )
+        s.write(np.arange(1, 8, dtype=np.float32))
+        assert s.read_chunk_if_available() is None
+        s.write(np.array([8.0], np.float32))
+        chunk, ts = s.read_chunk_if_available()
+        np.testing.assert_array_equal(chunk, np.arange(1, 9))
+        assert ts == 0.0
+        # next chunk starts skip (4 samples) later and overlaps by 4
+        s.write(np.arange(9, 13, dtype=np.float32))
+        chunk2, ts2 = s.read_chunk_if_available()
+        np.testing.assert_array_equal(chunk2, np.arange(5, 13))
+        assert ts2 == pytest.approx(0.5)
+
+    def test_ramp_up_grows_by_skip(self):
+        s = AudioStream(
+            chunk_duration=1.0, chunk_skip=0.25, sample_rate=8.0,
+            startup_strategy="ramp_up",
+        )
+        sizes = []
+        s.bind(lambda chunk, ts: sizes.append(len(chunk)))
+        for i in range(8):
+            s.write(np.arange(2 * i, 2 * i + 2, dtype=np.float32))
+        assert sizes[:4] == [2, 4, 6, 8]  # grows by skip until full
+        assert all(n == 8 for n in sizes[4:])
+
+    def test_fixed_skip_vs_most_recent_under_overrun(self):
+        # write far more than capacity between reads: most_recent jumps
+        # ahead; fixed_skip keeps constant-skip chunk starts
+        kw = dict(chunk_duration=1.0, chunk_skip=0.5, sample_rate=8.0,
+                  startup_strategy="wait_full", buffer_capacity_seconds=1.5)
+        fixed = AudioStream(chunking_strategy="fixed_skip", **kw)
+        recent = AudioStream(chunking_strategy="most_recent", **kw)
+        data = np.arange(1, 41, dtype=np.float32)  # 5 s of audio
+        fixed.write(data)
+        recent.write(data)
+        f1 = fixed.read_chunk_if_available()
+        r1 = recent.read_chunk_if_available()
+        # most_recent: newest 8 samples
+        np.testing.assert_array_equal(r1[0], np.arange(33, 41))
+        # fixed_skip: oldest still-buffered chunk
+        np.testing.assert_array_equal(f1[0], np.arange(29, 37))
+        f2 = fixed.read_chunk_if_available()
+        assert f2[1] - f1[1] == pytest.approx(0.5)  # constant skip
+
+    def test_timestamp_resync_forward_zero_fills(self):
+        s = AudioStream(
+            chunk_duration=1.0, chunk_skip=1.0, sample_rate=8.0,
+            startup_strategy="wait_full",
+        )
+        s.write(np.ones(2, np.float32))
+        # 2 written + 2 gap + 2 new = end time 0.75 s
+        s.write(np.full(2, 2.0, np.float32), at_time=0.75)
+        s.write(np.full(2, 3.0, np.float32))
+        chunk, _ = s.read_chunk_if_available()
+        np.testing.assert_array_equal(chunk, [1, 1, 0, 0, 2, 2, 3, 3])
+
+    def test_timestamp_resync_backward_rolls_back(self):
+        s = AudioStream(
+            chunk_duration=1.0, chunk_skip=1.0, sample_rate=8.0,
+            startup_strategy="wait_full",
+        )
+        s.write(np.ones(4, np.float32))
+        # end time says only 2 samples should precede these: roll back 2
+        s.write(np.full(4, 2.0, np.float32), at_time=0.75)
+        s.write(np.full(2, 3.0, np.float32))
+        chunk, _ = s.read_chunk_if_available()
+        np.testing.assert_array_equal(chunk, [1, 1, 2, 2, 2, 2, 3, 3])
+
+    def test_bound_callback_fires_during_write(self):
+        got = []
+        s = AudioStream(
+            chunk_duration=0.5, chunk_skip=0.25, sample_rate=8.0,
+            startup_strategy="wait_full",
+        )
+        s.bind(lambda chunk, ts: got.append((chunk.copy(), ts)))
+        for i in range(1, 9, 2):
+            s.write(np.array([i, i + 1], np.float32))
+        assert len(got) == 3  # chunks at t=0, 0.25, 0.5
+        np.testing.assert_array_equal(got[0][0], [1, 2, 3, 4])
+        np.testing.assert_array_equal(got[1][0], [3, 4, 5, 6])
+        assert got[1][1] == pytest.approx(0.25)
+        s.unbind()
+        s.write(np.array([9.0, 10.0], np.float32))
+        assert len(got) == 3  # unbound: pull mode again
+        assert s.has_new_chunk
