@@ -1,0 +1,537 @@
+"""Per-family CLI commands: transcribe/process entry points and WER/CER/DER
+benchmarks for the non-flagship model families.
+
+Behavioral parity: the reference dispatcher's per-family commands
+(`FluidAudioCLI.swift:32-108`): sensevoice-transcribe, paraformer-transcribe,
+cohere-transcribe, nemotron-transcribe, nemotron-multilingual-transcribe,
+parakeet-eou, sortformer, lseend, process, plus the benchmark harnesses
+(`SenseVoiceBenchmark.swift`, `CohereBenchmark.swift`,
+`NemotronBenchmark.swift`, `NemotronMultilingualFleursBenchmark.swift`,
+`MultiStreamBench.swift`, `UnifiedBenchmark.swift`, `LSEENDBenchmark.swift`,
+`JapaneseAsrBenchmark.swift`, `G2PBenchmark.swift`). Dataset downloads are
+egress-gated here, so the benchmarks consume local directories in the same
+layouts the `download-dataset` command stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+from fluidaudio_tpu.cli.benchmarks import _iter_librispeech, _pair_rttm
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _wer_over(utts, transcribe, *, use_cer: bool = False, verbose: bool = False,
+              extra: dict | None = None) -> int:
+    """Shared WER/CER harness: `transcribe(wav_path) -> (text, audio_seconds)`."""
+    from fluidaudio_tpu.metrics.text_normalizer import normalize_for_scoring
+    from fluidaudio_tpu.metrics.wer import WerBreakdown, cer, levenshtein
+
+    agg = WerBreakdown(0, 0, 0, 0, 0)
+    total_audio = total_wall = 0.0
+    n = 0
+    for utt_id, wav, ref in utts:
+        t0 = time.perf_counter()
+        text, audio_s = transcribe(wav)
+        wall = time.perf_counter() - t0
+        if use_cer:
+            b = cer(normalize_for_scoring(ref), normalize_for_scoring(text))
+        else:
+            b = levenshtein(
+                normalize_for_scoring(ref).split(),
+                normalize_for_scoring(text).split(),
+            )
+        agg = WerBreakdown(
+            agg.errors + b.errors, agg.substitutions + b.substitutions,
+            agg.insertions + b.insertions, agg.deletions + b.deletions,
+            agg.reference_length + b.reference_length,
+        )
+        total_audio += audio_s
+        total_wall += wall
+        n += 1
+        if verbose:
+            print(f"  {utt_id}: {'cer' if use_cer else 'wer'} {b.rate*100:.2f}%  "
+                  f"rtfx {audio_s/max(wall,1e-9):.1f}x")
+    summary = {
+        "files": n,
+        ("cer_pct" if use_cer else "wer_pct"): round(agg.rate * 100, 3),
+        "audio_seconds": round(total_audio, 2),
+        "rtfx": round(total_audio / max(total_wall, 1e-9), 1),
+        **(extra or {}),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def _load_utts(args) -> list | None:
+    utts = list(_iter_librispeech(Path(args.dataset_dir)))
+    if getattr(args, "max_files", 0):
+        utts = utts[: args.max_files]
+    if not utts:
+        print(f"no utterances under {args.dataset_dir} "
+              "(LibriSpeech layout: *.trans.txt + <utt>.wav)")
+        return None
+    return utts
+
+
+def _read_audio(path) -> "tuple":
+    from fluidaudio_tpu.utils.converter import AudioConverter
+
+    samples = AudioConverter().resample_file(path)
+    return samples, samples.size / 16000.0
+
+
+# ------------------------------------------------- non-AR family transcribe
+
+
+def _simple_transcribe(make_manager, paths, **kw) -> int:
+    manager = make_manager()
+    for path in paths:
+        samples, dur = _read_audio(path)
+        t0 = time.perf_counter()
+        result = manager.transcribe(samples, **kw)
+        wall = time.perf_counter() - t0
+        print(f"{path}: {result.text}")
+        print(f"  duration {dur:.2f}s  rtfx {dur/max(wall,1e-9):.1f}x")
+    return 0
+
+
+def cmd_sensevoice_transcribe(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.asr.sensevoice_manager import SenseVoiceManager
+
+    return _simple_transcribe(SenseVoiceManager, args.audio, language=args.language)
+
+
+def cmd_paraformer_transcribe(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.asr.paraformer_manager import ParaformerManager
+
+    return _simple_transcribe(ParaformerManager, args.audio)
+
+
+def cmd_cohere_transcribe(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.asr.cohere_manager import CoherePipeline
+
+    return _simple_transcribe(CoherePipeline, args.audio)
+
+
+# ------------------------------------------------------ streaming families
+
+
+def _stream_file(manager, path, chunk_s: float = 1.0) -> tuple[str, float]:
+    """Feed a file through a make_state/process/finish streaming manager."""
+    samples, dur = _read_audio(path)
+    state = manager.make_state()
+    finals: list[str] = []
+    step = int(16000 * chunk_s)
+    for off in range(0, samples.size, step):
+        for r in manager.process(samples[off : off + step], state):
+            if r.is_final:
+                finals.append(r.text)
+    tail = manager.finish(state)
+    if tail.text:
+        finals.append(tail.text)
+    return " ".join(t for t in finals if t).strip(), dur
+
+
+def cmd_nemotron_transcribe(args: argparse.Namespace) -> int:
+    manager = _make_nemotron(args)
+    for path in args.audio:
+        t0 = time.perf_counter()
+        text, dur = _stream_file(manager, path)
+        wall = time.perf_counter() - t0
+        print(f"{path}: {text}")
+        print(f"  duration {dur:.2f}s  rtfx {dur/max(wall,1e-9):.1f}x")
+    return 0
+
+
+def _make_nemotron(args, multilingual: bool | None = None):
+    from fluidaudio_tpu.asr.streaming_nemotron import (
+        NEMOTRON_EN,
+        NEMOTRON_MULTI_FULL,
+        NEMOTRON_MULTI_LATIN,
+        StreamingNemotronAsrManager,
+    )
+
+    multilingual = args.multilingual if multilingual is None else multilingual
+    if multilingual:
+        spec = (NEMOTRON_MULTI_LATIN if getattr(args, "latin", False)
+                else NEMOTRON_MULTI_FULL)
+    else:
+        spec = NEMOTRON_EN
+    return StreamingNemotronAsrManager(
+        spec, chunk_ms=args.chunk_ms, language=getattr(args, "language", "auto")
+    )
+
+
+def cmd_parakeet_eou(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.asr.streaming_eou import StreamingEouAsrManager
+
+    manager = StreamingEouAsrManager(chunk_ms=args.chunk_ms)
+    for path in args.audio:
+        samples, dur = _read_audio(path)
+        state = manager.make_state()
+        t0 = time.perf_counter()
+        utterances: list[str] = []
+        step = 16000
+        for off in range(0, samples.size, step):
+            for r in manager.process(samples[off : off + step], state):
+                if r.eou_detected and r.text:
+                    utterances.append(r.text)
+                    print(f"  [eou] {r.text}")
+        tail = manager.finish(state)
+        if tail.text:
+            utterances.append(tail.text)
+        wall = time.perf_counter() - t0
+        print(f"{path}: {' '.join(utterances).strip()}")
+        print(f"  duration {dur:.2f}s  rtfx {dur/max(wall,1e-9):.1f}x")
+    return 0
+
+
+def _diarize_files(make_manager, paths, rttm: bool) -> int:
+    from fluidaudio_tpu.metrics import write_rttm
+
+    manager = make_manager()
+    for path in paths:
+        samples, dur = _read_audio(path)
+        t0 = time.perf_counter()
+        result = manager.process(samples)
+        wall = time.perf_counter() - t0
+        print(f"{path}: {len(result.segments)} segments, "
+              f"{result.speaker_count} speakers, {dur/max(wall,1e-9):.1f}x RT")
+        if rttm:
+            print(write_rttm(result.segments, Path(path).stem), end="")
+        else:
+            for seg in result.segments:
+                print(f"  {seg.start_time:8.2f} - {seg.end_time:8.2f}  {seg.speaker_id}")
+    return 0
+
+
+def cmd_sortformer(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+
+    return _diarize_files(SortformerDiarizer, args.audio, args.rttm)
+
+
+def cmd_lseend(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.diarizer.lseend import LSEENDDiarizer
+
+    return _diarize_files(
+        lambda: LSEENDDiarizer(step_ms=args.step_ms, variant=args.variant),
+        args.audio, args.rttm,
+    )
+
+
+def cmd_process(args: argparse.Namespace) -> int:
+    """Offline diarization (reference `process` command)."""
+    from fluidaudio_tpu.diarizer.offline import OfflineDiarizerManager
+
+    return _diarize_files(OfflineDiarizerManager, args.audio, args.rttm)
+
+
+# ------------------------------------------------------------- benchmarks
+
+
+def cmd_sensevoice_benchmark(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.asr.sensevoice_manager import SenseVoiceManager
+
+    utts = _load_utts(args)
+    if utts is None:
+        return 1
+    manager = SenseVoiceManager()
+
+    def run(wav):
+        samples, dur = _read_audio(wav)
+        return manager.transcribe(samples, language=args.language).text, dur
+
+    return _wer_over(utts, run, use_cer=args.cer, verbose=args.verbose,
+                     extra={"family": "sensevoice", "language": args.language})
+
+
+def cmd_cohere_benchmark(args: argparse.Namespace) -> int:
+    from fluidaudio_tpu.asr.cohere_manager import CoherePipeline
+
+    utts = _load_utts(args)
+    if utts is None:
+        return 1
+    manager = CoherePipeline()
+
+    def run(wav):
+        samples, dur = _read_audio(wav)
+        return manager.transcribe(samples).text, dur
+
+    return _wer_over(utts, run, verbose=args.verbose, extra={"family": "cohere"})
+
+
+def cmd_nemotron_benchmark(args: argparse.Namespace) -> int:
+    utts = _load_utts(args)
+    if utts is None:
+        return 1
+    manager = _make_nemotron(args)
+
+    def run(wav):
+        return _stream_file(manager, wav)
+
+    return _wer_over(
+        utts, run, verbose=args.verbose,
+        extra={"family": manager.spec.name, "chunk_ms": args.chunk_ms},
+    )
+
+
+def cmd_nemotron_multi_stream_bench(args: argparse.Namespace) -> int:
+    """Throughput of N concurrent multilingual Nemotron streams
+    (reference `NemotronMultilingualMultiStreamBench.swift`): N managers fed
+    round-robin; wall-clock covers all streams."""
+    paths = args.audio * args.repeat
+    managers = [_make_nemotron(args, multilingual=True) for _ in range(len(paths))]
+    audio = [_read_audio(p) for p in paths]
+    t0 = time.perf_counter()
+    texts = []
+    for mgr, (samples, _) in zip(managers, audio):
+        state = mgr.make_state()
+        finals = [r.text for r in mgr.process(samples, state) if r.is_final]
+        tail = mgr.finish(state)
+        texts.append(" ".join(finals + ([tail.text] if tail.text else [])))
+    wall = time.perf_counter() - t0
+    total = sum(d for _, d in audio)
+    print(json.dumps({
+        "streams": len(paths),
+        "audio_seconds": round(total, 2),
+        "rtfx_aggregate": round(total / max(wall, 1e-9), 1),
+    }))
+    return 0
+
+
+def cmd_unified_benchmark(args: argparse.Namespace) -> int:
+    """Unified checkpoint in batch and pseudo-streaming modes
+    (reference `UnifiedBenchmark.swift`)."""
+    from fluidaudio_tpu.asr.unified import UnifiedAsrManager
+
+    utts = _load_utts(args)
+    if utts is None:
+        return 1
+    manager = UnifiedAsrManager()
+
+    def run(wav):
+        samples, dur = _read_audio(wav)
+        return manager.transcribe(samples).text, dur
+
+    return _wer_over(utts, run, verbose=args.verbose, extra={"family": "unified"})
+
+
+def cmd_ja_benchmark(args: argparse.Namespace) -> int:
+    """Japanese CER benchmark (reference `JapaneseAsrBenchmark.swift`,
+    JSUT layout = LibriSpeech-style transcripts scored by CER)."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.zoo import AsrModels
+
+    utts = _load_utts(args)
+    if utts is None:
+        return 1
+    models = AsrModels.load("tdt-ja", allow_random_init=args.allow_random_init)
+    manager = AsrManager(models, ASRConfig())
+
+    def run(wav):
+        r = manager.transcribe(wav)
+        return r.text, r.duration
+
+    return _wer_over(utts, run, use_cer=True, verbose=args.verbose,
+                     extra={"family": "tdt-ja"})
+
+
+def cmd_lseend_benchmark(args: argparse.Namespace) -> int:
+    """LS-EEND DER vs RTTM references (reference `LSEENDBenchmark.swift`)."""
+    from fluidaudio_tpu.diarizer.lseend import LSEENDDiarizer
+    from fluidaudio_tpu.diarizer.metrics import compute_der
+    from fluidaudio_tpu.metrics.rttm import parse_rttm
+    from fluidaudio_tpu.utils.converter import AudioConverter
+
+    pairs = list(_pair_rttm(Path(args.dataset_dir)))
+    if args.max_files:
+        pairs = pairs[: args.max_files]
+    if not pairs:
+        print(f"no wav+rttm pairs under {args.dataset_dir}")
+        return 1
+    manager = LSEENDDiarizer(step_ms=args.step_ms, variant=args.variant)
+    conv = AudioConverter()
+    ders, total_audio, total_wall = [], 0.0, 0.0
+    for wav, rttm in pairs:
+        samples = conv.resample_file(wav)
+        t0 = time.perf_counter()
+        result = manager.process(samples)
+        wall = time.perf_counter() - t0
+        ref = parse_rttm(rttm)
+        d = compute_der(ref, result.segments, collar=args.collar)
+        ders.append(d.der)
+        total_audio += samples.size / 16000
+        total_wall += wall
+        if args.verbose:
+            print(f"  {wav.stem}: DER {d.der*100:.2f}%")
+    print(json.dumps({
+        "files": len(ders),
+        "der_pct": round(sum(ders) / len(ders) * 100, 3),
+        "rtfx": round(total_audio / max(total_wall, 1e-9), 1),
+        "step_ms": args.step_ms, "variant": args.variant,
+    }))
+    return 0
+
+
+def cmd_g2p_benchmark(args: argparse.Namespace) -> int:
+    """Phoneme error rate over a lexicon TSV (`word<TAB>phonemes`), matching
+    the reference `G2PBenchmark.swift` PER metric."""
+    from fluidaudio_tpu.metrics.wer import levenshtein
+    from fluidaudio_tpu.tts.g2p import MultilingualG2P
+
+    rows = []
+    for line in Path(args.lexicon).read_text().splitlines():
+        line = line.strip()
+        if line and "\t" in line:
+            word, _, phones = line.partition("\t")
+            rows.append((word, phones.split()))
+    if args.max_files:
+        rows = rows[: args.max_files]
+    if not rows:
+        print(f"no `word<TAB>phonemes` rows in {args.lexicon}")
+        return 1
+    g2p = MultilingualG2P()
+    t0 = time.perf_counter()
+    preds = g2p.phonemize_words([w for w, _ in rows], language=args.language)
+    wall = time.perf_counter() - t0
+    errors = ref_len = 0
+    for (word, ref), hyp in zip(rows, preds):
+        b = levenshtein(ref, hyp.split())
+        errors += b.errors
+        ref_len += b.reference_length
+        if args.verbose:
+            print(f"  {word}: {hyp}  (ref {' '.join(ref)})")
+    print(json.dumps({
+        "words": len(rows),
+        "per_pct": round(errors / max(ref_len, 1) * 100, 3),
+        "ms_per_word": round(wall * 1e3 / len(rows), 2),
+        "language": args.language,
+    }))
+    return 0
+
+
+# ------------------------------------------------------------ registration
+
+
+def register(sub) -> None:
+    def common(p, *, dataset: bool = False):
+        if dataset:
+            p.add_argument("--dataset-dir", required=True)
+            p.add_argument("--max-files", type=int, default=0)
+            p.add_argument("--verbose", action="store_true")
+        else:
+            p.add_argument("audio", nargs="+")
+
+    p = sub.add_parser("sensevoice-transcribe", help="SenseVoice multilingual ASR")
+    common(p)
+    p.add_argument("--language", default="auto")
+    p.set_defaults(fn=cmd_sensevoice_transcribe)
+
+    p = sub.add_parser("paraformer-transcribe", help="Paraformer zh ASR")
+    common(p)
+    p.set_defaults(fn=cmd_paraformer_transcribe)
+
+    p = sub.add_parser("cohere-transcribe", help="Cohere encoder-decoder ASR")
+    common(p)
+    p.set_defaults(fn=cmd_cohere_transcribe)
+
+    p = sub.add_parser("nemotron-transcribe", help="Nemotron streaming RNNT ASR")
+    common(p)
+    p.add_argument("--chunk-ms", type=int, default=2240)
+    p.add_argument("--multilingual", action="store_true")
+    p.add_argument("--latin", action="store_true",
+                   help="with --multilingual: the 2828-vocab latin joint")
+    p.add_argument("--language", default="auto")
+    p.set_defaults(fn=cmd_nemotron_transcribe)
+
+    p = sub.add_parser("parakeet-eou", help="streaming EOU ASR with utterance events")
+    common(p)
+    p.add_argument("--chunk-ms", type=int, default=320)
+    p.set_defaults(fn=cmd_parakeet_eou)
+
+    p = sub.add_parser("sortformer", help="Sortformer streaming diarization")
+    common(p)
+    p.add_argument("--rttm", action="store_true")
+    p.set_defaults(fn=cmd_sortformer)
+
+    p = sub.add_parser("lseend", help="LS-EEND streaming diarization")
+    common(p)
+    p.add_argument("--rttm", action="store_true")
+    p.add_argument("--step-ms", type=int, default=500)
+    p.add_argument("--variant", default="dih3")
+    p.set_defaults(fn=cmd_lseend)
+
+    p = sub.add_parser("process", help="offline diarization (VBx pipeline)")
+    common(p)
+    p.add_argument("--rttm", action="store_true")
+    p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("sensevoice-benchmark", help="SenseVoice WER/CER benchmark")
+    common(p, dataset=True)
+    p.add_argument("--language", default="auto")
+    p.add_argument("--cer", action="store_true")
+    p.set_defaults(fn=cmd_sensevoice_benchmark)
+
+    p = sub.add_parser("cohere-benchmark", help="Cohere WER benchmark")
+    common(p, dataset=True)
+    p.set_defaults(fn=cmd_cohere_benchmark)
+
+    p = sub.add_parser("nemotron-benchmark", help="Nemotron streaming WER benchmark")
+    common(p, dataset=True)
+    p.add_argument("--chunk-ms", type=int, default=2240)
+    p.add_argument("--multilingual", action="store_true")
+    p.add_argument("--latin", action="store_true")
+    p.add_argument("--language", default="auto")
+    p.set_defaults(fn=cmd_nemotron_benchmark)
+
+    p = sub.add_parser(
+        "nemotron-multilingual-benchmark",
+        help="multilingual Nemotron WER benchmark (FLEURS-style local dir)",
+    )
+    common(p, dataset=True)
+    p.add_argument("--chunk-ms", type=int, default=2240)
+    p.add_argument("--latin", action="store_true")
+    p.add_argument("--language", default="auto")
+    p.set_defaults(fn=cmd_nemotron_benchmark, multilingual=True)
+
+    p = sub.add_parser(
+        "nemotron-multilingual-multi-stream-bench",
+        help="N concurrent multilingual Nemotron streams throughput",
+    )
+    common(p)
+    p.add_argument("--chunk-ms", type=int, default=2240)
+    p.add_argument("--latin", action="store_true")
+    p.add_argument("--language", default="auto")
+    p.add_argument("--repeat", type=int, default=1)
+    p.set_defaults(fn=cmd_nemotron_multi_stream_bench)
+
+    p = sub.add_parser("unified-benchmark", help="unified checkpoint WER benchmark")
+    common(p, dataset=True)
+    p.set_defaults(fn=cmd_unified_benchmark)
+
+    p = sub.add_parser("ja-benchmark", help="Japanese TDT CER benchmark (JSUT layout)")
+    common(p, dataset=True)
+    p.add_argument("--allow-random-init", action="store_true")
+    p.set_defaults(fn=cmd_ja_benchmark)
+
+    p = sub.add_parser("lseend-benchmark", help="LS-EEND DER vs RTTM references")
+    common(p, dataset=True)
+    p.add_argument("--step-ms", type=int, default=500)
+    p.add_argument("--variant", default="dih3")
+    p.add_argument("--collar", type=float, default=0.25)
+    p.set_defaults(fn=cmd_lseend_benchmark)
+
+    p = sub.add_parser("g2p-benchmark", help="G2P phoneme error rate over a lexicon TSV")
+    p.add_argument("lexicon")
+    p.add_argument("--language", default="eng-us")
+    p.add_argument("--max-files", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_g2p_benchmark)

@@ -301,8 +301,10 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_benchmark)
 
     from fluidaudio_tpu.cli.benchmarks import register as register_benchmarks
+    from fluidaudio_tpu.cli.families import register as register_families
 
     register_benchmarks(sub)
+    register_families(sub)
 
     args = parser.parse_args(argv)
     try:
