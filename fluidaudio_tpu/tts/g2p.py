@@ -1,10 +1,24 @@
-"""English grapheme-to-phoneme: lexicon + rule fallback.
+"""English grapheme-to-phoneme: Misaki lexicon + rule/seq2seq fallback.
 
-Behavioral parity: reference Kokoro G2P path (`KokoroAne/G2P/`): Misaki
-lexicon lookup with a BART seq2seq fallback per OOV word. Here: a built-in
-mini-lexicon + deterministic letter-to-sound rules as the fallback; the
-registry can supply a full lexicon JSON (`lexicon.json`: word -> IPA) and a
-learned seq2seq fallback can be slotted in later (charsiu ByT5 analog).
+Behavioral parity: reference Kokoro G2P path
+(`KokoroAne/G2P/English/KokoroAneEnglishPhonemizer.swift:7-18`) — word
+resolution order:
+  1. caller-supplied custom lexicon (exact spelling, then normalized)
+  2. letter-name overrides for spellings whose bundled entry doesn't read
+     as letter names (`AI`, `US` — issue #710)
+  3. case-sensitive Misaki lexicon hit (proper nouns, `NATO`)
+  4. case-sensitive hit on the normalized lower-case form
+  5. lower-cased Misaki hit (weak function-word forms, issue #691)
+  6. strict ASCII all-caps initialisms (2-5 letters) spelled as letter
+     names after a full lexicon miss (`FBI` -> per-letter entries)
+  7. per-OOV-word fallback (letter-to-sound rules here; a learned seq2seq
+     — the BART analog — can be injected via `fallback=`)
+
+The Misaki lexicon loads from the preprocessed `us_lexicon_cache.json`
+shipped in the kokoro HF repo (schema `{lower: {word: [tokens]},
+caseSensitive: {word: [tokens]}}`, reference
+`TTS/Shared/LexiconAssetCache.swift:19-23`); absent cache degrades to the
+seed lexicon + rules.
 """
 
 from __future__ import annotations
@@ -12,6 +26,7 @@ from __future__ import annotations
 import json
 import re
 from pathlib import Path
+from typing import Callable
 
 # minimal seed lexicon (IPA) — full lexicon loads from assets when cached
 _SEED_LEXICON = {
@@ -40,16 +55,121 @@ _RULES = [
 ]
 
 
+# exact uppercase spellings whose lexicon entry is not the letter-name
+# reading callers expect (reference EnglishInitialisms.letterNameOverrides)
+_LETTER_NAME_OVERRIDES = {"AI", "US"}
+_INITIALISM_LEN = range(2, 6)
+
+_KNOWN_LEADING_APOSTROPHE = {"'cause", "'em", "'til", "'tis", "'twas", "'twere"}
+
+
+def normalize_key(word: str) -> str:
+    """Lowercase + keep letters/digits/apostrophes (reference
+    `KokoroAneEnglishPhonemizer.normalizeKey`)."""
+    return "".join(c for c in word.lower() if c.isalnum() or c == "'")
+
+
+def _is_initialism(word: str) -> bool:
+    return (len(word) in _INITIALISM_LEN
+            and all(c.isascii() and c.isupper() and c.isalpha() for c in word))
+
+
+def split_words(text: str) -> list[str]:
+    """Runs of letters/digits (internal apostrophes/hyphens stay inside:
+    `don't`, `twenty-one`), single punctuation chars as their own tokens
+    (reference `KokoroAneEnglishPhonemizer.splitWords`)."""
+    out: list[str] = []
+    cur = ""
+    n = len(text)
+    for i, ch in enumerate(text):
+        if ch.isspace():
+            if cur:
+                out.append(cur)
+                cur = ""
+        elif ch == "'":
+            next_is_word = i + 1 < n and (text[i + 1].isalnum())
+            if cur and next_is_word:
+                cur += ch
+            elif not cur and any(
+                text[i : i + len(w)].lower() == w for w in _KNOWN_LEADING_APOSTROPHE
+            ):
+                cur += ch
+            else:
+                if cur:
+                    out.append(cur)
+                    cur = ""
+                out.append(ch)
+        elif ch.isalnum() or ch == "-":
+            cur += ch
+        else:
+            if cur:
+                out.append(cur)
+                cur = ""
+            out.append(ch)
+    if cur:
+        out.append(cur)
+    return out
+
+
 class EnglishG2P:
-    def __init__(self, lexicon_path: str | Path | None = None):
+    def __init__(
+        self,
+        lexicon_path: str | Path | None = None,
+        *,
+        misaki_cache: str | Path | None = None,
+        custom_lexicon: dict[str, str] | None = None,
+        allowed_punctuation: str = ",.!?;:…\"'()-",
+        fallback: Callable[[str], str | None] | None = None,
+    ):
         self.lexicon = dict(_SEED_LEXICON)
         if lexicon_path and Path(lexicon_path).exists():
             self.lexicon.update(json.loads(Path(lexicon_path).read_text()))
+        self.custom_lexicon = dict(custom_lexicon or {})
+        self.allowed_punctuation = set(allowed_punctuation)
+        self.fallback = fallback
+        # Misaki maps: lower-cased word -> tokens, original-case -> tokens
+        self.misaki_lower: dict[str, list[str]] = {}
+        self.misaki_case: dict[str, list[str]] = {}
+        if misaki_cache:
+            self.load_misaki_cache(misaki_cache)
 
-    def word_to_phonemes(self, word: str) -> str:
-        w = word.lower()
-        if w in self.lexicon:
-            return self.lexicon[w]
+    def load_misaki_cache(
+        self, path: str | Path, allowed_tokens: set[str] | None = None
+    ) -> bool:
+        """Load `us_lexicon_cache.json` (`{lower, caseSensitive}` schema);
+        -> False when missing/unparseable (degrade to seed+rules)."""
+        p = Path(path)
+        if p.is_dir():
+            p = p / "us_lexicon_cache.json"
+        if not p.exists():
+            return False
+        try:
+            payload = json.loads(p.read_text())
+            lower = payload["lower"]
+            case = payload.get("caseSensitive", {})
+        except (ValueError, KeyError):
+            return False
+        if allowed_tokens is not None:
+            lower = {w: [t for t in ts if t in allowed_tokens] for w, ts in lower.items()}
+            case = {w: [t for t in ts if t in allowed_tokens] for w, ts in case.items()}
+        self.misaki_lower = {w: list(ts) for w, ts in lower.items()}
+        self.misaki_case = {w: list(ts) for w, ts in case.items()}
+        return True
+
+    # ------------------------------------------------------- resolution
+
+    def _spell_letters(self, word: str) -> str | None:
+        """`FBI` -> per-letter case-sensitive entries joined by spaces;
+        None when any letter is missing (caller falls through)."""
+        letters = []
+        for ch in word:
+            toks = self.misaki_case.get(ch)
+            if not toks:
+                return None
+            letters.append("".join(toks))
+        return " ".join(letters) if letters else None
+
+    def _rules(self, w: str) -> str:
         out = []
         i = 0
         while i < len(w):
@@ -62,16 +182,58 @@ class EnglishG2P:
                 i += 1  # drop unknown characters
         return "".join(out)
 
+    def word_to_phonemes(self, word: str) -> str | None:
+        normalized = normalize_key(word)
+
+        custom = self.custom_lexicon.get(word) or self.custom_lexicon.get(normalized)
+        if custom:
+            return custom
+
+        if word in _LETTER_NAME_OVERRIDES:
+            spelled = self._spell_letters(word)
+            if spelled:
+                return spelled
+
+        toks = (self.misaki_case.get(word) or self.misaki_case.get(normalized)
+                or self.misaki_lower.get(normalized))
+        if toks:
+            return "".join(toks)
+
+        if normalized in self.lexicon:
+            return self.lexicon[normalized]
+
+        if _is_initialism(word):
+            spelled = self._spell_letters(word)
+            if spelled:
+                return spelled
+
+        if not normalized:
+            return None
+        if self.fallback is not None:
+            got = self.fallback(normalized)
+            if got:
+                return got
+        return self._rules(normalized)
+
     def phonemize(self, text: str) -> str:
-        """Text -> space-separated word phoneme string with punctuation kept."""
-        parts = re.findall(r"[A-Za-z']+|[^\sA-Za-z']", text)
-        phon = []
-        for p in parts:
-            if re.match(r"[A-Za-z']", p):
-                phon.append(self.word_to_phonemes(p))
-            else:
-                phon.append(p)
-        return " ".join(phon)
+        """Text -> Misaki-style IPA: words joined by single spaces, kept
+        punctuation attached to the preceding word."""
+        parts: list[str] = []
+        for token in split_words(text.strip()):
+            if not token:
+                continue
+            if len(token) == 1 and not token.isalnum():
+                if token not in self.allowed_punctuation:
+                    continue
+                if parts:
+                    parts[-1] += token
+                else:
+                    parts.append(token)
+                continue
+            ipa = self.word_to_phonemes(token)
+            if ipa:
+                parts.append(ipa)
+        return " ".join(parts)
 
 
 # --------------------------------------------------------------------------

@@ -87,6 +87,12 @@ class KokoroManager:
         self.text_program = KokoroTextProgram(self.cfg)
         self.audio_program = KokoroAudioProgram(self.cfg)
         self.g2p = EnglishG2P()
+        # full Misaki lexicon when the kokoro asset cache holds it
+        # (us_lexicon_cache.json, reference LexiconAssetCache.swift:35)
+        lex_base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.KOKORO_ANE)
+        if self.g2p.load_misaki_cache(lex_base):
+            logger.info("loaded Misaki lexicon cache (%d entries)",
+                        len(self.g2p.misaki_lower))
         self.post = AudioPostProcessor(SAMPLE_RATE)
 
         cfg = self.cfg

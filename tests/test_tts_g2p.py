@@ -1,5 +1,7 @@
 """Multilingual seq2seq G2P wrapper: batching, caching, language prefixes."""
 
+import json
+
 import pytest
 
 
@@ -28,3 +30,67 @@ class TestMultilingualG2P:
         out = mg2p.phonemize("hello, world!", language="eng-us")
         assert isinstance(out, str)
         assert len(out.split()) <= 2  # one group per word (may be empty)
+
+
+class TestEnglishG2PResolution:
+    """Reference KokoroAneEnglishPhonemizer word-resolution order."""
+
+    def _g2p(self, tmp_path, **kw):
+        from fluidaudio_tpu.tts.g2p import EnglishG2P
+
+        cache = tmp_path / "us_lexicon_cache.json"
+        cache.write_text(json.dumps({
+            "lower": {"hello": ["h", "ə", "l", "ˈO"], "us": ["ʌ", "s"],
+                      "nato": ["n", "ˈA", "t", "O"]},
+            "caseSensitive": {"NATO": ["n", "ˈA", "t", "O"],
+                              "A": ["ˈA"], "I": ["ˈI"], "U": ["jˈu"],
+                              "S": ["ˈɛs"], "F": ["ˈɛf"], "B": ["bˈi"]},
+        }))
+        g2p = EnglishG2P(**kw)
+        assert g2p.load_misaki_cache(cache)
+        return g2p
+
+    def test_misaki_case_sensitive_beats_lower(self, tmp_path):
+        g2p = self._g2p(tmp_path)
+        assert g2p.word_to_phonemes("NATO") == "nˈAtO"
+        assert g2p.word_to_phonemes("hello") == "həlˈO"
+
+    def test_letter_name_override_us(self, tmp_path):
+        # uppercase US spells as letters; lowercase us keeps the weak form
+        g2p = self._g2p(tmp_path)
+        assert g2p.word_to_phonemes("US") == "jˈu ˈɛs"
+        assert g2p.word_to_phonemes("us") == "ʌs"
+        assert g2p.word_to_phonemes("AI") == "ˈA ˈI"
+
+    def test_initialism_spelled_after_miss(self, tmp_path):
+        g2p = self._g2p(tmp_path)
+        assert g2p.word_to_phonemes("FBI") == "ˈɛf bˈi ˈI"
+        # lexicon hit wins over initialism spelling
+        assert g2p.word_to_phonemes("NATO") == "nˈAtO"
+
+    def test_custom_lexicon_wins(self, tmp_path):
+        g2p = self._g2p(tmp_path, custom_lexicon={"hello": "XXX"})
+        assert g2p.word_to_phonemes("hello") == "XXX"
+
+    def test_fallback_called_for_oov(self, tmp_path):
+        calls = []
+
+        def fb(w):
+            calls.append(w)
+            return "ZZ"
+
+        g2p = self._g2p(tmp_path, fallback=fb)
+        assert g2p.word_to_phonemes("zyzzyva") == "ZZ"
+        assert calls == ["zyzzyva"]
+
+    def test_punctuation_attaches_to_word(self, tmp_path):
+        g2p = self._g2p(tmp_path)
+        out = g2p.phonemize("hello, us!")
+        assert out == "həlˈO, ʌs!"
+
+    def test_split_words_contractions(self):
+        from fluidaudio_tpu.tts.g2p import split_words
+
+        assert split_words("don't stop, 'cause twenty-one!") == [
+            "don't", "stop", ",", "'cause", "twenty-one", "!",
+        ]
