@@ -155,7 +155,10 @@ class RelPosMHSA(nn.Module):
         if use_pallas:
             from fluidaudio_tpu.ops.attention_pallas import relpos_attention
 
-            qu = (q + u.astype(dt)).transpose(0, 2, 1, 3)  # [B,H,T,Dh]
+            # [B,H,T,Dh] layout: the HBM transposes measure FASTER than
+            # feeding the kernel the natural [B,T,H,Dh] layout (strided
+            # per-head VMEM reads cost more than the transpose passes save)
+            qu = (q + u.astype(dt)).transpose(0, 2, 1, 3)
             qw = (q + w.astype(dt)).transpose(0, 2, 1, 3)
             kt = k.transpose(0, 2, 1, 3)
             vt = v.transpose(0, 2, 1, 3)

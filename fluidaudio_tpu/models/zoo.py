@@ -114,7 +114,12 @@ class AsrModels:
                 ConformerConfig(**{**spec.conformer.__dict__, "dtype": dtype}),
                 spec.predictor, spec.mel, spec.fused_frontend,
             )
-        mel = MelFrontend(spec.mel)
+        # strided-conv DFT on accelerators: bit-identical to the matmul DFT
+        # at HIGHEST precision, ~12% faster on v5e (no gather/frame tensor);
+        # CPU keeps the matmul path (XLA:CPU convs are slower there)
+        mel = MelFrontend(
+            spec.mel, use_fft="conv" if jax.default_backend() != "cpu" else False
+        )
         encoder = ConformerEncoder(spec.conformer)
         predictor = RnntPredictor(spec.predictor)
         joint = RnntJoint(spec.predictor)

@@ -2,26 +2,32 @@
 
 The XLA path for the conformer's rel-pos MHSA materializes ~7 HBM-resident
 [B,H,T,T]-class tensors per layer (content scores, position scores at
-[B,H,T,2T-1], the pad-reshape rel-shift, mask select, f32 softmax, probs):
-measured 151 ms for 24 layers at B=128/T=188 on v5e — 21% MXU. This kernel
-computes one (batch, head)'s full attention in VMEM: both score matmuls,
-the rel-shift, masking, softmax, and the value matmul, writing only the
-[T, Dh] output to HBM.
+[B,H,T,2T-1], the pad-reshape rel-shift, mask select, f32 softmax, probs).
+This kernel computes one batch row's full attention (all heads) in VMEM:
+both score matmuls, the rel-shift, masking, softmax, and the value matmul,
+writing only the [T, Dh] output per head to HBM.
 
-The Transformer-XL shift (`conformer._rel_shift`) becomes two static lane
-rotations + two `pltpu.roll`s with a per-row stride (<=128-row halves keep
-each roll's shift below Mosaic's one-lane-width cap): bd[t, s] =
-qp[t, s + (T-1) - t] is a circular lane-roll of row t by -(T-1)+t. Rows of
-the position table beyond 2T-1 are zero-padded so wrapped lanes contribute
-exactly 0. Query rows pad to a sublane multiple (T=188 -> 192) while only
-the key axis pads to a lane multiple (256) — ~25% less score work than a
-square 256 pad.
+Layout: [B, H, T, Dh]. The conformer transposes its natural [B, T, H, Dh]
+projections into this layout; feeding the kernel the natural layout with
+strided per-head VMEM reads was measured SLOWER than paying the transposes
+(v5e, B=128/T=188: 293 ms vs 283 ms encoder total).
 
-Semantics are identical to the XLA reference path (tests/test_attention_pallas.py
-verifies elementwise): scores = ((q+u)k^T + shift((q+w)p^T)) / sqrt(Dh),
-invalid key columns forced to float32.min before a f32 softmax (padded query
-rows therefore produce the same uniform-prob garbage the XLA path produces;
-callers mask padded rows downstream, `conformer.ConformerEncoder`).
+The Transformer-XL shift (`conformer._rel_shift`) becomes one static lane
+rotation + one `pltpu.roll` with per-row stride per <=128-row half (Mosaic
+caps a strided roll's total shift below one lane width): bd[t, s] =
+qp[t, (s + (T-1) - t) mod Rp]. Rp is 2T-1 rounded up one lane: lanes that
+wrap (s >= Rp-(T-1)+t, so always s >= T) land in key columns the validity
+mask forces to float32.min anyway, so neither extra table padding nor a
+wider Rp is needed for correctness. Query rows pad to a sublane multiple
+(T=188 -> 192) while only the key axis pads to a lane multiple (256) —
+~25% less score work than a square 256 pad.
+
+Semantics are identical to the XLA reference path
+(tests/test_attention_pallas.py verifies elementwise): scores =
+((q+u)k^T + shift((q+w)p^T)) / sqrt(Dh), invalid key columns forced to
+float32.min before a f32 softmax (padded query rows therefore produce the
+same uniform-prob garbage the XLA path produces; callers mask padded rows
+downstream, `conformer.ConformerEncoder`).
 """
 
 from __future__ import annotations
@@ -109,7 +115,9 @@ def relpos_attention(
     assert T == t_real, f"T axis {T} != t_real {t_real}"
     Tq = max(_round_up(T, 64), 64)   # query rows: sublane-mult is enough
     Tk = max(_round_up(T, 128), 128)  # key axis: lane-mult required
-    Rp = max(_round_up(2 * t_real - 1, 256), 2 * Tk)
+    # wrapped roll lanes land in masked columns (s >= T), so one-lane
+    # round-up of the true 2T-1 table is enough; Rp >= Tk for the bd slice
+    Rp = max(_round_up(2 * t_real - 1, 128), Tk)
 
     dt = jnp.bfloat16
     def pad_to(x, n):
