@@ -529,9 +529,83 @@ def register(sub) -> None:
     p.add_argument("--collar", type=float, default=0.25)
     p.set_defaults(fn=cmd_lseend_benchmark)
 
+    register_corpus(sub)
+
     p = sub.add_parser("g2p-benchmark", help="G2P phoneme error rate over a lexicon TSV")
     p.add_argument("lexicon")
     p.add_argument("--language", default="eng-us")
     p.add_argument("--max-files", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_g2p_benchmark)
+
+
+# ------------------------------------------------------ corpus staging
+
+
+MINIMAX_REPO = "MiniMaxAI/TTS-Multilingual-Test-Set"
+MINIMAX_REVISION = "cb416f0ac3658da0577e97873065e19fe6488917"
+MINIMAX_LANGUAGES = [
+    "arabic", "cantonese", "chinese", "czech", "dutch", "english",
+    "finnish", "french", "german", "greek", "hindi", "indonesian",
+    "italian", "japanese", "korean", "polish", "portuguese", "romanian",
+    "russian", "spanish", "thai", "turkish", "ukrainian", "vietnamese",
+]
+
+
+def convert_minimax_lines(raw: str) -> list[str]:
+    """Strip the `<cloning_audio_filename>|` prefix, keep trimmed phrases
+    (reference `MinimaxCorpusCommand.convert`)."""
+    out = []
+    for line in raw.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        _, sep, text = line.partition("|")
+        text = (text if sep else line).strip()
+        if text:
+            out.append(text)
+    return out
+
+
+def cmd_minimax_corpus(args: argparse.Namespace) -> int:
+    """Stage the MiniMax Multilingual TTS Test Set as tts-benchmark corpus
+    files (reference `MinimaxCorpusCommand.swift`: per-language .txt with a
+    provenance header, CC-BY-SA-4.0)."""
+    from fluidaudio_tpu.registry import DownloadUtils
+
+    languages = (args.languages.split(",") if args.languages
+                 else MINIMAX_LANGUAGES)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    total = 0
+    for lang in languages:
+        path = DownloadUtils.fetch_hf_file(
+            MINIMAX_REPO, f"text/{lang}.txt", out_dir / "_raw",
+            revision=args.revision, dataset=True,
+        )
+        phrases = convert_minimax_lines(path.read_text())
+        header = [
+            f"# MiniMax Multilingual TTS Test Set — {lang}",
+            f"# Source:   https://huggingface.co/datasets/{MINIMAX_REPO}",
+            f"# Revision: {args.revision}",
+            "# License:  CC-BY-SA-4.0 (Creative Commons Attribution-ShareAlike 4.0)",
+            f"# Phrases:  {len(phrases)}",
+            "",
+        ]
+        (out_dir / f"{lang}.txt").write_text("\n".join(header + phrases) + "\n")
+        print(f"  [{lang}] {len(phrases):3d} phrases")
+        total += len(phrases)
+    print(json.dumps({"languages": len(languages), "phrases": total,
+                      "out_dir": str(out_dir)}))
+    return 0
+
+
+def register_corpus(sub) -> None:
+    p = sub.add_parser(
+        "minimax-corpus",
+        help="stage the MiniMax TTS test corpus for tts-benchmark",
+    )
+    p.add_argument("--languages", default="", help="comma list (default: all 24)")
+    p.add_argument("--revision", default=MINIMAX_REVISION)
+    p.add_argument("--out-dir", default="benchmarks/tts/corpus/minimax")
+    p.set_defaults(fn=cmd_minimax_corpus)

@@ -89,6 +89,55 @@ class DownloadUtils:
         raise RegistryError(f"failed to download {url}: {last_err}")
 
     @staticmethod
+    def fetch_hf_file(
+        repo_id: str,
+        remote_path: str,
+        dest_dir: Path,
+        *,
+        revision: str = "main",
+        dataset: bool = False,
+        force: bool = False,
+    ) -> Path:
+        """Fetch one file from an arbitrary HF repo (model or dataset) at a
+        pinned revision — same auth/retry/HTML-validation treatment as the
+        catalog pulls (reference `DownloadUtils.fetchHuggingFaceFile`)."""
+        dest = Path(dest_dir) / remote_path
+        if dest.exists() and not force:
+            return dest
+        if ModelRegistry.offline():
+            raise OfflineError(repo_id, remote_path)
+
+        kind = "datasets/" if dataset else ""
+        url = (f"{ModelRegistry.base_url()}/{kind}{repo_id}"
+               f"/resolve/{revision}/{remote_path}")
+        dest.parent.mkdir(parents=True, exist_ok=True)
+
+        headers = {}
+        token = ModelRegistry.hf_token()
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        last_err: Exception | None = None
+        for attempt in range(_MAX_RETRIES):
+            try:
+                req = urllib.request.Request(url, headers=headers)
+                tmp = dest.with_suffix(dest.suffix + ".part")
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    with open(tmp, "wb") as f:
+                        shutil.copyfileobj(resp, f, length=1 << 20)
+                if _looks_like_html(tmp.open("rb").read(64)):
+                    tmp.unlink(missing_ok=True)
+                    raise RegistryError(f"HTML response for {url} (bad path or auth)")
+                tmp.rename(dest)
+                return dest
+            except (urllib.error.URLError, TimeoutError, OSError, RegistryError) as e:
+                last_err = e
+                wait = _BACKOFF_BASE_S * (2**attempt)
+                logger.warning("download %s attempt %d failed (%s); retry in %.1fs",
+                               remote_path, attempt + 1, e, wait)
+                time.sleep(wait)
+        raise RegistryError(f"failed to download {url}: {last_err}")
+
+    @staticmethod
     def list_repo_files(repo: Repo, subdir: str = "") -> list[str]:
         """Walk the HF listing API (`/api/models/<id>/tree/main[/<dir>]`).
 

@@ -107,3 +107,38 @@ def test_lseend_benchmark_tiny(tmp_path, capsys, monkeypatch):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["files"] == 1
     assert "der_pct" in summary
+
+
+def test_minimax_corpus_registered_and_offline(tmp_path, monkeypatch, capsys):
+    """Command registered; offline mode surfaces a typed OfflineError."""
+    from fluidaudio_tpu.registry import ModelRegistry
+    from fluidaudio_tpu.registry.registry import OfflineError
+
+    ModelRegistry.enforce_offline(True)
+    try:
+        with pytest.raises(OfflineError):
+            main(["minimax-corpus", "--languages", "english",
+                  "--out-dir", str(tmp_path)])
+    finally:
+        ModelRegistry.enforce_offline(False)
+
+
+def test_minimax_corpus_conversion(tmp_path, monkeypatch, capsys):
+    """Full command path with the HF fetch stubbed to a local file."""
+    import fluidaudio_tpu.cli.families as fam
+    from fluidaudio_tpu.registry import DownloadUtils
+
+    raw = tmp_path / "raw.txt"
+    raw.write_text("a.wav|First phrase.\nb.wav|Second one.\n\nno prefix line\n")
+    monkeypatch.setattr(
+        DownloadUtils, "fetch_hf_file",
+        staticmethod(lambda *a, **kw: raw),
+    )
+    out = tmp_path / "corpus"
+    assert main(["minimax-corpus", "--languages", "english",
+                 "--out-dir", str(out)]) == 0
+    body = (out / "english.txt").read_text()
+    assert "First phrase." in body and "no prefix line" in body
+    assert body.startswith("# MiniMax Multilingual TTS Test Set — english")
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["phrases"] == 3
