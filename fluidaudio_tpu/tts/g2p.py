@@ -263,7 +263,8 @@ class MultilingualG2P:
     batching, and caching layers are what this class pins down.
     """
 
-    def __init__(self, params=None, rng_seed: int = 0):
+    def __init__(self, params=None, rng_seed: int = 0,
+                 checkpoint_dir: str | Path | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -271,8 +272,34 @@ class MultilingualG2P:
             G2P_BASE, G2pSeq2Seq, MAX_WORD_BYTES,
         )
 
+        # real CharsiuG2P ByT5 weights when converted + cached
+        # (convert/byt5.py against the upstream T5 checkpoint); otherwise
+        # the compact seq2seq with seeded random init keeps the API live.
+        self.byt5 = None
+        self.byt5_params = None
+        base = Path(checkpoint_dir) if checkpoint_dir else None
+        if base is None:
+            from fluidaudio_tpu.registry import DownloadUtils, Repo
+
+            base = DownloadUtils.repo_dir(Repo.CHARSIU_G2P)
+        ckpt = base / "byt5.npz"
+        cfg_json = base / "config.json"
+        if ckpt.exists() and cfg_json.exists():
+            from fluidaudio_tpu.convert.byt5 import config_from_hf
+            from fluidaudio_tpu.models.byt5_g2p import ByT5G2P
+            from fluidaudio_tpu.utils.checkpoint import load_params
+
+            cfg = config_from_hf(json.loads(cfg_json.read_text()))
+            self.byt5 = ByT5G2P(cfg)
+            template = jax.jit(self.byt5.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), bool),
+                jnp.zeros((1, 2), jnp.int32),
+            )
+            self.byt5_params = load_params(ckpt, template)
+
         self.model = G2pSeq2Seq(G2P_BASE)
-        if params is None:
+        if params is None and self.byt5 is None:
             params = jax.jit(self.model.init)(
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, MAX_WORD_BYTES), jnp.int32),
@@ -317,7 +344,23 @@ class MultilingualG2P:
             raise ValueError(f"unknown G2P language {language!r}; "
                              f"see G2P_LANGUAGES ({len(G2P_LANGUAGES)} codes)")
         todo = [w for w in words if (w, language) not in self._cache]
-        if todo:
+        if todo and self.byt5 is not None:
+            from fluidaudio_tpu.models.byt5_g2p import (
+                byt5_greedy_decode, decode_bytes, encode_bytes,
+            )
+
+            # CharsiuG2P prompt format: "<lang>: word"
+            max_len = max(len(f"<{language}>: {w}".encode()) for w in todo) + 2
+            rows = np.stack([
+                encode_bytes(f"<{language}>: {w}", max_len)[0] for w in todo
+            ])
+            out = byt5_greedy_decode(
+                self.byt5, self.byt5_params, jnp.asarray(rows),
+                jnp.asarray(rows != 0),
+            )
+            for w, row in zip(todo, np.asarray(out)):
+                self._cache[(w, language)] = decode_bytes(row)
+        elif todo:
             rows, lens = zip(*(encode_word(w, language_prefix=lang_id) for w in todo))
             tokens, counts = g2p_greedy_decode(
                 self.model, self.params,

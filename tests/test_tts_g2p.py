@@ -94,3 +94,37 @@ class TestEnglishG2PResolution:
         assert split_words("don't stop, 'cause twenty-one!") == [
             "don't", "stop", ",", "'cause", "twenty-one", "!",
         ]
+
+
+def test_multilingual_g2p_byt5_checkpoint_path(tmp_path):
+    """With a converted ByT5 checkpoint cached, MultilingualG2P uses the
+    real CharsiuG2P architecture and prompt format end-to-end."""
+    import jax
+    import numpy as np
+
+    from fluidaudio_tpu.models.byt5_g2p import BYT5_TEST, ByT5G2P
+    from fluidaudio_tpu.tts.g2p import MultilingualG2P
+    from fluidaudio_tpu.utils.checkpoint import save_params
+
+    model = ByT5G2P(BYT5_TEST)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 8), np.int32), np.ones((1, 8), bool),
+        np.zeros((1, 4), np.int32),
+    )
+    save_params(tmp_path / "byt5.npz", params)
+    cfg = {
+        "vocab_size": 384, "d_model": 64, "d_kv": 16, "d_ff": 128,
+        "num_layers": 2, "num_decoder_layers": 2, "num_heads": 4,
+        "relative_attention_num_buckets": 8,
+        "relative_attention_max_distance": 20,
+        "tie_word_embeddings": False,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+
+    g2p = MultilingualG2P(checkpoint_dir=tmp_path)
+    assert g2p.byt5 is not None
+    out = g2p.phonemize_words(["chat", "eau"], language="fra")
+    assert len(out) == 2 and all(isinstance(o, str) for o in out)
+    # cache hit returns identical strings
+    assert g2p.phonemize_words(["chat"], language="fra") == [out[0]]
