@@ -236,6 +236,65 @@ class EnglishG2P:
         return " ".join(parts)
 
 
+def load_bart_fallback(checkpoint_dir: str | Path):
+    """Build the per-OOV-word BART G2P fallback when a converted checkpoint
+    is cached (reference `G2P/G2PModel.swift:6`: [BOS]+graphemes+[EOS] ->
+    greedy decode -> phoneme tokens via the vocab tables).
+
+    Expects `bart.npz` (convert/bart.py output), `config.json` (HF), and
+    `vocab.json` ({"grapheme_to_id": {...}, "id_to_phoneme": {...}}) in
+    `checkpoint_dir`; -> callable(word) -> IPA string, or None if absent.
+    """
+    base = Path(checkpoint_dir)
+    ckpt, cfg_json, vocab_json = base / "bart.npz", base / "config.json", base / "vocab.json"
+    if not (ckpt.exists() and cfg_json.exists() and vocab_json.exists()):
+        return None
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluidaudio_tpu.convert.bart import config_from_hf
+    from fluidaudio_tpu.models.bart_g2p import BartG2P, bart_greedy_decode
+    from fluidaudio_tpu.utils.checkpoint import load_params
+
+    cfg = config_from_hf(json.loads(cfg_json.read_text()))
+    vocab = json.loads(vocab_json.read_text())
+    g2i = vocab["grapheme_to_id"]
+    i2p = {int(k): v for k, v in vocab["id_to_phoneme"].items()}
+    unk = vocab.get("unk_token_id", 3)
+    model = BartG2P(cfg)
+    template = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), bool),
+        jnp.zeros((1, 2), jnp.int32),
+    )
+    params = load_params(ckpt, template)
+    cache: dict[str, str | None] = {}
+
+    def fallback(word: str) -> str | None:
+        if word in cache:
+            return cache[word]
+        ids = [cfg.bos_token_id] + [g2i.get(c, unk) for c in word] + [cfg.eos_token_id]
+        n = len(ids)
+        enc = np.asarray(ids, np.int32)[None, :]
+        out = np.asarray(bart_greedy_decode(
+            model, params, jnp.asarray(enc), jnp.ones((1, n), bool)
+        ))[0]
+        phones = []
+        for i in out:
+            i = int(i)
+            if i == cfg.eos_token_id:
+                break
+            if i in i2p:
+                phones.append(i2p[i])
+        result = "".join(phones) or None
+        cache[word] = result
+        return result
+
+    return fallback
+
+
 # --------------------------------------------------------------------------
 # Multilingual seq2seq G2P (charsiu ByT5 analog)
 # --------------------------------------------------------------------------

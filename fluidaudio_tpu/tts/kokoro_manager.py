@@ -86,10 +86,13 @@ class KokoroManager:
         self.speed = speed
         self.text_program = KokoroTextProgram(self.cfg)
         self.audio_program = KokoroAudioProgram(self.cfg)
-        self.g2p = EnglishG2P()
-        # full Misaki lexicon when the kokoro asset cache holds it
-        # (us_lexicon_cache.json, reference LexiconAssetCache.swift:35)
+        # full Misaki lexicon + converted BART fallback when the kokoro
+        # asset cache holds them (us_lexicon_cache.json / bart.npz —
+        # reference LexiconAssetCache.swift:35, G2PModel.swift:6)
+        from fluidaudio_tpu.tts.g2p import load_bart_fallback
+
         lex_base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.KOKORO_ANE)
+        self.g2p = EnglishG2P(fallback=load_bart_fallback(lex_base))
         if self.g2p.load_misaki_cache(lex_base):
             logger.info("loaded Misaki lexicon cache (%d entries)",
                         len(self.g2p.misaki_lower))
