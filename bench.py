@@ -37,7 +37,11 @@ def main() -> None:
     window = 240_000  # 15 s @ 16 kHz
     iters = 5
 
-    models = AsrModels.load("v3", allow_random_init=True)
+    import os
+    quant = os.environ.get("FLUID_BENCH_QUANT") or (
+        "int8" if "int8" in sys.argv else None
+    )
+    models = AsrModels.load("v3", allow_random_init=True, quantization=quant)
     manager = AsrManager(models, ASRConfig(parallel_chunk_batch=batch))
     fn = jax.jit(manager.build_pipeline(batch))
 

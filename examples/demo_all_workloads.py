@@ -71,6 +71,18 @@ rt = tts_asr_roundtrip(tts, asr, "testing one two three")
 print(f"[tts]        {synth.duration:.2f}s audio -> /tmp/demo_tts.wav; "
       f"round-trip WER {rt.wer:.2f} (random weights)")
 
+# --- other TTS backends (test-size configs keep the tour fast) ---------------
+from fluidaudio_tpu.models.styletts2 import STYLETTS2_TEST
+from fluidaudio_tpu.models.supertonic3 import SUPERTONIC3_TEST
+from fluidaudio_tpu.tts.styletts2_manager import StyleTTS2Manager
+from fluidaudio_tpu.tts.supertonic_manager import Supertonic3Manager
+
+st2 = StyleTTS2Manager(STYLETTS2_TEST).synthesize("style transfer check")
+s3 = Supertonic3Manager(SUPERTONIC3_TEST, total_steps=2).synthesize(
+    "flow matching check", language="en")
+print(f"[tts-alt]    styletts2 {st2.duration:.2f}s @ {st2.sample_rate} Hz; "
+      f"supertonic3 {s3.duration:.2f}s @ {s3.sample_rate} Hz")
+
 # --- ITN ----------------------------------------------------------------------
 from fluidaudio_tpu.itn import TextNormalizer
 

@@ -50,6 +50,12 @@ class ConformerConfig:
     # (ops/attention_pallas.py — one VMEM-resident kernel per (batch, head)
     # instead of ~7 HBM passes); "xla": always the einsum path.
     attention_backend: str = "auto"
+    # "none" | "int8": dynamic w8a8 on the large matmuls (FFN, attention
+    # projections, conv pointwise) via ops/quant.Int8Dense — ~1.6x the bf16
+    # MXU rate on v5e; param tree is unchanged so converters/checkpoints
+    # work for both modes. The reference ships the same trade (int8
+    # Nemotron encoder, SURVEY §2.4).
+    quantization: str = "none"
 
     @property
     def compute_dtype(self):
@@ -76,6 +82,18 @@ EOU_120M = ConformerConfig(
 )
 
 
+def _dense(cfg: "ConformerConfig", features: int, name: str,
+           use_bias: bool = True):
+    """nn.Dense or its int8 drop-in, per cfg.quantization (same params)."""
+    if cfg.quantization == "int8":
+        from fluidaudio_tpu.ops.quant import Int8Dense
+
+        return Int8Dense(features, use_bias=use_bias, dtype=cfg.compute_dtype,
+                         name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.compute_dtype,
+                    name=name)
+
+
 class GLUConv(nn.Module):
     """Conformer convolution module (inference BN folded as scale/bias)."""
 
@@ -86,7 +104,7 @@ class GLUConv(nn.Module):
         cfg = self.cfg
         d = cfg.d_model
         x = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln")(x)
-        x = nn.Dense(2 * d, dtype=cfg.compute_dtype, name="pointwise1")(x)
+        x = _dense(cfg, 2 * d, "pointwise1")(x)
         x = nn.glu(x, axis=-1)
         # zero padded frames so the depthwise conv does not smear pad energy
         x = x * pad_mask[..., None].astype(x.dtype)
@@ -104,7 +122,7 @@ class GLUConv(nn.Module):
         bias = self.param("bn_bias", nn.initializers.zeros, (d,), jnp.float32)
         x = x * scale.astype(x.dtype) + bias.astype(x.dtype)
         x = nn.silu(x)
-        x = nn.Dense(d, dtype=cfg.compute_dtype, name="pointwise2")(x)
+        x = _dense(cfg, d, "pointwise2")(x)
         return x
 
 
@@ -133,13 +151,13 @@ class RelPosMHSA(nn.Module):
         dt = cfg.compute_dtype
 
         x = nn.LayerNorm(dtype=dt, name="ln")(x)
-        q = nn.Dense(cfg.d_model, dtype=dt, name="q")(x).reshape(B, T, H, Dh)
-        k = nn.Dense(cfg.d_model, dtype=dt, name="k")(x).reshape(B, T, H, Dh)
-        v = nn.Dense(cfg.d_model, dtype=dt, name="v")(x).reshape(B, T, H, Dh)
+        q = _dense(cfg, cfg.d_model, "q")(x).reshape(B, T, H, Dh)
+        k = _dense(cfg, cfg.d_model, "k")(x).reshape(B, T, H, Dh)
+        v = _dense(cfg, cfg.d_model, "v")(x).reshape(B, T, H, Dh)
 
         # relative position embeddings for offsets [-(T-1), T-1]
         pos = _rel_sinusoid(T, cfg.d_model).astype(dt)  # [2T-1, D]
-        p = nn.Dense(cfg.d_model, use_bias=False, dtype=dt, name="pos")(pos)
+        p = _dense(cfg, cfg.d_model, "pos", use_bias=False)(pos)
 
         u = self.param("pos_bias_u", nn.initializers.zeros, (H, Dh), jnp.float32)
         w = self.param("pos_bias_v", nn.initializers.zeros, (H, Dh), jnp.float32)
@@ -177,7 +195,7 @@ class RelPosMHSA(nn.Module):
             scores = jnp.where(att_mask[:, None, :, :], scores, jnp.finfo(dt).min)
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
             out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, cfg.d_model)
-        return nn.Dense(cfg.d_model, dtype=dt, name="out")(out)
+        return _dense(cfg, cfg.d_model, "out")(out)
 
 
 def _rel_sinusoid(T: int, d_model: int) -> jax.Array:
@@ -216,9 +234,9 @@ class ConformerBlock(nn.Module):
 
         def ffn(x, name):
             h = nn.LayerNorm(dtype=dt, name=f"{name}_ln")(x)
-            h = nn.Dense(d_ff, dtype=dt, name=f"{name}_fc1")(h)
+            h = _dense(cfg, d_ff, f"{name}_fc1")(h)
             h = nn.silu(h)
-            return nn.Dense(cfg.d_model, dtype=dt, name=f"{name}_fc2")(h)
+            return _dense(cfg, cfg.d_model, f"{name}_fc2")(h)
 
         x = x + 0.5 * ffn(x, "ffn1")
         x = x + RelPosMHSA(cfg, name="mhsa")(x, att_mask, lengths)

@@ -105,13 +105,18 @@ class AsrModels:
         allow_random_init: bool = True,
         rng_seed: int = 0,
         dtype: str | None = None,
+        quantization: str | None = None,
     ) -> "AsrModels":
         spec = ASR_VERSIONS[version]
+        overrides = {}
         if dtype is not None:
-            from dataclasses import replace
+            overrides["dtype"] = dtype
+        if quantization is not None:
+            overrides["quantization"] = quantization
+        if overrides:
             spec = AsrVersionSpec(
                 spec.name, spec.repo,
-                ConformerConfig(**{**spec.conformer.__dict__, "dtype": dtype}),
+                ConformerConfig(**{**spec.conformer.__dict__, **overrides}),
                 spec.predictor, spec.mel, spec.fused_frontend,
             )
         # strided-conv DFT on accelerators: bit-identical to the matmul DFT
