@@ -268,7 +268,7 @@ class DwStridingSubsampling(nn.Module):
             x = nn.relu(x)
         B, T8, F8, C = x.shape
         x = x.reshape(B, T8, F8 * C)
-        return nn.Dense(cfg.d_model, dtype=dt, name="proj")(x)
+        return _dense(cfg, cfg.d_model, "proj")(x)
 
 
 class ConformerEncoder(nn.Module):

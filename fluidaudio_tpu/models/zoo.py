@@ -136,8 +136,18 @@ class AsrModels:
         # individual ops (pathological over the remote-TPU relay).
         dummy_mel = jnp.zeros((1, spec.mel.n_mels, 101), jnp.float32)
         dummy_len = jnp.array([101], jnp.int32)
+        # int8 mode: init/load the f32 tree, then pre-quantize the Dense
+        # kernels into the Int8Dense layout (weights quantize once at load,
+        # not in-graph — see ops/quant.py)
+        if spec.conformer.quantization == "int8":
+            f32_cfg = ConformerConfig(
+                **{**spec.conformer.__dict__, "quantization": "none"}
+            )
+            enc_for_load = ConformerEncoder(f32_cfg)
+        else:
+            enc_for_load = encoder
         params = {
-            "encoder": jax.jit(encoder.init)(k_enc, dummy_mel, dummy_len),
+            "encoder": jax.jit(enc_for_load.init)(k_enc, dummy_mel, dummy_len),
             "predictor": jax.jit(predictor.init)(
                 k_pred,
                 jnp.zeros((1,), jnp.int32),
@@ -164,6 +174,11 @@ class AsrModels:
                     f"no checkpoints for {version} in {ckpt_dir}; pass allow_random_init=True"
                 )
             logger.warning("ASR %s: no checkpoints in %s — using seeded random init", version, ckpt_dir)
+
+        if spec.conformer.quantization == "int8":
+            from fluidaudio_tpu.ops.quant import quantize_dense_tree
+
+            params["encoder"] = jax.jit(quantize_dense_tree)(params["encoder"])
 
         vocab_file = ckpt_dir / "vocab.json"
         if vocab_file.exists():

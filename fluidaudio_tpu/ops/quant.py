@@ -14,6 +14,13 @@ The reference ships the same trade on its own hardware: Nemotron's ANE
 encoder is int8 (SURVEY §2.4 "int8 encoder"). Accuracy: symmetric dynamic
 w8a8 on conformer encoders is the standard NeMo/TensorRT recipe; the test
 suite pins cosine similarity vs the bf16 path.
+
+STATUS — experimental opt-in. With pre-quantized weights the flagship
+pipeline measures 5,071x RT vs 6,570x on the bf16 path (v5e, B=128): the
+per-matmul activation amax/quantize passes and f32 dequant epilogues cost
+more HBM traffic than the 1.6x MXU rate saves under XLA. Making w8a8 win
+end-to-end needs a Pallas int8 matmul with the quantize/dequant fused into
+the kernel epilogue (TODO.md); until then bf16 stays the default.
 """
 
 from __future__ import annotations
@@ -53,7 +60,14 @@ def int8_matmul(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
 
 class Int8Dense(nn.Module):
-    """nn.Dense drop-in (same {kernel, bias} params) on the int8 MXU path."""
+    """nn.Dense drop-in storing PRE-QUANTIZED weights.
+
+    Params: kernel_q int8 [K, N], kernel_scale f32 [1, N], bias f32 [N].
+    Weights are quantized ONCE — at init, or by `quantize_dense_tree` when
+    loading an f32 checkpoint — so the hot path pays only the per-token
+    activation quantization (quantizing 2.4 GB of f32 weights in-graph per
+    call measured SLOWER than bf16: 4.3k vs 6.6k RTFx on the flagship).
+    """
 
     features: int
     use_bias: bool = True
@@ -61,13 +75,53 @@ class Int8Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
-            jnp.float32,
+        def init_q(key, shape, _):
+            w = nn.initializers.lecun_normal()(key, shape, jnp.float32)
+            return quantize_cols(w)[0]
+
+        def init_s(key, shape, _):
+            w = nn.initializers.lecun_normal()(key, (x.shape[-1], self.features),
+                                               jnp.float32)
+            return quantize_cols(w)[1]
+
+        kq = self.param("kernel_q", init_q, (x.shape[-1], self.features), jnp.int8)
+        ks = self.param("kernel_scale", init_s, (1, self.features), jnp.float32)
+
+        shape = x.shape
+        x2 = x.reshape(-1, shape[-1])
+        xq, sx = quantize_rows(x2)
+        acc = jax.lax.dot_general(
+            xq, kq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-        out = int8_matmul(x, kernel)
+        out = (acc.astype(jnp.float32) * sx * ks).reshape(
+            *shape[:-1], self.features
+        )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
             out = out + bias
         return out.astype(self.dtype or x.dtype)
+
+
+def quantize_dense_tree(tree):
+    """Transform every {kernel, [bias]} Dense subtree into the Int8Dense
+    layout ({kernel_q, kernel_scale, [bias]}); other leaves pass through.
+    Used by model loaders to serve f32 checkpoints on the int8 path.
+
+    Pure jnp on purpose: callers wrap it in ONE `jax.jit` so a 0.6B tree
+    quantizes as a single device program (eager per-kernel dispatch through
+    a remote-TPU relay takes minutes; host round-trips move gigabytes)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
+                q, s = quantize_cols(jnp.asarray(node["kernel"]))
+                out = {"kernel_q": q, "kernel_scale": s}
+                for k, v in node.items():
+                    if k != "kernel":
+                        out[k] = v
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(tree)
