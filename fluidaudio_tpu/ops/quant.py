@@ -4,9 +4,9 @@ v5e's MXU runs int8 x int8 -> int32 at ~2x the bf16 rate (measured 235
 TOP/s vs 145 TFLOP/s on the conformer FFN shapes, profile_int8). This
 module provides a drop-in for `nn.Dense` on the encoder's large matmuls:
 
-  - weights: per-OUTPUT-channel symmetric scales, quantized in-graph from
-    the stored f32 kernel (param tree stays identical to nn.Dense —
-    {kernel, bias} — so every checkpoint converter works unchanged)
+  - weights: per-OUTPUT-channel symmetric scales, pre-quantized once at
+    load (`quantize_dense_tree` converts any f32 {kernel, bias} Dense tree,
+    so every checkpoint converter keeps emitting plain f32 trees)
   - activations: per-ROW (per token) symmetric dynamic scales
   - accumulate int32 on the MXU, dequantize as acc * s_row * s_col
 

@@ -128,6 +128,10 @@ class StyleTts2Result:
     samples: np.ndarray
     sample_rate: int
 
+    @property
+    def duration(self) -> float:
+        return self.samples.size / self.sample_rate
+
 
 _TOKEN_BUCKETS = (64, 128, 256)  # StyleTTS2Constants.bucketTokenSizes
 _MEL_BUCKETS = (128, 256, 512, 1024)
