@@ -146,7 +146,12 @@ class StreamingEouAsrManager:
 
     # ------------------------------------------------------------- jitted step
 
-    def _chunk_step(self, params, mel_chunk, caches, dec_state):
+    def _chunk_step(self, params, window, last_sample, caches, dec_state):
+        # mel fused into the chunk program: ONE device dispatch per chunk
+        # (separate mel + encoder calls double the per-chunk host->device
+        # round trips — the dominant cost for a remote/tunneled device)
+        mel_chunk, _ = self.mel(window, last_samples=last_sample)
+        mel_chunk = mel_chunk[:, :, : self.mel_frames]
         enc, new_caches = self.encoder.apply(params["encoder"], mel_chunk, caches)
         T = enc.shape[1]
 
@@ -205,17 +210,21 @@ class StreamingEouAsrManager:
 
     def _process_one(self, state: _StreamState) -> EouPartialResult:
         window = state.pending[: self.chunk_samples + MEL_WIN - MEL_HOP]
-        mel, _ = self.mel(
+        result, new_caches = self._step(
+            self.params,
             jnp.asarray(window)[None, :],
-            last_samples=jnp.array([state.last_sample], jnp.float32),
+            jnp.array([state.last_sample], jnp.float32),
+            state.caches,
+            state.dec_state,
         )
-        mel = mel[:, :, : self.mel_frames]
 
-        result, new_caches = self._step(self.params, mel, state.caches, state.dec_state)
-
-        count = int(result.counts[0])
-        ids = [int(t) for t in np.asarray(result.tokens[0][:count])]
-        frames = np.asarray(result.token_times[0][:count])
+        # one device->host transfer for every host-consumed output
+        tokens_h, counts_h, times_h, eou_h = jax.device_get(
+            (result.tokens, result.counts, result.token_times, result.eou_detected)
+        )
+        count = int(counts_h[0])
+        ids = [int(t) for t in tokens_h[0][:count]]
+        frames = times_h[0][:count]
         base_frame = state.enc_frames_emitted
         ts_ms = [(base_frame + int(f)) * 80.0 for f in frames]
         state.tokens.extend(ids)
@@ -232,7 +241,7 @@ class StreamingEouAsrManager:
         )
 
         now_ms = state.consumed_samples / SAMPLE_RATE * 1000.0
-        eou_raw = bool(result.eou_detected[0])
+        eou_raw = bool(eou_h[0])
         eou = eou_raw and (now_ms - state.last_eou_ms) >= EOU_DEBOUNCE_MS
         if eou:
             state.last_eou_ms = now_ms

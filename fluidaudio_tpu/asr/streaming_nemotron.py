@@ -260,7 +260,14 @@ class StreamingNemotronAsrManager:
             else Tokenizer(_placeholder_vocab(self.spec.vocab_size))
         )
 
-    def _chunk_step(self, params, mel_chunk, caches, dec_state, prompt_id):
+    def _chunk_step(self, params, window, last_sample, caches, dec_state, prompt_id):
+        # mel fused into the chunk program (one dispatch per chunk; see
+        # streaming_eou._chunk_step)
+        mel_chunk, _ = self.mel(window, last_samples=last_sample)
+        mel_chunk = mel_chunk[:, :, : self.mel_frames]
+        return self._chunk_step_mel(params, mel_chunk, caches, dec_state, prompt_id)
+
+    def _chunk_step_mel(self, params, mel_chunk, caches, dec_state, prompt_id):
         enc, new_caches = self.encoder.apply(params["encoder"], mel_chunk, caches, prompt_id)
         lengths = jnp.full((1,), enc.shape[1], jnp.int32)
         result = tdt_greedy_decode(
@@ -309,18 +316,20 @@ class StreamingNemotronAsrManager:
 
     def _process_one(self, state: _StreamState) -> EouPartialResult:
         window = state.pending[: self.chunk_samples + MEL_WIN - MEL_HOP]
-        mel, _ = self.mel(
-            jnp.asarray(window)[None, :],
-            last_samples=jnp.array([state.last_sample], jnp.float32),
-        )
-        mel = mel[:, :, : self.mel_frames]
         result, new_caches = self._step(
-            self.params, mel, state.caches, state.dec_state,
+            self.params,
+            jnp.asarray(window)[None, :],
+            jnp.array([state.last_sample], jnp.float32),
+            state.caches,
+            state.dec_state,
             jnp.array([self.prompt_id], jnp.int32),
         )
-        count = int(result.counts[0])
-        raw_ids = [int(t) for t in np.asarray(result.tokens[0][:count])]
-        frames = np.asarray(result.token_times[0][:count])
+        tokens_h, counts_h, times_h = jax.device_get(
+            (result.tokens, result.counts, result.token_times)
+        )
+        count = int(counts_h[0])
+        raw_ids = [int(t) for t in tokens_h[0][:count]]
+        frames = times_h[0][:count]
         # multilingual: the model emits leading <xx-XX> language-tag tokens —
         # filter them from the transcript, surface the first as the detected
         # language (NemotronMultilingualStreamingConfig.swift:44-47)
