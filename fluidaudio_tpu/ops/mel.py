@@ -287,7 +287,7 @@ class MelFrontend:
             windowed = jnp.pad(
                 windowed, ((0, 0), (0, 0), (0, cfg.n_fft - cfg.win_length))
             )
-            power = _ct_power(windowed, self._ct)
+            power = _ct_power(windowed, self._ct, self._prec)
         elif self.use_fft:
             windowed = frames * self._window[None, None, :]
             lpad = off
@@ -372,23 +372,27 @@ def _cooley_tukey_matrices(cfg: MelConfig, n1: int = 16):
     )
 
 
-def _ct_power(x512: jax.Array, mats) -> jax.Array:
-    """x512 [B, T, N] real -> power [B, T, bins] via two matmul FFT stages."""
+def _ct_power(x512: jax.Array, mats, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """x512 [B, T, N] real -> power [B, T, bins] via two matmul FFT stages.
+
+    `precision` matters on TPU: the default bf16 matmul accumulation puts
+    ~4.5 absolute error on the log-mel floor; HIGHEST restores f32 parity.
+    """
     C16, S16, G_re, G_im, n1, n2 = mats
     B, T, N = x512.shape
     # n = n2*a + b: reshape to [B, T, a(n1), b(n2)] then inner DFT over a
     x3 = x512.reshape(B, T, n1, n2)
     xt = jnp.swapaxes(x3, 2, 3)  # [B, T, b, a]
-    A_re = jnp.einsum("ztca,am->ztcm", xt, C16, preferred_element_type=jnp.float32)
-    A_im = jnp.einsum("ztca,am->ztcm", xt, S16, preferred_element_type=jnp.float32)
+    A_re = jnp.einsum("ztca,am->ztcm", xt, C16, preferred_element_type=jnp.float32, precision=precision)
+    A_im = jnp.einsum("ztca,am->ztcm", xt, S16, preferred_element_type=jnp.float32, precision=precision)
     Ar = A_re.reshape(B, T, n2 * n1)
     Ai = A_im.reshape(B, T, n2 * n1)
     X_re = (
-        jnp.einsum("ztn,nk->ztk", Ar, G_re, preferred_element_type=jnp.float32)
-        - jnp.einsum("ztn,nk->ztk", Ai, G_im, preferred_element_type=jnp.float32)
+        jnp.einsum("ztn,nk->ztk", Ar, G_re, preferred_element_type=jnp.float32, precision=precision)
+        - jnp.einsum("ztn,nk->ztk", Ai, G_im, preferred_element_type=jnp.float32, precision=precision)
     )
     X_im = (
-        jnp.einsum("ztn,nk->ztk", Ar, G_im, preferred_element_type=jnp.float32)
-        + jnp.einsum("ztn,nk->ztk", Ai, G_re, preferred_element_type=jnp.float32)
+        jnp.einsum("ztn,nk->ztk", Ar, G_im, preferred_element_type=jnp.float32, precision=precision)
+        + jnp.einsum("ztn,nk->ztk", Ai, G_re, preferred_element_type=jnp.float32, precision=precision)
     )
     return X_re**2 + X_im**2
