@@ -167,20 +167,10 @@ class KokoroManager:
         return KokoroSynthesisResult(samples=audio, sample_rate=SAMPLE_RATE, timings=timings)
 
     def _chunk_phonemes(self, phonemes: str) -> list[str]:
-        if len(phonemes) <= MAX_TOKENS - 2:
-            return [phonemes] if phonemes else []
-        # split on sentence punctuation, pack greedily (reference auto-chunking)
-        parts = re.split(r"(?<=[.!?;])\s*", phonemes)
-        chunks, cur = [], ""
-        for p in parts:
-            if len(cur) + len(p) + 1 > MAX_TOKENS - 2 and cur:
-                chunks.append(cur)
-                cur = p
-            else:
-                cur = (cur + " " + p).strip() if cur else p
-        if cur:
-            chunks.append(cur)
-        return chunks
+        # shared PhonemeChunker semantics (reference TTS/Shared/PhonemeChunker.swift)
+        from fluidaudio_tpu.tts.phoneme_chunker import chunk_phonemes
+
+        return chunk_phonemes(phonemes, MAX_TOKENS - 2)
 
     # static shape buckets: token count and frame count round up to these so
     # repeated calls reuse compiled programs (the jit cache plays the role of

@@ -212,6 +212,39 @@ class StyleTTS2Manager:
         defaults 0.3/0.7)."""
         cfg = self.cfg
         phonemes = self.g2p.phonemize(text)
+        # long input: shared PhonemeChunker semantics (reference
+        # TTS/Shared/PhonemeChunker.swift via issue #712 follow-up)
+        from fluidaudio_tpu.tts.phoneme_chunker import chunk_phonemes
+
+        pieces = chunk_phonemes(phonemes, cfg.max_tokens)
+        if len(pieces) > 1:
+            outs = [
+                self._synthesize_phonemes(
+                    piece, reference_audio, alpha=alpha, beta=beta,
+                    noise_seed=noise_seed + i, speed=speed,
+                ).samples
+                for i, piece in enumerate(pieces)
+            ]
+            return StyleTts2Result(
+                samples=np.concatenate(outs) if outs else np.zeros(0, np.float32),
+                sample_rate=SAMPLE_RATE,
+            )
+        return self._synthesize_phonemes(
+            phonemes, reference_audio, alpha=alpha, beta=beta,
+            noise_seed=noise_seed, speed=speed,
+        )
+
+    def _synthesize_phonemes(
+        self,
+        phonemes: str,
+        reference_audio: np.ndarray | None = None,
+        *,
+        alpha: float = 0.3,
+        beta: float = 0.7,
+        noise_seed: int = 0,
+        speed: float = 1.0,
+    ) -> StyleTts2Result:
+        cfg = self.cfg
         ids = text_cleaner_encode(phonemes)[: cfg.max_tokens]
         n = len(ids)
         tb = _bucket(n, tuple(b for b in _TOKEN_BUCKETS if b <= cfg.max_tokens) or (cfg.max_tokens,))

@@ -140,3 +140,24 @@ def test_roundtrip_harness(supertonic):
     assert 0.0 <= result.wer <= 2.0
     assert result.audio_seconds > 0
     assert isinstance(result.transcript, str)
+
+
+def test_phoneme_chunker_reference_semantics():
+    from fluidaudio_tpu.tts.phoneme_chunker import chunk_phonemes
+
+    assert chunk_phonemes("", 10) == []
+    assert chunk_phonemes("  abc  ", 10) == ["abc"]
+    # break at the latest whitespace inside the window
+    assert chunk_phonemes("aaa bbb ccc", 7) == ["aaa bbb", "ccc"]
+    # pause punctuation stays attached to the preceding chunk
+    assert chunk_phonemes("aaa, bbb ccc", 6) == ["aaa,", "bbb", "ccc"]
+    # no boundary at all: hard split at the cap
+    assert chunk_phonemes("abcdefghij", 4) == ["abcd", "efgh", "ij"]
+
+
+def test_styletts2_long_input_chunks(styletts2):
+    short = styletts2.synthesize("one two")
+    long_text = " ".join(["chunky synthesis input"] * 30)
+    result = styletts2.synthesize(long_text)
+    assert result.samples.size > short.samples.size
+    assert result.sample_rate == short.sample_rate
