@@ -75,8 +75,12 @@ class AsrManager:
             max_tokens=tdt.max_tokens_per_chunk,
         )
 
-    def build_pipeline(self, batch: int, language: str | None = None):
-        """Raw (unjitted) pipeline fn(params, audio [B,W], lengths [B]).
+    def build_pipeline(self, batch: int, language: str | None = None,
+                       stateful: bool = False):
+        """Raw (unjitted) pipeline fn(params, audio [B,W], lengths [B]) —
+        with `stateful=True`, fn(params, audio, lengths, decoder_state) so a
+        caller-held carry continues across calls (reference
+        `AsrManager.transcribe(decoderState:)`).
 
         `language` enables decode-time script filtering + English blocklist
         (reference `TdtDecoderV3.swift:33-78`): the vocab mask is baked into
@@ -89,7 +93,7 @@ class AsrManager:
             jnp.asarray(self._language_mask(language)) if language else None
         )
 
-        def pipeline(params, audio, lengths):
+        def run(params, audio, lengths, state):
             mel, mel_len = models.mel(audio, lengths)
             enc_out, enc_len = models.encoder.apply(params["encoder"], mel, mel_len)
 
@@ -99,12 +103,18 @@ class AsrManager:
             def joint_logits(f, g):
                 return models.joint.apply(params["joint"], f, g)
 
-            state = make_initial_state(dcfg, pcfg.n_layers, pcfg.pred_hidden, batch)
             result = tdt_greedy_decode(
                 dcfg, predictor_step, joint_logits, enc_out, enc_len, state,
                 allowed_mask=allowed_mask,
             )
             return result, enc_len
+
+        if stateful:
+            return run
+
+        def pipeline(params, audio, lengths):
+            state = make_initial_state(dcfg, pcfg.n_layers, pcfg.pred_hidden, batch)
+            return run(params, audio, lengths, state)
 
         return pipeline
 
@@ -214,30 +224,9 @@ class AsrManager:
                                language: str | None = None):
         key = ("stateful", batch, window_samples, language)
         if key not in self._pipeline_cache:
-            models = self.models
-            dcfg = self._decode_cfg
-            allowed_mask = (
-                jnp.asarray(self._language_mask(language)) if language else None
+            self._pipeline_cache[key] = jax.jit(
+                self.build_pipeline(batch, language, stateful=True)
             )
-
-            def pipeline(params, audio, lengths, state):
-                mel, mel_len = models.mel(audio, lengths)
-                enc_out, enc_len = models.encoder.apply(
-                    params["encoder"], mel, mel_len)
-
-                def predictor_step(tokens, h, c):
-                    return models.predictor.apply(params["predictor"], tokens, h, c)
-
-                def joint_logits(f, g):
-                    return models.joint.apply(params["joint"], f, g)
-
-                result = tdt_greedy_decode(
-                    dcfg, predictor_step, joint_logits, enc_out, enc_len, state,
-                    allowed_mask=allowed_mask,
-                )
-                return result, enc_len
-
-            self._pipeline_cache[key] = jax.jit(pipeline)
         return self._pipeline_cache[key]
 
     def _transcribe_chunked(

@@ -77,6 +77,9 @@ class _StreamState:
     timestamps_ms: list[float] = field(default_factory=list)
     last_eou_ms: float = -1e9
     enc_frames_emitted: int = 0
+    # multilingual Nemotron: first <xx-XX> tag seen in THIS stream (per
+    # state, so a manager reused across files never reports a stale value)
+    detected_language: str | None = None
 
 
 class StreamingEouAsrManager:

@@ -337,9 +337,12 @@ class StreamingNemotronAsrManager:
         ids, ts_ms = [], []
         for t, f in zip(raw_ids, frames):
             if t in tag_ids:
-                if self.detected_language is None:
+                if state.detected_language is None:
                     piece = self.tokenizer.piece(t) or ""
-                    self.detected_language = piece.strip("<>▁ ") or None
+                    state.detected_language = piece.strip("<>▁ ") or None
+                    # mirror of the CURRENT stream's detection (convenience;
+                    # per-stream truth lives on the state)
+                    self.detected_language = state.detected_language
                 continue
             ids.append(t)
             ts_ms.append((state.enc_frames_emitted + int(f)) * 80.0)

@@ -298,7 +298,10 @@ def cmd_vad_benchmark(args: argparse.Namespace) -> int:
         total_wall += time.perf_counter() - t0
         total_audio += samples.size / 16000
         probs = [r.probability for r in results]
-        pred = float(np.mean([p > args.threshold for p in probs])) > 0.25
+        # clips shorter than one VAD window yield no chunk results: score as
+        # non-speech explicitly instead of np.mean([]) = NaN (always False)
+        pred = bool(probs) and float(
+            np.mean([p > args.threshold for p in probs])) > 0.25
         if pred and is_speech:
             tp += 1
         elif pred:
@@ -342,17 +345,24 @@ def cmd_tts_benchmark(args: argparse.Namespace) -> int:
         total_wall += time.perf_counter() - t0
         total_audio += r.duration
         if args.roundtrip:
+            # score the audio already synthesized above (tts_asr_roundtrip
+            # would synthesize a second time, doubling the dominant cost)
             from fluidaudio_tpu.asr.config import ASRConfig
             from fluidaudio_tpu.asr.manager import AsrManager
+            from fluidaudio_tpu.metrics.text_normalizer import normalize_for_scoring
+            from fluidaudio_tpu.metrics.wer import wer
             from fluidaudio_tpu.models.zoo import AsrModels
-            from fluidaudio_tpu.tts.roundtrip import tts_asr_roundtrip
+            from fluidaudio_tpu.utils.converter import resample
 
             if not hasattr(manager, "_rt_asr"):
                 manager._rt_asr = AsrManager(
                     AsrModels.load("v3", allow_random_init=True), ASRConfig())
+            import numpy as np
+            audio16k = resample(
+                np.asarray(r.samples, np.float32), r.sample_rate, 16_000)
+            hyp = manager._rt_asr.transcribe(audio16k).text
             wers.append(
-                tts_asr_roundtrip(manager, manager._rt_asr, text,
-                                  voice=args.voice).wer)
+                wer(normalize_for_scoring(text), normalize_for_scoring(hyp)).rate)
     summary = {
         "sentences": len(sentences),
         "audio_seconds": round(total_audio, 2),
@@ -496,6 +506,14 @@ def cmd_download_dataset(args: argparse.Namespace) -> int:
             out = dl.download_earnings22_kws(max_files=args.max_files or 10)
         elif name == "voices":
             out = dl.download_voices_subset(max_files=args.max_files or 50)
+        elif name.startswith("librispeech"):
+            subset = name.split("-", 1)[1] if "-" in name else "test-clean"
+            out = dl.download_librispeech(subset)
+        elif name == "fleurs":
+            out = dl.download_fleurs(getattr(args, "languages", "") or
+                                     "es_419,fr_fr,de_de")
+        elif name in ("jsut", "jsut-basic5000"):
+            out = dl.download_jsut(max_files=args.max_files)
         else:
             print(f"unknown dataset {name!r}")
             return 1
@@ -545,11 +563,13 @@ def register(sub: argparse._SubParsersAction) -> None:
 
     p = sub.add_parser(
         "download-dataset",
-        help="stage a benchmark dataset (ami-sdm/ami-ihm/musan-*/earnings22-kws/voices)",
+        help="stage a benchmark dataset (ami-sdm/ami-ihm/musan-*/earnings22-kws/"
+             "voices/librispeech-test-clean/fleurs/jsut-basic5000)",
     )
     p.add_argument("dataset")
     p.add_argument("--output-dir")
     p.add_argument("--max-files", type=int, default=0)
+    p.add_argument("--languages", default="", help="fleurs: comma locale list")
     p.set_defaults(fn=cmd_download_dataset)
 
     p = sub.add_parser(

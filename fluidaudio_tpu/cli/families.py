@@ -69,12 +69,21 @@ def _wer_over(utts, transcribe, *, use_cer: bool = False, verbose: bool = False,
 
 
 def _load_utts(args) -> list | None:
-    utts = list(_iter_librispeech(Path(args.dataset_dir)))
+    """(utt_id, wav, ref) triples from a LibriSpeech- OR FLEURS-layout dir
+    (the multilingual benchmarks document FLEURS trees; both parse here)."""
+    from fluidaudio_tpu.cli.benchmarks import _iter_fleurs
+
+    root = Path(args.dataset_dir)
+    utts = list(_iter_librispeech(root))
+    if not utts:
+        utts = [(f"{lang}/{utt_id}", wav, text)
+                for lang, utt_id, wav, text in _iter_fleurs(root)]
     if getattr(args, "max_files", 0):
         utts = utts[: args.max_files]
     if not utts:
         print(f"no utterances under {args.dataset_dir} "
-              "(LibriSpeech layout: *.trans.txt + <utt>.wav)")
+              "(LibriSpeech layout *.trans.txt + <utt>.wav, or FLEURS "
+              "layout <lang>/test.tsv + wavs)")
         return None
     return utts
 

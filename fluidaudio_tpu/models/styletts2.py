@@ -58,6 +58,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fluidaudio_tpu.models.kokoro import (
+    Prosody as KokoroProsody,
     AdaINResBlock1,
     AdainResBlk1d,
     Albert,
@@ -312,29 +313,9 @@ def adpm2_sample(denoise_fn, noise_init, noises_aux, num_steps=DIFFUSION_STEPS):
 # ---------------------------------------------------------------------------
 
 
-class ProsodyF0N(nn.Module):
-    """F0Ntrain: shared BiLSTM then 3 AdaIN resblocks (2x upsample middle)
-    + 1x1 proj for each of F0 and N. (en [B,F,640], s, n_frames) ->
-    (F0 [B,2F], N [B,2F])."""
-
-    cfg: StyleTts2Config
-
-    @nn.compact
-    def __call__(self, en, s, n_frames):
-        cfg = self.cfg
-        d = cfg.d_model
-        B, F, _ = en.shape
-        mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(en.dtype)
-        x = BiLstm(d // 2, name="shared")(en, n_frames)
-        outs = []
-        for head in ("f0", "n"):
-            h = AdainResBlk1d(d, d, name=f"{head}_0")(x, s, mask)
-            h = AdainResBlk1d(d, d // 2, upsample=True, name=f"{head}_1")(h, s, mask)
-            mask2 = jnp.repeat(mask, 2, axis=1)
-            h = AdainResBlk1d(d // 2, d // 2, name=f"{head}_2")(h, s, mask2)
-            h = nn.Conv(1, (1,), name=f"{head}_proj")(h)
-            outs.append(h[..., 0] * mask2[..., 0])
-        return outs[0], outs[1]
+# F0Ntrain is byte-identical in both graphs (Kokoro-82M forked StyleTTS2);
+# reuse the kokoro module (it reads only cfg.d_model, so either config works).
+ProsodyF0N = KokoroProsody
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -75,16 +76,20 @@ class Int8Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+
         def init_q(key, shape, _):
             w = nn.initializers.lecun_normal()(key, shape, jnp.float32)
-            return quantize_cols(w)[0]
+            # quantize against the CONSTANT init scale below (each flax
+            # param gets its own folded RNG, so deriving the scale from a
+            # second lecun draw would pair q of matrix A with s of matrix B)
+            scale = 3.0 / np.sqrt(fan_in) / 127.0
+            return jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
 
         def init_s(key, shape, _):
-            w = nn.initializers.lecun_normal()(key, (x.shape[-1], self.features),
-                                               jnp.float32)
-            return quantize_cols(w)[1]
+            return jnp.full(shape, 3.0 / np.sqrt(fan_in) / 127.0, jnp.float32)
 
-        kq = self.param("kernel_q", init_q, (x.shape[-1], self.features), jnp.int8)
+        kq = self.param("kernel_q", init_q, (fan_in, self.features), jnp.int8)
         ks = self.param("kernel_scale", init_s, (1, self.features), jnp.float32)
 
         shape = x.shape

