@@ -80,11 +80,14 @@ def _group_to_mandarin(g: int, full: bool) -> str:
 
 
 class MandarinG2P:
-    def __init__(self, lexicon_path: str | Path | None = None):
+    def __init__(self, lexicon_path: str | Path | None = None, *, g2pw=None):
         self.lexicon = dict(_SEED_LEXICON)
         if lexicon_path and Path(lexicon_path).exists():
             self.lexicon.update(json.loads(Path(lexicon_path).read_text()))
         self._max_word = max(len(w) for w in self.lexicon)
+        # optional sentence-context polyphone disambiguator (MandarinG2pw);
+        # None = pinyin-dict path only (reference g2pw == nil contract)
+        self.g2pw = g2pw
 
     # -------------------------------------------------------------- segmenter
 
@@ -166,12 +169,120 @@ class MandarinG2P:
     # ----------------------------------------------------------------- public
 
     def phonemize(self, text: str) -> str:
-        """zh text -> tone-numbered pinyin string (sandhi + erhua applied)."""
+        """zh text -> tone-numbered pinyin string (sandhi + erhua applied).
+
+        With a wired g2pW model, single-character polyphonic segments are
+        disambiguated from sentence context before sandhi (reference
+        `MandarinG2P.swift:97-114`: dict path with per-target g2pW
+        overrides; phrase matches keep their lexicon reading)."""
         # expand numbers first
         text = re.sub(r"\d+", lambda m: number_to_mandarin(int(m.group(0))), text)
+        segments = self.segment(text)
+        overrides: dict[int, str] = {}
+        if self.g2pw is not None:
+            pos = 0
+            targets = []
+            for seg in segments:
+                if len(seg) == 1 and seg in self.g2pw.catalog:
+                    targets.append(pos)
+                pos += len(seg)
+            overrides = self.g2pw.disambiguate(text, targets)
         syllables: list[str] = []
-        for word in self.segment(text):
-            syllables.extend(self.word_to_pinyin(word))
+        pos = 0
+        for word in segments:
+            if pos in overrides and len(word) == 1:
+                syllables.append(overrides[pos])
+            else:
+                syllables.extend(self.word_to_pinyin(word))
+            pos += len(word)
         syllables = self.apply_tone_sandhi(syllables)
         syllables = self.apply_erhua(syllables)
         return " ".join(syllables)
+
+
+# ---------------------------------------------------------------------------
+# g2pW polyphone disambiguation (optional, reference MandarinG2pwModel)
+# ---------------------------------------------------------------------------
+
+
+class MandarinG2pw:
+    """Sentence-context polyphone disambiguator over the BERT classifier
+    (`models/bert_g2pw.py`, converted by `convert/g2pw.py`).
+
+    Loads from a cached directory holding `g2pw.npz`, `config.json` (HF
+    BERT), `vocab.txt` (BERT char vocab, one token per line), and
+    `polyphone_catalog.json` ({char: {pinyin: label_index}}) — the same
+    assets the reference ships under `kokoro-82m-coreml/ANE-zh/g2pw`
+    (`MandarinG2pwModel.swift:31`). `load()` returns None when any piece is
+    missing so callers degrade to the pinyin-dict path, exactly like the
+    reference's `g2pw == nil` contract.
+    """
+
+    MAX_LENGTH = 128
+
+    def __init__(self, model, params, char_to_id: dict[str, int],
+                 catalog: dict[str, dict[str, int]]):
+        self.model = model
+        self.params = params
+        self.char_to_id = char_to_id
+        self.catalog = catalog
+
+    @classmethod
+    def load(cls, checkpoint_dir: str | Path) -> "MandarinG2pw | None":
+        import jax
+        import jax.numpy as jnp
+
+        base = Path(checkpoint_dir)
+        needed = ["g2pw.npz", "config.json", "vocab.txt", "polyphone_catalog.json"]
+        if not all((base / f).exists() for f in needed):
+            return None
+        from fluidaudio_tpu.convert.g2pw import config_from_hf
+        from fluidaudio_tpu.models.bert_g2pw import BertG2pw
+        from fluidaudio_tpu.utils.checkpoint import load_params
+
+        cfg = config_from_hf(json.loads((base / "config.json").read_text()))
+        model = BertG2pw(cfg)
+        template = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), bool),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,), jnp.int32),
+        )
+        params = load_params(base / "g2pw.npz", template)
+        vocab = {
+            tok: i
+            for i, tok in enumerate(
+                (base / "vocab.txt").read_text(encoding="utf-8").splitlines()
+            )
+        }
+        catalog = json.loads((base / "polyphone_catalog.json").read_text())
+        return cls(model, params, vocab, catalog)
+
+    def disambiguate(self, chars: str, targets: list[int]) -> dict[int, str]:
+        """-> {position: pinyin} for polyphonic targets (others dropped)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        targets = [t for t in targets if chars[t] in self.catalog]
+        if not targets:
+            return {}
+        unk = self.char_to_id.get("[UNK]", 100)
+        ids = [self.char_to_id.get("[CLS]", 101)] + [
+            self.char_to_id.get(c, unk) for c in chars[: self.MAX_LENGTH - 2]
+        ] + [self.char_to_id.get("[SEP]", 102)]
+        T = len(ids)
+        B = len(targets)
+        batch_ids = np.tile(np.asarray(ids, np.int32), (B, 1))
+        mask = np.ones((B, T), bool)
+        types = np.zeros((B, T), np.int32)
+        pos = np.asarray([t + 1 for t in targets], np.int32)  # +1 for [CLS]
+        logits = np.asarray(self.model.apply(
+            self.params, jnp.asarray(batch_ids), jnp.asarray(mask),
+            jnp.asarray(types), jnp.asarray(pos),
+        ))
+        out: dict[int, str] = {}
+        for row, t in enumerate(targets):
+            cands = self.catalog[chars[t]]  # {pinyin: label_idx}
+            items = list(cands.items())
+            scores = [logits[row, idx] for _, idx in items]
+            out[t] = items[int(np.argmax(scores))][0]
+        return out

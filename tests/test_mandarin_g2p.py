@@ -1,5 +1,7 @@
 """Mandarin G2P: segmentation, sandhi, erhua, number reading."""
 
+import json
+
 import pytest
 
 from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P, number_to_mandarin
@@ -67,3 +69,57 @@ def test_phonemize_end_to_end(g2p):
     assert out2.startswith("san1 ge4")
     # numbers expand before lookup
     assert "ren2" in out2
+
+
+class TestG2pwDisambiguation:
+    def _build(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from fluidaudio_tpu.models.bert_g2pw import G2PW_TEST, BertG2pw
+        from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P, MandarinG2pw
+        from fluidaudio_tpu.utils.checkpoint import save_params
+
+        model = BertG2pw(G2PW_TEST)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), bool),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,), jnp.int32),
+        )
+        save_params(tmp_path / "g2pw.npz", params)
+        (tmp_path / "config.json").write_text(json.dumps({
+            "vocab_size": 128, "hidden_size": 32, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "intermediate_size": 64,
+            "max_position_embeddings": 64, "type_vocab_size": 2,
+            "num_labels": 16,
+        }))
+        vocab = ["[PAD]"] * 128
+        vocab[101], vocab[102], vocab[100] = "[CLS]", "[SEP]", "[UNK]"
+        vocab[5], vocab[6], vocab[7] = "行", "好", "了"
+        (tmp_path / "vocab.txt").write_text("\n".join(vocab), encoding="utf-8")
+        (tmp_path / "polyphone_catalog.json").write_text(json.dumps(
+            {"行": {"xing2": 1, "hang2": 2}}
+        ), ensure_ascii=False) if False else (tmp_path / "polyphone_catalog.json").write_text(
+            json.dumps({"行": {"xing2": 1, "hang2": 2}}, ensure_ascii=False),
+            encoding="utf-8")
+        g2pw = MandarinG2pw.load(tmp_path)
+        assert g2pw is not None
+        return MandarinG2P(g2pw=g2pw), g2pw
+
+    def test_load_missing_returns_none(self, tmp_path):
+        from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2pw
+
+        assert MandarinG2pw.load(tmp_path) is None
+
+    def test_disambiguate_picks_catalog_pinyin(self, tmp_path):
+        g2p, g2pw = self._build(tmp_path)
+        picks = g2pw.disambiguate("行了好", [0])
+        assert set(picks) == {0}
+        assert picks[0] in ("xing2", "hang2")
+        # non-polyphonic target silently dropped
+        assert g2pw.disambiguate("行了好", [1]) == {}
+
+    def test_phonemize_applies_override(self, tmp_path):
+        g2p, g2pw = self._build(tmp_path)
+        out = g2p.phonemize("行")
+        assert out in ("xing2", "hang2")
