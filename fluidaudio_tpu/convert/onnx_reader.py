@@ -43,6 +43,11 @@ class OnnxParseError(ValueError):
     pass
 
 
+def _signed64(v: int) -> int:
+    """Protobuf varints carry int64 as two's complement in uint64 space."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
@@ -89,6 +94,7 @@ def _parse_tensor(buf: memoryview) -> tuple[str, np.ndarray]:
     raw: bytes | None = None
     float_data: list[float] = []
     int64_data: list[int] = []
+    int32_data: list[int] = []
     external = False
     for field, wire, val in _iter_fields(buf):
         if field == 1 and wire == 0:
@@ -110,9 +116,19 @@ def _parse_tensor(buf: memoryview) -> tuple[str, np.ndarray]:
             mv = val
             while p < len(mv):
                 v, p = _read_varint(mv, p)
-                int64_data.append(v)
+                int64_data.append(_signed64(v))
         elif field == 7 and wire == 0:
-            int64_data.append(val)
+            int64_data.append(_signed64(val))
+        elif field == 5 and wire == 2:  # packed int32_data (also f16/u8 store)
+            p = 0
+            mv = val
+            while p < len(mv):
+                v, p = _read_varint(mv, p)
+                int32_data.append(_signed64(v))
+        elif field == 5 and wire == 0:
+            int32_data.append(_signed64(val))
+        elif field == 3 and wire == 2:  # segment
+            raise OnnxParseError(f"tensor {name!r} uses segments (unsupported)")
         elif field == 8 and wire == 2:
             name = bytes(val).decode("utf-8", "replace")
         elif field == 9 and wire == 2:
@@ -130,6 +146,13 @@ def _parse_tensor(buf: memoryview) -> tuple[str, np.ndarray]:
         arr = np.asarray(float_data, np.float32)
     elif int64_data:
         arr = np.asarray(int64_data, np.int64)
+    elif int32_data:
+        # int32_data also stores f16/u8/bool payloads (ONNX packs them here
+        # when raw_data is absent): materialize via int32 then view-cast
+        if np_dtype == np.float16:
+            arr = np.asarray(int32_data, np.uint16).view(np.float16)
+        else:
+            arr = np.asarray(int32_data, np.int64).astype(np_dtype)
     else:
         arr = np.zeros(0, np_dtype)
     try:

@@ -256,6 +256,30 @@ def _diffusion(sd, cfg, strict):
                 else:
                     mapped[name] = _dense(sd, f"{prefix}.{name}")
                 used.update((wk, bk))
+        # attention blocks (flax MHA layout: qkv kernels [d, H, Dh],
+        # out kernel [H, Dh, d])
+        H = cfg.diff_heads
+        d = cfg.diff_width
+        Dh = d // H
+        for i in range(cfg.diff_layers):
+            for name in (f"self{i}", f"cross{i}"):
+                sub = {}
+                for part in ("query", "key", "value", "out"):
+                    wk = f"{prefix}.{name}.{part}.weight"
+                    bk = f"{prefix}.{name}.{part}.bias"
+                    if wk not in sd:
+                        sub = None
+                        break
+                    w = np.asarray(sd[wk], np.float32)
+                    b = np.asarray(sd[bk], np.float32)
+                    if part == "out":
+                        sub[part] = {"kernel": w.T.reshape(H, Dh, d), "bias": b}
+                    else:
+                        sub[part] = {"kernel": w.T.reshape(d, H, Dh),
+                                     "bias": b.reshape(H, Dh)}
+                    used.update((wk, bk))
+                if sub:
+                    mapped[name] = sub
         if f"{prefix}.pos" in sd:
             mapped["pos"] = np.asarray(sd[f"{prefix}.pos"])
             used.add(f"{prefix}.pos")

@@ -29,9 +29,6 @@ from pathlib import Path
 import numpy as np
 
 from fluidaudio_tpu.convert.onnx_reader import read_onnx
-from fluidaudio_tpu.utils.logging import get_logger
-
-logger = get_logger("convert.supertonic3")
 
 STAGES = ("text_encoder", "duration_predictor", "vector_estimator", "vocoder")
 
@@ -58,16 +55,6 @@ def inventory(model_dir: str | Path) -> dict[str, dict]:
             "shapes": {k: tuple(v.shape) for k, v in weights.items()},
         }
     return out
-
-
-def _dense_from(weights: dict, name: str, out_dim: int | None = None):
-    """MatMul weight [in, out] (ONNX) or Gemm [out, in] -> flax kernel."""
-    w = np.asarray(weights[name], np.float32)
-    if w.ndim != 2:
-        raise ConversionError(f"{name}: expected 2D, got {w.shape}")
-    if out_dim is not None and w.shape[0] == out_dim and w.shape[1] != out_dim:
-        w = w.T  # Gemm layout
-    return w
 
 
 def convert_supertonic3(model_dir: str | Path) -> dict[str, dict]:

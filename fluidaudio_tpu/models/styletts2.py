@@ -348,7 +348,11 @@ class HifiSourceModule(nn.Module):
             rad = rad.at[:, 0, :].add(rand_ini)
         else:
             k2 = None
-        phase = jnp.cumsum(rad, axis=1) * 2.0 * jnp.pi
+        # keep the sin argument bounded in [0,1) cycles (upstream SineGen's
+        # `cumsum % 1` bound): an unbounded sample-rate cumsum reaches
+        # thousands of radians on long utterances, where f32 sin() spacing
+        # drifts the harmonic phase audibly
+        phase = (jnp.cumsum(rad, axis=1) % 1.0) * 2.0 * jnp.pi
         sines = jnp.sin(phase) * self.sine_amp
         uv = (f0_up > self.voiced_threshold).astype(f0_up.dtype)[..., None]
         if self.deterministic:
@@ -398,11 +402,10 @@ class HifiGenerator(nn.Module):
             )
             up_b = self.param(f"up_bias_{i}", nn.initializers.zeros, (c_cur,))
             x = conv_transpose_1d(x, up_k, r, (k - r) // 2) + up_b
-            if i == n_up - 1:
-                x = jnp.concatenate([x[:, 1:2, :], x], axis=1)  # ReflectionPad1d((1,0))
-            # match xs length to x (the final reflection pad adds one frame)
-            if xs.shape[1] != x.shape[1]:
-                xs = jnp.pad(xs, ((0, 0), (0, x.shape[1] - xs.shape[1]), (0, 0)))
+            # (upstream hifigan.py adds the source to the UNPADDED x and
+            # reflection-pads only after the loop before conv_post — the
+            # in-loop pad belongs to the iSTFTNet graph in kokoro.py, where
+            # the +1 STFT frame makes lengths align)
             x = x + xs
             acc = 0.0
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernels, cfg.resblock_dilations)):
@@ -411,6 +414,7 @@ class HifiGenerator(nn.Module):
             ch = c_cur
 
         x = nn.leaky_relu(x, 0.01)
+        x = jnp.concatenate([x[:, 1:2, :], x], axis=1)  # ReflectionPad1d((1,0))
         x = nn.Conv(1, (7,), padding=3, name="conv_post")(x)
         return jnp.tanh(x[..., 0])
 

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fluidaudio_tpu.models.kokoro import conv_transpose_1d
+
 SAMPLE_RATE = 44_100
 BASE_CHUNK = 512
 CHUNK_COMPRESS = 6
@@ -286,10 +288,8 @@ class Supertonic3Vocoder(nn.Module):
             kern = self.param(f"up_kernel_{i}", nn.initializers.lecun_normal(),
                               (k, ch, c_out))
             b = self.param(f"up_bias_{i}", nn.initializers.zeros, (c_out,))
-            x = jax.lax.conv_general_dilated(
-                nn.leaky_relu(x, 0.1), jnp.flip(kern, 0),
-                window_strides=(1,), padding=((k - 1 - (k - r) // 2,) * 2,),
-                lhs_dilation=(r,), dimension_numbers=("NWC", "WIO", "NWC"),
+            x = conv_transpose_1d(
+                nn.leaky_relu(x, 0.1), kern, r, (k - r) // 2
             ) + b
             x = _SnakeResBlock(c_out, name=f"res{i}")(x)
             ch = c_out

@@ -263,8 +263,14 @@ class StyleTTS2Manager:
             mel = styletts2_ref_mel(np.zeros(SAMPLE_RATE, np.float32), cfg.n_mels)
         frames = mel.shape[1]
         mb = _bucket(frames, _MEL_BUCKETS)
-        mel_pad = np.zeros((1, cfg.n_mels, mb), np.float32)
-        mel_pad[0, :, :frames] = mel[:, :mb]
+        # pad the reference mel by REPLICATING the last frame: the style
+        # encoder's convs smear a few boundary columns of padding into the
+        # masked pool at every scale, and zero (= nowhere near log-mel
+        # silence) shifts the style vector; an edge-continued signal keeps
+        # the bleed negligible vs the exact-length computation
+        mel_pad = np.repeat(mel[None, :, min(frames, mb) - 1 : min(frames, mb)],
+                            mb, axis=2).astype(np.float32)
+        mel_pad[0, :, : min(frames, mb)] = mel[:, :mb]
         rng = np.random.RandomState(noise_seed)
         noise_init = rng.randn(1, 2 * cfg.style_dim).astype(np.float32)
         noises_aux = rng.randn(DIFFUSION_STEPS - 1, 1, 2 * cfg.style_dim).astype(np.float32)

@@ -108,10 +108,23 @@ def preprocess_text(raw: str, lang: str) -> str:
 
 
 def chunk_text(text: str, max_chars: int) -> list[str]:
-    """`Supertonic3TextChunker` behavior: sentence-boundary packing."""
+    """`Supertonic3TextChunker` behavior: sentence-boundary packing, with
+    over-long sentences split at the latest space (or hard at the cap) so
+    no chunk ever exceeds `max_chars` — text past the encoder's char buffer
+    would otherwise be silently dropped."""
     parts = re.split(r"(?<=[.!?;])\s+", text.strip())
-    chunks, cur = [], ""
+    pieces: list[str] = []
     for p in parts:
+        while len(p) > max_chars:
+            cut = p.rfind(" ", 1, max_chars + 1)
+            if cut <= 0:
+                cut = max_chars
+            pieces.append(p[:cut].strip())
+            p = p[cut:].strip()
+        if p:
+            pieces.append(p)
+    chunks, cur = [], ""
+    for p in pieces:
         if cur and len(cur) + len(p) + 1 > max_chars:
             chunks.append(cur)
             cur = p
@@ -198,18 +211,25 @@ class Supertonic3Manager:
         self._dur_fn = jax.jit(self.dur_pred.apply)
         self._voc_fn = jax.jit(self.vocoder.apply)
 
-        est = self.estimator
+        self._denoise_cache: dict[int, object] = {}
 
-        @jax.jit
-        def denoise(params, z, text_emb, style_ttl, latent_mask, text_mask):
-            total = jnp.full((z.shape[0],), float(total_steps))
-            for step in range(total_steps):
-                cur = jnp.full((z.shape[0],), float(step))
-                z = est.apply(params, z, text_emb, style_ttl, latent_mask,
-                              text_mask, cur, total)
-            return z
+    def _get_denoise(self, steps: int):
+        """Jitted unrolled denoise loop per step count (synthesize's
+        `total_steps=` override selects a different compiled program)."""
+        if steps not in self._denoise_cache:
+            est = self.estimator
 
-        self._denoise_fn = denoise
+            @jax.jit
+            def denoise(params, z, text_emb, style_ttl, latent_mask, text_mask):
+                total = jnp.full((z.shape[0],), float(steps))
+                for step in range(steps):
+                    cur = jnp.full((z.shape[0],), float(step))
+                    z = est.apply(params, z, text_emb, style_ttl, latent_mask,
+                                  text_mask, cur, total)
+                return z
+
+            self._denoise_cache[steps] = denoise
+        return self._denoise_cache[steps]
 
     # ---------------------------------------------------------------- assets
 
@@ -269,7 +289,8 @@ class Supertonic3Manager:
         pieces: list[np.ndarray] = []
         duration_total = 0.0
         for ci, chunk in enumerate(chunks):
-            samples, dur = self._infer(chunk, language, style, speed, seed + ci)
+            samples, dur = self._infer(chunk, language, style, speed, seed + ci,
+                                       total_steps or self.total_steps)
             if ci:
                 pieces.append(silence)
                 duration_total += silence_duration
@@ -280,7 +301,8 @@ class Supertonic3Manager:
             duration=duration_total,
         )
 
-    def _infer(self, chunk: str, language: str, style, speed: float, seed: int):
+    def _infer(self, chunk: str, language: str, style, speed: float,
+               seed: int, steps: int | None = None):
         cfg = self.cfg
         cleaned = preprocess_text(chunk, language)
         ids, n = self.indexer.encode(cleaned, cfg.text_t)
@@ -305,7 +327,7 @@ class Supertonic3Manager:
         z, lmask, true_len = sample_noisy_latent(
             np.array([dur]), cfg.max_latent, rng
         )
-        z = self._denoise_fn(
+        z = self._get_denoise(steps or self.total_steps)(
             self.params["vector_estimator"], jnp.asarray(z), text_emb, ttl,
             jnp.asarray(lmask), tmask[:, None, :],
         )

@@ -112,3 +112,18 @@ def test_supertonic_inventory_with_graphs(tmp_path):
     for s in STAGES:
         assert inv[s]["present"] and inv[s]["n_initializers"] == 1
         assert inv[s]["shapes"][f"{s}.w"] == (2, 3)
+
+
+def test_negative_int64_packed_twos_complement(tmp_path):
+    """Packed int64_data varints carry negatives as 10-byte two's-complement
+    uint64s; the reader must sign-restore them (axis=-1 constants)."""
+    vals = [-1, 3, -42]
+    msg = _field(1, 0, _varint(3))          # dims [3]
+    msg += _field(2, 0, _varint(7))          # dtype int64
+    msg += _field(8, 2, b"neg")
+    packed = b"".join(_varint(v & ((1 << 64) - 1)) for v in vals)
+    msg += _field(7, 2, packed)              # packed int64_data
+    path = tmp_path / "m.onnx"
+    path.write_bytes(_model([msg], []))
+    weights, _ = read_onnx(path)
+    np.testing.assert_array_equal(weights["neg"], np.asarray(vals, np.int64))
