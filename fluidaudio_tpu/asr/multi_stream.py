@@ -20,6 +20,7 @@ caches/decode state in place.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,8 @@ from fluidaudio_tpu.models.predictor import PredictorConfig, RnntJoint, RnntPred
 from fluidaudio_tpu.models.zoo import _placeholder_vocab
 from fluidaudio_tpu.asr.tokenizer import Tokenizer
 from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+from fluidaudio_tpu.registry import DownloadUtils, Repo
+from fluidaudio_tpu.utils.checkpoint import load_params
 from fluidaudio_tpu.ops.tdt_decode import TdtDecodeConfig, make_initial_state, tdt_greedy_decode
 from fluidaudio_tpu.utils.logging import get_logger
 
@@ -63,6 +66,7 @@ class MultiStreamEouManager:
         chunk_ms: int = 320,
         *,
         enc_cfg: StreamingConformerConfig | None = None,
+        checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
     ):
         self.n = n_streams
@@ -80,7 +84,6 @@ class MultiStreamEouManager:
             blank_id=EOU_BLANK_ID, durations=(), max_tokens=64, eou_id=EOU_TOKEN_ID
         )
         self.mel = MelFrontend(MelConfig(center=False, normalize=None))
-        self.tokenizer = Tokenizer(_placeholder_vocab(EOU_TOKEN_ID))
 
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
         caches = init_caches(self.enc_cfg, self.n)
@@ -97,6 +100,24 @@ class MultiStreamEouManager:
                 jnp.zeros((self.n, self.pred_cfg.pred_hidden)),
             ),
         }
+        # real EOU checkpoints + vocab when cached (same assets as the
+        # single-stream manager; batch-1 trees broadcast over the stream axis
+        # via a fresh batched init template)
+        base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.PARAKEET_EOU)
+        loaded = False
+        for part in ("encoder", "predictor", "joint"):
+            f = base / f"{part}.npz"
+            if f.exists():
+                self.params[part] = load_params(f, self.params[part])
+                loaded = True
+        if not loaded:
+            logger.warning("multi-stream EOU: no checkpoints in %s — seeded random init", base)
+        vocab_file = base / "vocab.json"
+        self.tokenizer = (
+            Tokenizer.from_json(vocab_file)
+            if vocab_file.exists()
+            else Tokenizer(_placeholder_vocab(EOU_TOKEN_ID))
+        )
         self.caches = caches
         self.dec_state = make_initial_state(
             self.dcfg, self.pred_cfg.n_layers, self.pred_cfg.pred_hidden, self.n
@@ -106,7 +127,11 @@ class MultiStreamEouManager:
         ]
         self._step = jax.jit(self._chunk_step)
 
-    def _chunk_step(self, params, mel_chunk, caches, dec_state, active):
+    def _chunk_step(self, params, window, last, caches, dec_state, active):
+        # mel fused into the batched step: ONE device dispatch per tick for
+        # all streams (same rationale as streaming_eou._chunk_step)
+        mel_chunk, _ = self.mel(window, last_samples=last)
+        mel_chunk = mel_chunk[:, :, : self.mel_frames]
         enc, new_caches = self.encoder.apply(params["encoder"], mel_chunk, caches)
         lengths = jnp.where(active, enc.shape[1], 0).astype(jnp.int32)
         result = tdt_greedy_decode(
@@ -196,14 +221,12 @@ class MultiStreamEouManager:
             last[i] = s.last_sample
             active[i] = True
 
-        mel, _ = self.mel(jnp.asarray(window), last_samples=jnp.asarray(last))
-        mel = mel[:, :, : self.mel_frames]
         result, self.caches, self.dec_state = self._step(
-            self.params, mel, self.caches, self.dec_state, jnp.asarray(active)
+            self.params, jnp.asarray(window), jnp.asarray(last),
+            self.caches, self.dec_state, jnp.asarray(active)
         )
 
-        counts = np.asarray(result.counts)
-        tokens = np.asarray(result.tokens)
+        counts, tokens = jax.device_get((result.counts, result.tokens))
         out: list[list[int]] = []
         for i, s in enumerate(self.streams):
             if active[i]:

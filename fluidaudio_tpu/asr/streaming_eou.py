@@ -196,9 +196,10 @@ class StreamingEouAsrManager:
     def finish(self, state: _StreamState) -> EouPartialResult:
         """Pad the tail with zeros and flush (reference finish(), :432-465)."""
         need = self.chunk_samples + (MEL_WIN - MEL_HOP)
-        if state.pending.size > MEL_WIN:
+        if state.pending.size > 0:  # flush ANY tail (even < one mel window)
+            pad = (-state.pending.size) % need
             state.pending = np.concatenate(
-                [state.pending, np.zeros(need - state.pending.size % need, np.float32)]
+                [state.pending, np.zeros(pad, np.float32)]
             )
             while state.pending.size >= need:
                 self._process_one(state)

@@ -181,8 +181,15 @@ class StreamingNemotronAsrManager:
         self.enc_cfg = enc_cfg or StreamingConformerConfig(
             d_model=spec.d_model, n_layers=spec.n_layers
         )
-        n_prompts = 128 if spec.multilingual else 0  # metadata num_prompts
-        self.encoder = _PromptedEncoder(self.enc_cfg, n_prompts)
+        # resolve the asset folder + metadata FIRST: the prompt-embedding
+        # table is sized from metadata.num_prompts (hardcoding 128 would
+        # break packs with a different table size at load — or silently
+        # clamp prompt ids under jit with random init)
+        self._ckpt_base = self._resolve_base(checkpoint_dir)
+        self.metadata = self._load_metadata(self._ckpt_base)
+        self.encoder = _PromptedEncoder(
+            self.enc_cfg, self.metadata.num_prompts if spec.multilingual else 0
+        )
         self.pred_cfg = PredictorConfig(
             vocab_size=spec.vocab_size, pred_hidden=640, n_layers=1,
             enc_hidden=self.enc_cfg.d_model, joint_hidden=640, n_durations=0,
@@ -204,6 +211,32 @@ class StreamingNemotronAsrManager:
         self.detected_language: str | None = None
         self._step = jax.jit(self._chunk_step)
 
+    def _resolve_base(self, checkpoint_dir) -> Path:
+        root = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(self.spec.repo)
+        # per-tier (and per-language for multilingual) asset subfolders: the
+        # reference selects the HF subfolder at download
+        # (StreamingNemotronMultilingualAsrManager.swift:24)
+        candidates = [root / f"{self.chunk_ms}ms", root]
+        if self.spec.multilingual and self.language not in ("auto", ""):
+            lang_key = self.language.replace("_", "-").split("-")[0].lower()
+            candidates = [root / lang_key / f"{self.chunk_ms}ms",
+                          root / lang_key] + candidates
+        return next(
+            (c for c in candidates if (c / "encoder.npz").exists()), candidates[-1]
+        )
+
+    def _load_metadata(self, base: Path) -> NemotronMultilingualMetadata:
+        if not self.spec.multilingual:
+            return NemotronMultilingualMetadata(num_prompts=0, default_prompt_id=0)
+        if (base / "metadata.json").exists():
+            return NemotronMultilingualMetadata.load(base / "metadata.json")
+        # no metadata asset: fall back to the built-in locale table
+        return NemotronMultilingualMetadata(
+            num_prompts=128,
+            default_prompt_id=NEMOTRON_LOCALES["auto"],
+            prompt_dictionary=dict(NEMOTRON_LOCALES),
+        )
+
     def _init_params(self, checkpoint_dir, rng_seed):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
         caches = init_caches(self.enc_cfg, 1)
@@ -222,29 +255,7 @@ class StreamingNemotronAsrManager:
                 jnp.zeros((1, self.pred_cfg.pred_hidden)),
             ),
         }
-        root = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(self.spec.repo)
-        # per-tier (and per-language for multilingual) asset subfolders: the
-        # reference selects the HF subfolder at download
-        # (StreamingNemotronMultilingualAsrManager.swift:24)
-        candidates = [root / f"{self.chunk_ms}ms", root]
-        if self.spec.multilingual and self.language not in ("auto", ""):
-            lang_key = self.language.replace("_", "-").split("-")[0].lower()
-            candidates = [root / lang_key / f"{self.chunk_ms}ms",
-                          root / lang_key] + candidates
-        base = next(
-            (c for c in candidates if (c / "encoder.npz").exists()), candidates[-1]
-        )
-        if not self.spec.multilingual:
-            self.metadata = NemotronMultilingualMetadata(
-                num_prompts=0, default_prompt_id=0)
-        elif (base / "metadata.json").exists():
-            self.metadata = NemotronMultilingualMetadata.load(base / "metadata.json")
-        else:  # no metadata asset: fall back to the built-in locale table
-            self.metadata = NemotronMultilingualMetadata(
-                num_prompts=128,
-                default_prompt_id=NEMOTRON_LOCALES["auto"],
-                prompt_dictionary=dict(NEMOTRON_LOCALES),
-            )
+        base = self._ckpt_base
         loaded = False
         for part in ("encoder", "predictor", "joint"):
             f = base / f"{part}.npz"
@@ -301,8 +312,8 @@ class StreamingNemotronAsrManager:
 
     def finish(self, state: _StreamState) -> EouPartialResult:
         need = self.chunk_samples + (MEL_WIN - MEL_HOP)
-        if state.pending.size > MEL_WIN:
-            pad = need - state.pending.size % need
+        if state.pending.size > 0:  # flush ANY tail (even < one mel window)
+            pad = (-state.pending.size) % need
             state.pending = np.concatenate([state.pending, np.zeros(pad, np.float32)])
             while state.pending.size >= need:
                 self._process_one(state)

@@ -185,18 +185,18 @@ def cmd_parakeet_eou(args: argparse.Namespace) -> int:
         samples, dur = _read_audio(path)
         state = manager.make_state()
         t0 = time.perf_counter()
-        utterances: list[str] = []
         step = 16000
+        utt_start = 0  # state.tokens is CUMULATIVE; segment at EOU marks
         for off in range(0, samples.size, step):
             for r in manager.process(samples[off : off + step], state):
-                if r.eou_detected and r.text:
-                    utterances.append(r.text)
-                    print(f"  [eou] {r.text}")
+                if r.eou_detected:
+                    utt = manager.tokenizer.decode(state.tokens[utt_start:])
+                    utt_start = len(state.tokens)
+                    if utt:
+                        print(f"  [eou] {utt}")
         tail = manager.finish(state)
-        if tail.text:
-            utterances.append(tail.text)
         wall = time.perf_counter() - t0
-        print(f"{path}: {' '.join(utterances).strip()}")
+        print(f"{path}: {tail.text}")
         print(f"  duration {dur:.2f}s  rtfx {dur/max(wall,1e-9):.1f}x")
     return 0
 
@@ -296,15 +296,16 @@ def cmd_nemotron_multi_stream_bench(args: argparse.Namespace) -> int:
     (reference `NemotronMultilingualMultiStreamBench.swift`): N managers fed
     round-robin; wall-clock covers all streams."""
     paths = args.audio * args.repeat
-    managers = [_make_nemotron(args, multilingual=True) for _ in range(len(paths))]
+    # ONE manager, one externalized state per stream: per-stream managers
+    # would copy the 0.6B encoder params N times and recompile N chunk steps
+    mgr = _make_nemotron(args, multilingual=True)
     audio = [_read_audio(p) for p in paths]
     t0 = time.perf_counter()
     texts = []
-    for mgr, (samples, _) in zip(managers, audio):
+    for samples, _ in audio:
         state = mgr.make_state()
-        finals = [r.text for r in mgr.process(samples, state) if r.is_final]
-        tail = mgr.finish(state)
-        texts.append(" ".join(finals + ([tail.text] if tail.text else [])))
+        mgr.process(samples, state)
+        texts.append(mgr.finish(state).text)
     wall = time.perf_counter() - t0
     total = sum(d for _, d in audio)
     print(json.dumps({
@@ -413,7 +414,14 @@ def cmd_g2p_benchmark(args: argparse.Namespace) -> int:
     wall = time.perf_counter() - t0
     errors = ref_len = 0
     for (word, ref), hyp in zip(rows, preds):
-        b = levenshtein(ref, hyp.split())
+        # seq2seq output carries no separators: when the hypothesis has
+        # spaces score token-vs-token, otherwise fall back to
+        # character-level against the joined reference (space-split of an
+        # unsegmented string would make any near-miss score ~100% PER)
+        if " " in hyp.strip():
+            b = levenshtein(ref, hyp.split())
+        else:
+            b = levenshtein(list("".join(ref)), list(hyp))
         errors += b.errors
         ref_len += b.reference_length
         if args.verbose:

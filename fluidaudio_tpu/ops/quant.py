@@ -124,7 +124,7 @@ def quantize_dense_tree(tree):
                 out = {"kernel_q": q, "kernel_scale": s}
                 for k, v in node.items():
                     if k != "kernel":
-                        out[k] = v
+                        out[k] = walk(v)  # siblings may hold nested Dense trees
                 return out
             return {k: walk(v) for k, v in node.items()}
         return node

@@ -113,16 +113,18 @@ class AudioStream:
         """Append samples; ``at_time`` (seconds, end-of-samples timestamp)
         resynchronizes: forward jumps zero-fill, backward jumps roll back."""
         samples = np.asarray(samples, np.float32).reshape(-1)
+        if at_time is not None:
+            # resynchronize even for a pure-timestamp (empty) write — a
+            # producer may signal a dropout gap with zero samples
+            start_index = int(round(self._buffer_start_time * self.sample_rate))
+            end_index = start_index + self._write_index + samples.size
+            expected_end = int(round(at_time * self.sample_rate))
+            deviation = expected_end - end_index
+            if deviation > 0:
+                self._append_zeros(deviation, before_adding=samples.size)
+            elif deviation < 0:
+                self._rollback_newest(-deviation)
         if samples.size:
-            if at_time is not None:
-                start_index = int(round(self._buffer_start_time * self.sample_rate))
-                end_index = start_index + self._write_index + samples.size
-                expected_end = int(round(at_time * self.sample_rate))
-                deviation = expected_end - end_index
-                if deviation > 0:
-                    self._append_zeros(deviation, before_adding=samples.size)
-                elif deviation < 0:
-                    self._rollback_newest(-deviation)
             self._append(samples)
 
         while self._callback is not None and self.has_new_chunk:
