@@ -251,6 +251,15 @@ class ChunkProcessor:
             previous_start = best_start
             target += stride_samples
 
+        # silence alignment can pull starts up to the search radius behind
+        # their stride target; the fixed target grid may then exit with an
+        # uncovered tail longer than one window (plan_windows forces the
+        # final chunk_end to total_samples, which would overflow the static
+        # window buffer). Append regular-stride starts until covered.
+        while previous_start + chunk_samples < self.total_samples:
+            previous_start += stride_samples
+            starts.append(ChunkStartDecision(previous_start, False))
+
         return starts
 
     def _best_boundary_candidate(

@@ -117,8 +117,15 @@ class DiarizerManager:
         """Full-utterance diarization via sequential 10 s chunk processing."""
         t_total = time.perf_counter()
         samples = np.asarray(samples, np.float32).reshape(-1)
-        chunk = int(self.config.chunk_duration * 16000)
+        # the segmentation model consumes fixed 10 s windows: larger
+        # configured chunks would be silently truncated at WINDOW_SAMPLES
+        chunk = min(int(self.config.chunk_duration * 16000), WINDOW_SAMPLES)
         step = chunk - int(self.config.chunk_overlap * 16000)
+        if step <= 0:
+            raise ValueError(
+                f"chunk_overlap ({self.config.chunk_overlap}s) must be smaller "
+                f"than the effective chunk duration ({chunk / 16000:.1f}s)"
+            )
         timings = PipelineTimings()
         segments: list[TimedSpeakerSegment] = []
         for start in range(0, max(1, samples.size), step):

@@ -86,13 +86,11 @@ def compute_der(
 
     # remap hypothesis onto reference speaker axes
     H_mapped = np.zeros_like(R)
-    unmapped = np.zeros(R.shape[1], dtype=np.int32)
     ref_index = {s: i for i, s in enumerate(ref_speakers)}
     for j, hs in enumerate(hyp_speakers):
         if hs in mapping:
             H_mapped[ref_index[mapping[hs]]] |= H[j]
-        else:
-            unmapped += H[j].astype(np.int32)
+        # unmapped hyp speech is already counted via hyp_count (false alarm)
 
     ref_count = R.sum(axis=0).astype(np.int32)
     hyp_count = H.sum(axis=0).astype(np.int32)

@@ -214,6 +214,14 @@ class VBxClustering:
 
         if not np.array_equal(labels, result.labels):
             logger.info("VBx constraints adjusted speakers %d -> %d", k, len(np.unique(labels)))
-            result = VBxResult(labels=labels, gamma=result.gamma, pi=result.pi,
+            # rebuild gamma/pi consistent with the adjusted label ids (the
+            # unconstrained posteriors' columns no longer correspond after
+            # merges/splits/renumbering): hard one-hot responsibilities +
+            # empirical priors over the final labels
+            uniq, inverse = np.unique(labels, return_inverse=True)
+            gamma = np.zeros((labels.size, uniq.size), np.float64)
+            gamma[np.arange(labels.size), inverse] = 1.0
+            pi = gamma.mean(axis=0)
+            result = VBxResult(labels=inverse, gamma=gamma, pi=pi,
                                elbo_trace=result.elbo_trace)
         return result

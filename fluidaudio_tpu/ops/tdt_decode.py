@@ -41,9 +41,16 @@ class TdtDecodeConfig:
 
 
 class TdtDecodeState(NamedTuple):
-    """Per-row decoder state carried across windows (TdtDecoderState parity)."""
+    """Per-row decoder state carried across windows (TdtDecoderState parity).
 
-    h: jax.Array  # [L, B, H]
+    h/c hold the LSTM state from BEFORE `last_token` was consumed: the warm
+    start re-runs `predictor_step(last_token, h, c)` and lands on exactly
+    the post-consumption state + cached projection the in-loop carry had
+    (storing the post-consumption state instead would make that warm-start
+    step consume `last_token` a second time, corrupting the prediction
+    context at every window/chunk boundary)."""
+
+    h: jax.Array  # [L, B, H] pre-consumption of last_token
     c: jax.Array  # [L, B, H]
     last_token: jax.Array  # [B] int32 (blank == SOS)
     time_jump: jax.Array  # [B] int32: frames the previous window overshot
@@ -139,6 +146,8 @@ def tdt_greedy_decode(
         h: jax.Array
         c: jax.Array
         g: jax.Array  # [B, H] cached predictor output for last_token
+        prev_h: jax.Array  # [L, B, H] LSTM state BEFORE last_token (for carry-out)
+        prev_c: jax.Array
         last_token: jax.Array
         sym_count: jax.Array  # [B] emissions on the current frame
         tokens: jax.Array  # [B, max_tokens]
@@ -155,6 +164,8 @@ def tdt_greedy_decode(
         h=h0,
         c=c0,
         g=g0,
+        prev_h=state.h,
+        prev_c=state.c,
         last_token=state.last_token,
         sym_count=jnp.zeros((B,), jnp.int32),
         tokens=jnp.full((B, cfg.max_tokens), cfg.blank_id, jnp.int32),
@@ -220,9 +231,13 @@ def tdt_greedy_decode(
         new_token = jnp.where(emit, k, carry.last_token)
         g_new, h_new, c_new = predictor_step(new_token, carry.h, carry.c)
         sel = emit[:, None]
+        sel3 = sel[None, :, :] if h_new.ndim == 3 else sel
         g = jnp.where(sel, g_new, carry.g)
-        h = jnp.where(sel[None, :, :] if h_new.ndim == 3 else sel, h_new, carry.h)
-        c = jnp.where(sel[None, :, :] if c_new.ndim == 3 else sel, c_new, carry.c)
+        # the state BEFORE consuming the token just emitted (carry-out pair)
+        prev_h = jnp.where(sel3, carry.h, carry.prev_h)
+        prev_c = jnp.where(sel3, carry.c, carry.prev_c)
+        h = jnp.where(sel3, h_new, carry.h)
+        c = jnp.where(sel3, c_new, carry.c)
         last_token = jnp.where(emit, k, carry.last_token)
 
         # --- time advance (TDT semantics) ---
@@ -241,8 +256,8 @@ def tdt_greedy_decode(
         eou = carry.eou | is_eou
         eou_frame = jnp.where(is_eou & (carry.eou_frame < 0), carry.t, carry.eou_frame)
 
-        return Carry(t, h, c, g, last_token, sym_count, tokens, times, confs, count,
-                     eou, eou_frame)
+        return Carry(t, h, c, g, prev_h, prev_c, last_token, sym_count,
+                     tokens, times, confs, count, eou, eou_frame)
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -253,7 +268,7 @@ def tdt_greedy_decode(
         tokens=final.tokens,
         token_times=final.times,
         counts=final.count,
-        state=TdtDecodeState(final.h, final.c, final.last_token, time_jump),
+        state=TdtDecodeState(final.prev_h, final.prev_c, final.last_token, time_jump),
         confidences=final.confs,
         eou_detected=final.eou,
         eou_frame=final.eou_frame,

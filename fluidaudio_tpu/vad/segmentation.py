@@ -79,24 +79,42 @@ def detect_speech_sample_ranges(
 
         if triggered and max_speech is not None:
             if frame_start - speech_start > max_speech:
+                # an ONGOING qualifying silence (temp_end set, speech not yet
+                # resumed) is also a split candidate — candidates are normally
+                # recorded retroactively at speech resume, which would make a
+                # pause still in progress invisible exactly when the cap hits
+                candidates = list(possible_ends)
+                if temp_end is not None and (frame_start - temp_end) > min_silence_at_max:
+                    candidates.append(_CandidateSilence(
+                        temp_end, frame_start - temp_end,
+                        temp_min_prob if temp_min_prob is not None else 1.0,
+                    ))
                 chosen: _CandidateSilence | None = None
-                if possible_ends:
+                if candidates:
                     below = [
-                        c for c in possible_ends
+                        c for c in candidates
                         if c.min_probability <= config.silence_threshold_for_split
                     ]
                     if below:
                         chosen = max(below, key=lambda c: c.duration)
                     elif config.use_max_possible_silence_at_max_speech:
-                        chosen = max(possible_ends, key=lambda c: c.duration)
+                        chosen = max(candidates, key=lambda c: c.duration)
                     else:
-                        chosen = possible_ends[-1]
+                        chosen = candidates[-1]
 
                 split_end = chosen.start if chosen else frame_start
                 flush(split_end)
 
-                if chosen is not None and chosen.start + chosen.duration < frame_start:
-                    speech_start = chosen.start + chosen.duration
+                resume_at = None if chosen is None else chosen.start + chosen.duration
+                if resume_at is not None and (
+                    resume_at < frame_start
+                    or (resume_at == frame_start and prob >= threshold)
+                ):
+                    # resume inside already-seen speech (or exactly at the
+                    # current frame when it IS speech — the strict `<` alone
+                    # would drop that frame and start the next segment a
+                    # hop late)
+                    speech_start = resume_at
                     triggered = True
                 else:
                     triggered = False

@@ -153,3 +153,48 @@ def test_rnnt_mode_no_durations(modules):
     )
     assert int(result.counts.max()) <= cfg.max_tokens
     assert np.all(np.asarray(result.state.time_jump) == 0)
+
+
+
+def test_carried_state_roundtrip_matches_single_decode(modules):
+    """Decoding [enc_a | enc_b] in one call == decoding enc_a then enc_b
+    with the carried state: the warm start must reproduce (not repeat) the
+    in-loop predictor step for last_token."""
+    predictor, pparams, joint, jparams = modules
+
+    def predictor_step(tokens, h, c):
+        return predictor.apply(pparams, tokens, h, c)
+
+    def joint_logits(f, g):
+        return joint.apply(jparams, f, g)
+
+    # classic RNN-T mode (no duration jumps) so the halves partition the
+    # frames exactly and the comparison is well-defined
+    cfg = TdtDecodeConfig(blank_id=VOCAB, durations=(), max_symbols_per_step=4,
+                          max_tokens=64)
+    rng = np.random.RandomState(11)
+    B, T = 2, 12
+    enc = jnp.asarray(rng.randn(B, T, PCFG.enc_hidden).astype(np.float32) * 2.0)
+    full = tdt_greedy_decode(
+        cfg, predictor_step, joint_logits, enc, jnp.full((B,), T, jnp.int32),
+        make_initial_state(cfg, PCFG.n_layers, PCFG.pred_hidden, B),
+    )
+
+    half = T // 2
+    r1 = tdt_greedy_decode(
+        cfg, predictor_step, joint_logits, enc[:, :half],
+        jnp.full((B,), half, jnp.int32),
+        make_initial_state(cfg, PCFG.n_layers, PCFG.pred_hidden, B),
+    )
+    r2 = tdt_greedy_decode(
+        cfg, predictor_step, joint_logits, enc[:, half:],
+        jnp.full((B,), half, jnp.int32),
+        r1.state._replace(time_jump=jnp.zeros_like(r1.state.time_jump)),
+    )
+
+    for b in range(B):
+        want = list(np.asarray(full.tokens[b][: int(full.counts[b])]))
+        got = list(np.asarray(r1.tokens[b][: int(r1.counts[b])])) + list(
+            np.asarray(r2.tokens[b][: int(r2.counts[b])])
+        )
+        assert got == want, (b, got, want)
