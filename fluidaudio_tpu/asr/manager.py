@@ -185,13 +185,26 @@ class AsrManager:
         n = source.sample_count
         duration = n / self.config.sample_rate
         if n < ASRConstants.minimum_required_samples():
-            return ASRResult("", 0.0, duration, time.perf_counter() - t_start)
+            # echo the caller's carry unchanged — nothing was decoded
+            result = ASRResult("", 0.0, duration, time.perf_counter() - t_start)
+            result.decoder_state = decoder_state
+            return result
 
         if n <= ASRConstants.MAX_MODEL_SAMPLES:
             tokens, final_state = self._transcribe_single(
                 source, language, decoder_state
             )
         else:
+            if decoder_state is not None:
+                # parallel chunked windows have no sequential carry to thread
+                # the state through (reference `decoderState:` applies to the
+                # single-window path); silently dropping it would corrupt a
+                # caller's cross-call continuity assumption
+                logger.warning(
+                    "decoder_state is not carried through the chunked "
+                    "long-form path (>%d samples); state continuity resets",
+                    ASRConstants.MAX_MODEL_SAMPLES,
+                )
             tokens, final_state = self._transcribe_chunked(source, language)
 
         tokens = ChunkProcessor(source).collapse_seam_word_duplicates(

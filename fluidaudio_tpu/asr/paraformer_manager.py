@@ -76,6 +76,21 @@ class ParaformerManager:
         t0 = time.perf_counter()
         samples = np.asarray(audio, np.float32).reshape(-1)
         duration = samples.size / sample_rate
+        max_window = _BUCKETS_S[-1] * 16000
+        if samples.size > max_window:
+            # long-form: sequential max-bucket windows, concatenated text
+            # (CIF decode carries no cross-window state; truncating silently
+            # was data loss)
+            texts = [
+                self.transcribe(samples[w0 : w0 + max_window], sample_rate).text
+                for w0 in range(0, samples.size, max_window)
+            ]
+            return ASRResult(
+                text="".join(texts).strip(),
+                confidence=1.0,
+                duration=duration,
+                processing_time=time.perf_counter() - t0,
+            )
         bucket_s = next((b for b in _BUCKETS_S if b * 16000 >= samples.size), _BUCKETS_S[-1])
         width = bucket_s * 16000
         padded = np.zeros(width, np.float32)

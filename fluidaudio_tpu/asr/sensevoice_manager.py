@@ -97,6 +97,32 @@ class SenseVoiceManager:
         t0 = time.perf_counter()
         samples = np.asarray(audio, np.float32).reshape(-1)
         duration = samples.size / sample_rate
+        max_window = _BUCKETS_S[-1] * 16000
+        if samples.size > max_window:
+            # long-form: sequential max-bucket windows, concatenated text
+            # (the non-autoregressive decode carries no cross-window state;
+            # truncating silently was data loss)
+            texts, timings_all = [], []
+            for w0 in range(0, samples.size, max_window):
+                part = self.transcribe(
+                    samples[w0 : w0 + max_window], language, sample_rate
+                )
+                texts.append(part.text)
+                shift = w0 / sample_rate
+                from dataclasses import replace as _dc_replace
+
+                timings_all.extend(
+                    _dc_replace(t, start_time=t.start_time + shift,
+                                end_time=t.end_time + shift)
+                    for t in part.token_timings
+                )
+            return ASRResult(
+                text=" ".join(x for x in texts if x).strip(),
+                confidence=1.0,
+                duration=duration,
+                processing_time=time.perf_counter() - t0,
+                token_timings=timings_all,
+            )
         bucket_s = next((b for b in _BUCKETS_S if b * 16000 >= samples.size), _BUCKETS_S[-1])
         width = bucket_s * 16000
         padded = np.zeros(width, np.float32)
@@ -126,6 +152,9 @@ class SenseVoiceManager:
                 confidence=1.0,
             )
             for tid, f in zip(ids, frame_idx)
+            # keep timings aligned with the returned text: the <|lang|>/
+            # <|event|>/... prompt-slot tags are stripped from it
+            if not _TAG_RE.fullmatch(self.tokenizer.piece(tid) or "")
         ]
         return ASRResult(
             text=text,

@@ -52,7 +52,8 @@ class SlidingWindowUpdate:
 @dataclass
 class _Session:
     buffer: np.ndarray
-    consumed: int = 0  # samples whose tokens are confirmed
+    base: int = 0  # absolute sample index of buffer[0] (history is trimmed)
+    consumed: int = 0  # samples whose tokens are confirmed (absolute)
     confirmed: list[TokenWindow] = field(default_factory=list)
     volatile: list[TokenWindow] = field(default_factory=list)
     error_count: int = 0
@@ -72,12 +73,19 @@ class SlidingWindowAsrManager:
         )
         cfg = self.config
         updates = []
-        while session.buffer.size - session.consumed >= cfg.chunk_samples + cfg.right_samples:
+        while (session.base + session.buffer.size - session.consumed
+               >= cfg.chunk_samples + cfg.right_samples):
             updates.append(self._process_window(session, flush=False))
+        # trim confirmed history past the left context: an unbounded buffer
+        # makes hours-long sessions O(total) memory and O(n^2) copies
+        keep_from = max(0, session.consumed - cfg.left_samples - session.base)
+        if keep_from > 0:
+            session.buffer = session.buffer[keep_from:]
+            session.base += keep_from
         return updates
 
     def finish(self, session: _Session) -> SlidingWindowUpdate:
-        if session.buffer.size > session.consumed:
+        if session.base + session.buffer.size > session.consumed:
             update = self._process_window(session, flush=True)
         else:
             update = SlidingWindowUpdate(
@@ -91,12 +99,11 @@ class SlidingWindowAsrManager:
         cfg = self.config
         fpe = ASRConstants.SAMPLES_PER_ENCODER_FRAME
         chunk_start = session.consumed
-        chunk_end = (
-            session.buffer.size if flush else chunk_start + cfg.chunk_samples
-        )
-        win_start = max(0, chunk_start - cfg.left_samples)
-        win_end = min(session.buffer.size, chunk_end + cfg.right_samples)
-        window = session.buffer[win_start:win_end]
+        total = session.base + session.buffer.size
+        chunk_end = total if flush else chunk_start + cfg.chunk_samples
+        win_start = max(session.base, chunk_start - cfg.left_samples)
+        win_end = min(total, chunk_end + cfg.right_samples)
+        window = session.buffer[win_start - session.base : win_end - session.base]
 
         try:
             result = self.manager.transcribe(window)

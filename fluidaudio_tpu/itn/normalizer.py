@@ -18,7 +18,10 @@ class TextNormalizer:
     def __init__(self, language: str = "en"):
         self.language = language
         self._lib = load_native()
-        if self._lib is not None and hasattr(self._lib, "nemo_normalize"):
+        # the full ABI triple must be present — a version-skewed library
+        # with only some symbols degrades to passthrough, not AttributeError
+        needed = ("nemo_normalize", "nemo_normalize_free", "nemo_normalize_supports")
+        if self._lib is not None and all(hasattr(self._lib, n) for n in needed):
             self._lib.nemo_normalize.restype = ctypes.c_void_p
             self._lib.nemo_normalize.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
             self._lib.nemo_normalize_free.argtypes = [ctypes.c_void_p]

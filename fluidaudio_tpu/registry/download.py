@@ -9,6 +9,7 @@ the local cache is consulted.
 
 from __future__ import annotations
 
+import http.client
 import json
 import shutil
 import time
@@ -70,17 +71,26 @@ class DownloadUtils:
                 if offset:
                     req_headers["Range"] = f"bytes={offset}-"
                 req = urllib.request.Request(url, headers=req_headers)
-                with urllib.request.urlopen(req, timeout=60) as resp:
-                    mode = "ab" if offset and resp.status == 206 else "wb"
-                    with open(tmp, mode) as f:
-                        shutil.copyfileobj(resp, f, length=1 << 20)
+                try:
+                    with urllib.request.urlopen(req, timeout=60) as resp:
+                        mode = "ab" if offset and resp.status == 206 else "wb"
+                        with open(tmp, mode) as f:
+                            shutil.copyfileobj(resp, f, length=1 << 20)
+                except urllib.error.HTTPError as e:
+                    if e.code != 416 or not offset:
+                        raise
+                    # Range past EOF: the .part already holds the full file
+                    # (a previous run crashed between write and rename) —
+                    # without this, every later attempt re-sends the same
+                    # Range and wedges on 416 forever
                 head = tmp.open("rb").read(64)
                 if _looks_like_html(head):
                     tmp.unlink(missing_ok=True)
                     raise RegistryError(f"HTML response cached for {url} (bad path or auth)")
                 tmp.rename(dest)
                 return dest
-            except (urllib.error.URLError, TimeoutError, OSError, RegistryError) as e:
+            except (urllib.error.URLError, TimeoutError, OSError, RegistryError,
+                    http.client.HTTPException) as e:
                 last_err = e
                 wait = _BACKOFF_BASE_S * (2**attempt)
                 logger.warning("download %s attempt %d failed (%s); retry in %.1fs",
@@ -101,7 +111,10 @@ class DownloadUtils:
         """Fetch one file from an arbitrary HF repo (model or dataset) at a
         pinned revision — same auth/retry/HTML-validation treatment as the
         catalog pulls (reference `DownloadUtils.fetchHuggingFaceFile`)."""
-        dest = Path(dest_dir) / remote_path
+        # cache keyed by revision (a "main" fetch must not satisfy a
+        # pinned-revision request with different bytes)
+        sub = "" if revision == "main" else f"rev-{revision[:12]}/"
+        dest = Path(dest_dir) / f"{sub}{remote_path}"
         if dest.exists() and not force:
             return dest
         if ModelRegistry.offline():
@@ -129,7 +142,8 @@ class DownloadUtils:
                     raise RegistryError(f"HTML response for {url} (bad path or auth)")
                 tmp.rename(dest)
                 return dest
-            except (urllib.error.URLError, TimeoutError, OSError, RegistryError) as e:
+            except (urllib.error.URLError, TimeoutError, OSError, RegistryError,
+                    http.client.HTTPException) as e:
                 last_err = e
                 wait = _BACKOFF_BASE_S * (2**attempt)
                 logger.warning("download %s attempt %d failed (%s); retry in %.1fs",
@@ -153,15 +167,35 @@ class DownloadUtils:
         token = ModelRegistry.hf_token()
         if token:
             headers["Authorization"] = f"Bearer {token}"
-        req = urllib.request.Request(url, headers=headers)
-        with urllib.request.urlopen(req, timeout=60) as resp:
-            entries = json.loads(resp.read().decode())
+
+        def fetch_page(page_url: str) -> tuple[list, str | None]:
+            last_err: Exception | None = None
+            for attempt in range(_MAX_RETRIES):
+                try:
+                    req = urllib.request.Request(page_url, headers=headers)
+                    with urllib.request.urlopen(req, timeout=60) as resp:
+                        # HF paginates the tree API via a Link rel="next" header
+                        link = resp.headers.get("Link", "")
+                        nxt = None
+                        for part in link.split(","):
+                            if 'rel="next"' in part and "<" in part:
+                                nxt = part[part.index("<") + 1 : part.index(">")]
+                        return json.loads(resp.read().decode()), nxt
+                except (urllib.error.URLError, TimeoutError, OSError,
+                        http.client.HTTPException, ValueError) as e:
+                    last_err = e
+                    time.sleep(_BACKOFF_BASE_S * (2**attempt))
+            raise RegistryError(f"failed to list {page_url}: {last_err}")
+
         files: list[str] = []
-        for entry in entries:
-            if entry.get("type") == "file":
-                files.append(entry["path"])
-            elif entry.get("type") == "directory":
-                files.extend(DownloadUtils.list_repo_files(repo, entry["path"]))
+        page: str | None = url
+        while page:
+            entries, page = fetch_page(page)
+            for entry in entries:
+                if entry.get("type") == "file":
+                    files.append(entry["path"])
+                elif entry.get("type") == "directory":
+                    files.extend(DownloadUtils.list_repo_files(repo, entry["path"]))
         return files
 
     @staticmethod
