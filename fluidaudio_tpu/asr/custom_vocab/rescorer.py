@@ -57,11 +57,21 @@ class VocabularyRescorer:
                     if matched_form.lower() in spotted:
                         gate -= _SPOT_SIMILARITY_RELIEF
                     if sim >= gate and core != term.text.lower() and term.tdt_token_ids:
+                        # all spliced tokens share the word's timestamp:
+                        # base_ts + i could overrun the NEXT word's frames
+                        # and break timestamp monotonicity for consumers
                         base_ts = word_tokens[0].timestamp
                         out.extend(
-                            TokenWindow(tid, base_ts + i, word_tokens[0].confidence)
-                            for i, tid in enumerate(term.tdt_token_ids)
+                            TokenWindow(tid, base_ts, word_tokens[0].confidence)
+                            for tid in term.tdt_token_ids
                         )
+                        # keep punctuation attached to the original word
+                        # ('acme,' -> 'ACME,'): trailing non-word pieces
+                        # are not part of the matched core
+                        for tok in word_tokens:
+                            piece = (self.tokenizer.piece(tok.token) or "").strip(_WB + " ")
+                            if piece and all(not c.isalnum() for c in piece):
+                                out.append(tok)
                         replacements.append((core, term.text))
                         replaced = True
                     break  # only the best candidate is considered

@@ -61,13 +61,19 @@ class OfflineDiarizerManager:
         base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(
             Repo.OFFLINE_DIARIZER
         )
+        missing = []
         if (base / "segmentation.npz").exists():
             seg_params = load_params(base / "segmentation.npz", seg_params)
+        else:
+            missing.append("segmentation")
         if (base / "embedding.npz").exists():
             emb_params = load_params(base / "embedding.npz", emb_params)
+        else:
+            missing.append("embedding")
         self.plda = PLDATransform.load(base) or PLDATransform.random_init(seed=rng_seed)
-        if not (base / "segmentation.npz").exists():
-            logger.warning("offline diarizer: missing checkpoints in %s — random init", base)
+        if missing:  # partial caches are the dangerous case: name each gap
+            logger.warning("offline diarizer: missing %s checkpoints in %s — random init",
+                           "+".join(missing), base)
 
         self.segmentation = OfflineSegmentationProcessor(
             seg_model, seg_params, self.config.segmentation

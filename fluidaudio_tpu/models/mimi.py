@@ -10,9 +10,10 @@ explicit, sized so the state inventory matches the reference's 23 tensors:
 
   latent [B, 32]
    -> input proj (32 -> 512)
+   -> decoder transformer at 12.5 Hz: 8 layers, d=512, 8 heads, GELU MLP
+      2048, RoPE, LayerScale, ring KV cache of 250 frames
+                                                        [8 combined-KV states]
    -> x2 time upsample: depthwise causal ConvTranspose (12.5 Hz -> 25 Hz)
-   -> decoder transformer: 8 layers, d=512, 8 heads, GELU MLP 2048, RoPE,
-      LayerScale, ring KV cache of 250 frames           [8 combined-KV states]
    -> SEANet decoder: Conv k7 -> 4 x (ELU, ConvTranspose k=2r stride r
       (r in 8,6,5,4), ResnetBlock[k3 dil1 + k1]) -> ELU, Conv k3 -> tanh-free
       PCM                                                [15 conv states]
@@ -299,6 +300,13 @@ class MimiDecoder(nn.Module):
         }
 
     def __call__(self, latent, state):
+        # f32-accurate matmuls: the codec carries a 1e-5 torch-parity
+        # contract that default TPU bf16 accumulation breaks (~1e-2 after
+        # the layer stack); codec FLOPs are negligible vs the ASR encoder
+        with jax.default_matmul_precision("highest"):
+            return self._decode(latent, state)
+
+    def _decode(self, latent, state):
         cfg = self.cfg
         x = self.input_proj(latent)[:, None, :]  # [B, 1, D]
 
@@ -362,8 +370,13 @@ class MimiEncoder(nn.Module):
 
     cfg: MimiConfig = MimiConfig()
 
-    @nn.compact
     def __call__(self, audio):
+        # see MimiDecoder: f32-accurate matmuls for torch parity on TPU
+        with jax.default_matmul_precision("highest"):
+            return self._encode(audio)
+
+    @nn.compact
+    def _encode(self, audio):
         cfg = self.cfg
 
         def cconv(x, ch, k, stride=1, dilation=1, name=None):

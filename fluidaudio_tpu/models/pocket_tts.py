@@ -156,7 +156,15 @@ class FlowLm(nn.Module):
         return self.bos
 
     def step(self, x, position, kv: KvCache):
-        """x [B, D] one embedded step at `position` [B] -> (hidden, eos, kv')."""
+        """x [B, D] one embedded step at `position` [B] -> (hidden, eos, kv').
+
+        Traced under f32-accurate matmuls: the flow LM carries a torch-
+        parity contract that default TPU bf16 accumulation breaks; its
+        per-frame FLOPs are negligible."""
+        with jax.default_matmul_precision("highest"):
+            return self._step_impl(x, position, kv)
+
+    def _step_impl(self, x, position, kv: KvCache):
         h = x[:, None, :]
         new_k, new_v = [], []
         for i, blk in enumerate(self.blocks):
@@ -215,6 +223,10 @@ class FlowDecoder(nn.Module):
     @nn.compact
     def __call__(self, cond: jax.Array, noise: jax.Array) -> jax.Array:
         """cond [B, D], noise [B, latent_dim] ~ N(0,1) -> latent."""
+        with jax.default_matmul_precision("highest"):
+            return self._euler(cond, noise)
+
+    def _euler(self, cond, noise):
         field_net = FlowVelocity(self.cfg, name="velocity")
         z = noise * np.sqrt(TEMPERATURE)
         h = 1.0 / EULER_STEPS

@@ -39,7 +39,11 @@ class SortformerConfig:
     spkcache_len: int = 188
     fifo_len: int = 40
     chunk_frames: int = 6  # encoder frames per streaming step (~0.48 s)
-    update_period: int = 31  # fifo pops before a spkcache compression
+    # NeMo's updater compresses the speaker cache every `update_period`
+    # FIFO pops; this port compresses whenever frames pop (every step with
+    # overflow), which subsumes the periodic schedule on fixed-size chunks —
+    # kept for converter/config parity with upstream presets
+    update_period: int = 31
     dtype: str = "float32"
 
     @property
@@ -62,7 +66,9 @@ SORTFORMER_TEST = SortformerConfig(
 
 class SortformerState(NamedTuple):
     spkcache: jax.Array  # [B, spkcache_len, D]
-    spkcache_preds: jax.Array  # [B, spkcache_len, 4] scores used for compression
+    spkcache_preds: jax.Array  # [B, spkcache_len, 4] last compression scores
+    # (informational carry: compression itself always rescores the cache
+    # with the current pass's predictions — `spk_preds` below)
     spkcache_mask: jax.Array  # [B, spkcache_len] bool (valid slots; non-contiguous)
     fifo: jax.Array  # [B, fifo_len, D]
     fifo_preds: jax.Array  # [B, fifo_len, 4]
@@ -219,8 +225,9 @@ def streaming_step(
     content = jnp.where(in_fifo, from_fifo, jnp.where(in_frames, from_frames, 0.0))
 
     fp_from_fifo = jnp.take_along_axis(
-        state.fifo_preds, jnp.clip(j, 0, F - 1)[..., None], axis=1
-    )
+        fifo_preds, jnp.clip(j, 0, F - 1)[..., None], axis=1
+    )  # REFRESHED this pass (full [spkcache|fifo|chunk] context), not the
+    # stale per-entry scores from the step each frame entered the FIFO
     fp_from_frames = jnp.take_along_axis(
         chunk_preds, jnp.clip(j - valid_len[:, None], 0, T - 1)[..., None], axis=1
     )

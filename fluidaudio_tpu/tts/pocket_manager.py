@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_PREFILL_BUCKETS = (160, 192, 256, 384, 512)
+
 from fluidaudio_tpu.models.pocket_tts import (
     EOS_THRESHOLD,
     FRAME_SAMPLES,
@@ -137,10 +139,26 @@ class PocketTtsManager:
     # --------------------------------------------------------------- generate
 
     def _prefill(self, text_tokens: jnp.ndarray, prompt: jnp.ndarray):
-        """Run text + voice prompt through the flowlm to fill the KV cache."""
-        n_text = text_tokens.shape[1]
+        """Run text + voice prompt through the flowlm to fill the KV cache.
 
-        def run(params, tokens, prompt_latents):
+        The scan length is BUCKETED (pad tokens, true length passed in) so
+        distinct sentence lengths share compiled programs — keying on the
+        exact token count meant one multi-minute XLA compile per new length.
+        Padded steps write garbage KV at positions >= true length, which is
+        harmless: the causal mask hides slots beyond the current position
+        and generation overwrites each slot before attending to it.
+        """
+        n_text = text_tokens.shape[1]
+        total = 1 + VOICE_PROMPT_FRAMES + n_text
+        if total > _PREFILL_BUCKETS[-1]:
+            # keep the prefill inside the KV budget (callers chunk long text
+            # upstream; this is the belt-and-braces cap)
+            keep = _PREFILL_BUCKETS[-1] - 1 - VOICE_PROMPT_FRAMES
+            text_tokens = text_tokens[:, :keep]
+            total = 1 + VOICE_PROMPT_FRAMES + keep
+        bucket = next(b for b in _PREFILL_BUCKETS if b >= total)
+
+        def run(params, tokens, prompt_latents, true_len):
             kv = init_kv(self.cfg, 1)
             text_emb = self.flowlm.apply(params, tokens[0], method=FlowLm.embed_text)
             prompt_emb = self.flowlm.apply(
@@ -150,6 +168,7 @@ class PocketTtsManager:
             # reference prefill order: BOS, voice prompt, text
             # (PocketTtsSynthesizer.swift:519-526 prefillKVCache bosBeforeVoice)
             seq = jnp.concatenate([bos, prompt_emb, text_emb], axis=0)  # [n, D]
+            seq = jnp.pad(seq, ((0, bucket - seq.shape[0]), (0, 0)))
 
             def step(carry, inp):
                 kv, pos = carry
@@ -162,12 +181,15 @@ class PocketTtsManager:
             (kv, pos), conds = jax.lax.scan(
                 lambda c, x: step(c, (x,)), (kv, 0), seq
             )
-            return kv, pos, conds[-1]
+            return kv, true_len, conds[true_len - 1]
 
-        key = n_text
+        key = bucket
         if key not in self._prefill_cache:
             self._prefill_cache[key] = jax.jit(run)
-        return self._prefill_cache[key](self.params["flowlm"], text_tokens, prompt)
+        pad_tokens = jnp.pad(text_tokens, ((0, 0), (0, bucket - total)))
+        return self._prefill_cache[key](
+            self.params["flowlm"], pad_tokens, prompt, total
+        )
 
     def _generate_scan(self, params, kv, start_pos, first_cond, max_frames, noise):
         """One fused scan: flowlm step -> flow Euler -> mimi decode per frame."""
@@ -220,12 +242,69 @@ class PocketTtsManager:
         return PocketSynthesisResult(samples=samples, sample_rate=SAMPLE_RATE,
                                      frames=n_frames)
 
+    STREAM_BLOCK_FRAMES = 25  # 2 s per compiled block
+
     def stream(self, text: str, voice: str = "default", seed: int = 0
                ) -> Iterator[np.ndarray]:
-        """Yield 80 ms sample blocks as they are generated."""
-        result = self.synthesize(text, voice, seed=seed)
-        for i in range(result.frames):
-            yield result.samples[i * self.frame_samples : (i + 1) * self.frame_samples]
+        """Yield sample blocks INCREMENTALLY while generation continues.
+
+        Generation runs in fixed-size blocks (one compiled scan per block
+        size, state carried between blocks), so first audio arrives after
+        ~STREAM_BLOCK_FRAMES frames instead of after the whole utterance
+        (the reference's `generatePipelined` contract,
+        `PocketTtsSynthesizer.swift:590`)."""
+        tokens = self._tokenize(text)
+        prompt = self.voices.get(voice)
+        if prompt is None:
+            raise KeyError(f"unknown voice {voice!r}; available {sorted(self.voices)}")
+        max_frames = min(
+            self.cfg.max_frames,
+            KV_POSITIONS - tokens.shape[1] - VOICE_PROMPT_FRAMES - 1,
+        )
+        kv, pos, cond = self._prefill(tokens, jnp.asarray(prompt))
+        if not hasattr(self, "_block_jit"):
+            self._block_jit = jax.jit(self._generate_block)
+        mimi_states = self.mimi.init_state(1)
+        done = jnp.asarray(False)
+        key = jax.random.PRNGKey(seed)
+        emitted = 0
+        while emitted < max_frames and not bool(done):
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(
+                sub, (self.STREAM_BLOCK_FRAMES, self.cfg.mimi.latent_dim)
+            )
+            (kv, pos, cond, mimi_states, done), (audio, done_flags) = self._block_jit(
+                self.params, kv, pos, cond, mimi_states, done, noise
+            )
+            audio_np = np.asarray(audio)
+            flags = np.asarray(done_flags)
+            n = int(np.argmax(flags)) + 1 if flags.any() else flags.size
+            n = min(n, max_frames - emitted)
+            for i in range(n):
+                yield audio_np[i]
+            emitted += n
+
+    def _generate_block(self, params, kv, pos, cond, mimi_states, done, noise):
+        """One streaming block: same per-frame step as _generate_scan but
+        with ALL state (incl. mimi conv tails + done flag) carried in/out."""
+
+        def step(carry, frame_noise):
+            kv, pos, cond, states, done = carry
+            latent = self.flow.apply(params["flow"], cond[None], frame_noise[None])[0]
+            samples, states = self.mimi.apply(params["mimi"], latent[None], states)
+            emb = self.flowlm.apply(
+                params["flowlm"], latent[None], method=FlowLm.embed_latent
+            )
+            new_cond, eos_logit, kv = self.flowlm.apply(
+                params["flowlm"], emb, jnp.array([pos]), kv, method=FlowLm.step
+            )
+            now_done = done | (eos_logit[0] > EOS_THRESHOLD)
+            out = jnp.where(done, 0.0, samples[0])
+            return (kv, pos + 1, new_cond[0], states, now_done), (out, now_done)
+
+        carry = (kv, pos, cond, mimi_states, done)
+        carry, outs = jax.lax.scan(step, carry, noise)
+        return carry, outs
 
     def _tokenize(self, text: str) -> jnp.ndarray:
         """SentencePiece tokenizer when `tokenizer.model` is cached (binary
