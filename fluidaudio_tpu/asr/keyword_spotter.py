@@ -57,7 +57,9 @@ class CtcKeywordSpotter:
     ):
         self.context = context
         self.cfg = config or KeywordSpotterConfig()
-        enc_cfg = encoder_cfg or ConformerConfig(d_model=512, n_layers=17)
+        # default matches the default checkpoint repo (parakeet-ctc-0.6b:
+        # 1024x24 — a 512x17 template would fail load_params against it)
+        enc_cfg = encoder_cfg or ConformerConfig(d_model=1024, n_layers=24)
         self.encoder = ConformerEncoder(enc_cfg)
         self.mel = MelFrontend(MelConfig(normalize="per_feature"))
 

@@ -36,7 +36,11 @@ BN_EPS = 1e-5
 
 
 def _lin(sd, key):
-    return np.asarray(sd[f"{key}.weight"]).T, np.asarray(sd.get(f"{key}.bias"))
+    # np.asarray(None) is array(None, dtype=object) — NOT None — which
+    # would defeat downstream `is not None` guards and poison the tree
+    bias = sd.get(f"{key}.bias")
+    return (np.asarray(sd[f"{key}.weight"]).T,
+            None if bias is None else np.asarray(bias))
 
 
 def _fold_bn(sd, key):

@@ -9,7 +9,6 @@ vectorized device op; beam search is host logic over device log-probs.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
 from pathlib import Path
 
 import jax
@@ -86,13 +85,6 @@ class ARPALanguageModel:
                 return logp
         return -99.0
 
-
-@dataclass(order=True)
-class _Beam:
-    score: float
-    tokens: tuple[int, ...] = field(compare=False)
-    p_blank: float = field(compare=False, default=0.0)
-    p_token: float = field(compare=False, default=-math.inf)
 
 
 def ctc_beam_search(

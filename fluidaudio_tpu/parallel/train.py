@@ -41,8 +41,9 @@ def create_train_state(
     encoder = ConformerEncoder(cfg)
     mel = jnp.zeros((2, cfg.n_mels, mel_frames), jnp.float32)
     lengths = jnp.full((2,), mel_frames, jnp.int32)
-    enc_params = encoder.init(rng, mel, lengths)
-    head = jax.random.normal(rng, (cfg.d_model, vocab_size + 1), jnp.float32) * 0.02
+    k_enc, k_head = jax.random.split(rng)
+    enc_params = encoder.init(k_enc, mel, lengths)
+    head = jax.random.normal(k_head, (cfg.d_model, vocab_size + 1), jnp.float32) * 0.02
     params = {"encoder": enc_params, "ctc_head": head}
     tx = optax.adamw(learning_rate)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), encoder, tx
@@ -81,6 +82,30 @@ def make_train_step(encoder: ConformerEncoder, tx: optax.GradientTransformation,
     return train_step
 
 
+def _opt_state_shardings(mesh, opt_state, params, param_sh):
+    """Shard param-shaped optimizer leaves (adamw mu/nu) like their params.
+
+    Fully-replicated opt state would store two unsharded copies of every
+    tp-sharded kernel per device and reshard around tx.update each step.
+    """
+    flat_params = {
+        tuple(str(getattr(k, "key", k)) for k in path): sh
+        for path, sh in jax.tree_util.tree_flatten_with_path(param_sh)[0]
+    }
+
+    def leaf_sharding(path, leaf):
+        # adamw state nests a params-shaped tree under ScaleByAdamState.mu/nu;
+        # match by the trailing path components
+        key = tuple(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+        for plen in range(len(key), 0, -1):
+            cand = key[-plen:]
+            if cand in flat_params and flat_params[cand].spec is not None:
+                return flat_params[cand]
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, opt_state)
+
+
 def jit_sharded_train_step(
     mesh: Mesh, encoder: ConformerEncoder, tx, blank_id: int, state: TrainState
 ):
@@ -89,9 +114,7 @@ def jit_sharded_train_step(
 
     step_fn = make_train_step(encoder, tx, blank_id)
     param_sh = param_sharding_rules(mesh, state.params)
-    opt_sh = jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, P()), state.opt_state
-    )
+    opt_sh = _opt_state_shardings(mesh, state.opt_state, state.params, param_sh)
     state_sh = TrainState(param_sh, opt_sh, NamedSharding(mesh, P()))
     batch_sh = {
         "mel": NamedSharding(mesh, P("data", None, None)),
@@ -206,9 +229,7 @@ def jit_sharded_tdt_train_step(mesh: Mesh, modules, pcfg, tx,
 
     step_fn = make_tdt_train_step(modules, pcfg, tx, durations)
     param_sh = param_sharding_rules(mesh, state.params)
-    opt_sh = jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, P()), state.opt_state
-    )
+    opt_sh = _opt_state_shardings(mesh, state.opt_state, state.params, param_sh)
     state_sh = TransducerTrainState(param_sh, opt_sh, NamedSharding(mesh, P()))
     batch_sh = {
         "mel": NamedSharding(mesh, P("data", None, None)),

@@ -110,7 +110,10 @@ def tdt_loss(
     emit = jnp.where(u_idx[None, None, :] < u_lengths[:, None, None], emit, NEG)
 
     max_d = max(durations)
-    has_zero = durations[0] == 0
+    # duration 0 may sit anywhere in the bins tuple; indexing bin 0 for it
+    # would silently drop every zero-duration emission from the lattice
+    has_zero = 0 in durations
+    zero_idx = durations.index(0) if has_zero else -1
 
     # window[d] holds alpha row of frame t-1-d (d = 0..max_d-1)
     def scan_body(window, t):
@@ -132,7 +135,7 @@ def tdt_loss(
         base = jnp.where(t == 0, base.at[:, 0].set(0.0), base)
         # duration-0 token emissions within frame t
         if has_zero:
-            e0 = emit[:, t] + dur_log_probs[:, t, :, 0]
+            e0 = emit[:, t] + dur_log_probs[:, t, :, zero_idx]
             alpha_t = _log_cum_prefix(base, e0)
         else:
             alpha_t = base

@@ -359,8 +359,10 @@ size_t parse_cardinal_fr(const std::vector<Token>& toks, size_t i, long long* va
     }
     bool tok_ok = !subs.empty();
     long long save_current = current, save_total = total;
-    for (const std::string& s : subs) {
+    bool contributed = false;  // a bare "et" must not be consumed unless a
+    for (const std::string& s : subs) {   // number token follows it
       if (s == "et") continue;
+      contributed = true;
       auto u = kFrUnits.find(s);
       auto t = kFrTens.find(s);
       if (t != kFrTens.end()) {
@@ -389,8 +391,10 @@ size_t parse_cardinal_fr(const std::vector<Token>& toks, size_t i, long long* va
       } else { tok_ok = false; break; }
     }
     if (!tok_ok) { current = save_current; total = save_total; break; }
-    any = true;
-    consumed = j - i + 1;
+    if (contributed) {
+      any = true;
+      consumed = j - i + 1;  // "et" alone stays unconsumed ("soixante et
+    }                        // quelques" keeps the word; "et onze" folds in)
     if (!toks[j].suffix.empty() && toks[j].suffix != ",") break;
   }
   if (!any) return 0;
@@ -807,17 +811,26 @@ std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar&
         }
       }
 
+      size_t last_consumed = i + n - 1;  // token carrying the final suffix
       if (j < toks.size() && toks[j].word == g.decimal_word) {
         std::string frac;
         size_t k = j + 1;
         while (k < toks.size()) {
           long long d;
-          if (g.parse(toks, k, &d) != 1 || d > 9) break;
+          // parse each digit word on a ONE-token slice: a greedy
+          // multi-token parse would merge "cero cinco" into 5 and lose
+          // the leading zero of "tres coma cero cinco" (3.05)
+          std::vector<Token> one(1, toks[k]);
+          if (g.parse(one, 0, &d) != 1 || d > 9) break;
           frac += static_cast<char>('0' + d);
           ++k;
           if (!toks[k - 1].suffix.empty()) break;
         }
-        if (!frac.empty()) { num += "." + frac; j = k; }
+        if (!frac.empty()) {
+          num += "." + frac;
+          j = k;
+          last_consumed = k - 1;  // keep the last digit's punctuation
+        }
       }
       if (!g.percent.empty() && j + g.percent.size() <= toks.size()) {
         bool match = true;
@@ -862,7 +875,7 @@ std::string normalize_generic(const std::vector<Token>& toks, const LangGrammar&
         i = j + 1;
         continue;
       }
-      out.push_back(toks[i].prefix + num + toks[i + n - 1].suffix);
+      out.push_back(toks[i].prefix + num + toks[last_consumed].suffix);
       i = j;
       continue;
     }
@@ -1100,21 +1113,38 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
     }
     if (ord != kOrdinalUnits.end()) {
       long long base = 0;
-      size_t pre = 0;
+      std::string popped_prefix;
+      bool popped = false;
       if (i > 0) {
-        // "twenty fifth" -> 25th : look back at pending tens value
+        // "twenty fifth" -> 25th, "one hundred twenty fifth" -> 125th:
+        // merge with the previous emission ONLY when it is a bare number
+        // whose low two digits equal the pending tens value and no
+        // punctuation separates them (popping unconditionally deleted
+        // hundreds and merged across comma boundaries)
         long long tens;
         if (!out.empty() && kTens.count(toks[i - 1].word) &&
+            toks[i - 1].suffix.empty() &&
             parse_cardinal(toks, i - 1, &tens) == 1) {
-          base = tens;
-          pre = 1;
-          out.pop_back();
+          const std::string &prev = out.back();
+          size_t p0 = 0;
+          while (p0 < prev.size() && !std::isdigit((unsigned char)prev[p0])) ++p0;
+          size_t p1 = p0;
+          while (p1 < prev.size() && std::isdigit((unsigned char)prev[p1])) ++p1;
+          if (p0 < prev.size() && p1 == prev.size()) {
+            long long val = std::stoll(prev.substr(p0));
+            if (val % 100 == tens && tens > 0) {
+              base = val;
+              popped_prefix = prev.substr(0, p0);
+              popped = true;
+              out.pop_back();
+            }
+          }
         }
       }
       long long v = base + ord->second;
-      out.push_back(tk.prefix + format_number(v) + ordinal_suffix(v) + tk.suffix);
+      const std::string &pfx = popped ? popped_prefix : tk.prefix;
+      out.push_back(pfx + format_number(v) + ordinal_suffix(v) + tk.suffix);
       ++i;
-      (void)pre;
       continue;
     }
 
@@ -1218,6 +1248,7 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
       }
 
       // decimal part: "point five nine"
+      size_t last_consumed = i + n - 1;  // token carrying the final suffix
       if (j < toks.size() && toks[j].word == "point") {
         std::string frac;
         size_t k = j + 1;
@@ -1231,6 +1262,7 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
         if (!frac.empty()) {
           num += "." + frac;
           j = k;
+          last_consumed = k - 1;  // keep the last digit's punctuation
         }
       }
       // percent
@@ -1262,7 +1294,7 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
         i = j + 1;
         continue;
       }
-      out.push_back(toks[i].prefix + num + toks[i + n - 1].suffix);
+      out.push_back(toks[i].prefix + num + toks[last_consumed].suffix);
       i = j;
       continue;
     }

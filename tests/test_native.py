@@ -210,3 +210,39 @@ class TestItnDatesTimesFractionsMoney:
     ])
     def test_ambiguity_gate(self, norm, src):
         assert norm.normalize(src, "en") == src
+
+
+class TestItnReviewRegressions:
+    """Fixes from the round-2 review: ordinal lookback, decimal suffixes,
+    bare connectives, single-token decimal digits."""
+
+    def test_hundreds_ordinal_merge(self):
+        from fluidaudio_tpu.itn import TextNormalizer
+
+        tn = TextNormalizer("en")
+        assert "125th" in tn.normalize("the one hundred twenty fifth anniversary")
+
+    def test_comma_blocks_ordinal_merge(self):
+        from fluidaudio_tpu.itn import TextNormalizer
+
+        tn = TextNormalizer("en")
+        out = tn.normalize("I counted twenty, fifth place")
+        assert "20," in out and "5th" in out
+
+    def test_decimal_keeps_sentence_period(self):
+        from fluidaudio_tpu.itn import TextNormalizer
+
+        assert "3.5." in TextNormalizer("en").normalize(
+            "the price is three point five. next sentence")
+
+    def test_french_bare_et_not_consumed(self):
+        from fluidaudio_tpu.itn import TextNormalizer
+
+        tn = TextNormalizer("fr")
+        assert "et" in tn.normalize("soixante et quelques")
+        assert "71" in tn.normalize("soixante et onze personnes")
+
+    def test_spanish_leading_zero_decimal(self):
+        from fluidaudio_tpu.itn import TextNormalizer
+
+        assert "3.05" in TextNormalizer("es").normalize("tres coma cero cinco")
