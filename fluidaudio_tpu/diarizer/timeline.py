@@ -122,12 +122,15 @@ class DiarizerTimeline:
             for a, b in self._postprocess(active):
                 if b <= final_cut:
                     finalized.append(TimedSpeakerSegment(slot.name, a, b))
-                elif include_tentative:
-                    if a < final_cut:
-                        finalized.append(TimedSpeakerSegment(slot.name, a, final_cut))
+                elif a < final_cut:
+                    # straddles the horizon: the finalized part is emitted
+                    # REGARDLESS of include_tentative (dropping it hid
+                    # already-final speech for any span touching the horizon)
+                    finalized.append(TimedSpeakerSegment(slot.name, a, final_cut))
+                    if include_tentative:
                         tentative.append(TimedSpeakerSegment(slot.name, final_cut, b))
-                    else:
-                        tentative.append(TimedSpeakerSegment(slot.name, a, b))
+                elif include_tentative:
+                    tentative.append(TimedSpeakerSegment(slot.name, a, b))
         finalized.sort(key=lambda s: s.start_time)
         tentative.sort(key=lambda s: s.start_time)
         return finalized, tentative

@@ -24,7 +24,7 @@ import urllib.request
 from dataclasses import dataclass
 from pathlib import Path
 
-from fluidaudio_tpu.registry.registry import ModelRegistry, OfflineError
+from fluidaudio_tpu.registry.registry import ModelRegistry, OfflineError, RegistryError
 from fluidaudio_tpu.utils.logging import get_logger
 
 logger = get_logger("datasets")
@@ -254,7 +254,9 @@ class DatasetDownloader:
         tarball = _fetch(url, self.root / f"librispeech-{subset}.tar.gz",
                          "librispeech")
         with tarfile.open(tarball, "r:gz") as tf:
-            tf.extractall(self.root)
+            # filter='data' rejects path traversal / absolute members from a
+            # compromised mirror tarball (and silences the 3.12 deprecation)
+            tf.extractall(self.root, filter="data")
         staged = out / subset
         if not staged.is_dir():
             # tarballs differing in root dir: find the subset dir
@@ -293,7 +295,12 @@ class DatasetDownloader:
                         break
                     except Exception:
                         continue
-            assert lang_dir.exists() or True
+            if not (lang_dir / "test.tsv").exists():
+                raise RegistryError(
+                    f"fleurs staging produced no test.tsv for {lang!r} "
+                    f"(checked {lang_dir}); the remote layout may differ — "
+                    "inspect the repo tree and adjust download_fleurs"
+                )
         return out
 
     def download_jsut(self, max_files: int = 0) -> Path:

@@ -22,8 +22,11 @@ class SsmlSegment:
     rate: float = 1.0  # prosody rate multiplier
 
 
-_TAG_RE = re.compile(r"<(/?)([a-zA-Z-]+)((?:\s+[a-zA-Z-]+=\"[^\"]*\")*)\s*(/?)>")
-_ATTR_RE = re.compile(r"([a-zA-Z-]+)=\"([^\"]*)\"")
+# attribute values may be single- OR double-quoted (both are valid XML)
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z-]+)((?:\s+[a-zA-Z-]+=(?:\"[^\"]*\"|'[^']*'))*)\s*(/?)>"
+)
+_ATTR_RE = re.compile(r"([a-zA-Z-]+)=(?:\"([^\"]*)\"|'([^']*)')")
 
 
 def _parse_time(value: str) -> float:
@@ -62,7 +65,10 @@ def _interpret_date(text: str, fmt: str) -> str:
     parts = re.split(r"[-/.]", text)
     if len(parts) == 3:
         if fmt in ("mdy", ""):
-            m, d, y = parts if fmt == "mdy" else (parts if len(parts[0]) <= 2 else parts[::-1])
+            if fmt == "mdy" or len(parts[0]) <= 2:
+                m, d, y = parts
+            else:  # year-first input with no format: y-m-d
+                y, m, d = parts
         elif fmt == "dmy":
             d, m, y = parts
         elif fmt == "ymd":
@@ -111,7 +117,10 @@ class SSMLProcessor:
                     current.append(chunk)
             pos = m.end()
             closing, tag, attr_str, selfclose = m.groups()
-            attrs = dict(_ATTR_RE.findall(attr_str or ""))
+            attrs = {
+                am.group(1): am.group(2) if am.group(2) is not None else am.group(3)
+                for am in _ATTR_RE.finditer(attr_str or "")
+            }
             tag = tag.lower()
             if tag == "break":
                 flush(_parse_time(attrs.get("time", "0.5s")))

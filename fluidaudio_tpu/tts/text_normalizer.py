@@ -76,7 +76,7 @@ def normalize_for_tts(text: str) -> str:
         if "." in amount:
             whole, cents = amount.split(".")
             return (
-                f"{number_to_words(int(whole))} {unit} "
+                f"{number_to_words(int(whole.replace(',', '') or 0))} {unit} "
                 f"and {number_to_words(int(cents))} cents"
             )
         n = int(amount.replace(",", ""))
@@ -85,11 +85,13 @@ def normalize_for_tts(text: str) -> str:
     t = re.sub(r"([$€£¥])([\d,]+(?:\.\d+)?)", currency, t)
     t = re.sub(r"(\d+(?:\.\d+)?)\s*%", lambda m: _decimal_words(m.group(1)) + " percent", t)
     t = re.sub(r"\b(\d+)(st|nd|rd|th)\b", lambda m: ordinal_to_words(int(m.group(1))), t)
+    # decimals BEFORE years: "3.1415" must not have its fraction read as a
+    # year (\b holds across the dot, so year-first mangled such decimals)
+    t = re.sub(r"\b\d+\.\d+\b", lambda m: _decimal_words(m.group(0)), t)
     # years: standalone 4-digit numbers in a plausible range
     t = re.sub(
         r"\b(1[1-9]\d\d|20\d\d)\b", lambda m: year_to_words(int(m.group(1))), t
     )
-    t = re.sub(r"\b\d+\.\d+\b", lambda m: _decimal_words(m.group(0)), t)
     t = re.sub(r"\b\d[\d,]*\b", lambda m: number_to_words(int(m.group(0).replace(",", ""))), t)
     return re.sub(r"\s+", " ", t).strip()
 

@@ -8,6 +8,7 @@ lets hour-scale files be windowed without holding them in RAM.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from pathlib import Path
 from typing import Protocol
@@ -44,12 +45,36 @@ class ArrayAudioSource:
 
 
 class DiskBackedAudioSampleSource:
-    """mmap view over a raw little-endian f32 file at 16 kHz."""
+    """mmap view over a raw little-endian f32 file at 16 kHz.
 
-    def __init__(self, path: str | Path, sample_count: int | None = None):
+    With `owns_file=True` the backing temp file is unlinked on close()/GC
+    (make_audio_source creates one full-size temp file per long input; a
+    batch over many hour-scale files would otherwise fill /tmp)."""
+
+    def __init__(self, path: str | Path, sample_count: int | None = None,
+                 *, owns_file: bool = False):
         self._path = Path(path)
         self._mmap = np.memmap(self._path, dtype="<f4", mode="r")
         self._count = int(sample_count if sample_count is not None else self._mmap.size)
+        self._finalizer = None
+        if owns_file:
+            import weakref
+
+            path_str = str(self._path)
+
+            def _cleanup(p=path_str):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+            self._finalizer = weakref.finalize(self, _cleanup)
+
+    def close(self) -> None:
+        """Release the mmap and delete the backing temp file (if owned)."""
+        self._mmap = None
+        if self._finalizer is not None:
+            self._finalizer()
 
     @property
     def sample_count(self) -> int:
@@ -82,4 +107,4 @@ def make_audio_source(
     tmp = tempfile.NamedTemporaryFile(prefix="fluidaudio_", suffix=".f32", delete=False)
     tmp.write(samples.astype("<f4").tobytes())
     tmp.close()
-    return DiskBackedAudioSampleSource(tmp.name, samples.size)
+    return DiskBackedAudioSampleSource(tmp.name, samples.size, owns_file=True)

@@ -71,13 +71,28 @@ class AudioConverter:
         Powers the constant-memory disk-backed source (reference
         `Shared/AudioSourceFactory.swift:12-60`). Returns total sample count.
         """
+        from math import gcd
+
         samples, rate = read_wav(path)  # WAV payload is mmap-able in principle;
         mono = mix_to_mono(samples)
         total = 0
-        chunk = max(1, int(chunk_seconds * rate))
+        g = gcd(rate, self.target_rate)
+        up, down = self.target_rate // g, rate // g
+        # chunk/context aligned to the resampling ratio so per-chunk output
+        # boundaries are exact; the polyphase FIR sees real neighboring
+        # samples as context instead of implicit zeros (which put a click at
+        # every chunk boundary of hour-long files)
+        chunk = max(down, (int(chunk_seconds * rate) // down) * down)
+        ctx = (4096 // down + 1) * down
         with open(out_path, "wb") as f:
             for start in range(0, mono.size, chunk):
-                part = resample(mono[start : start + chunk], rate, self.target_rate)
+                end = min(start + chunk, mono.size)
+                lo = max(0, start - ctx)
+                hi = min(mono.size, end + ctx)
+                seg = resample(mono[lo:hi], rate, self.target_rate)
+                lead = (start - lo) * up // down
+                want = -((-end * up) // down) - (start * up) // down
+                part = seg[lead : lead + want]
                 f.write(part.astype("<f4").tobytes())
                 total += part.size
         return total

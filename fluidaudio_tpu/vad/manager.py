@@ -94,10 +94,16 @@ class VadManager:
                     buf = jnp.concatenate([ctx, chunk], axis=-1)[None, :]
                     prob, h2, c2 = model.apply(params, buf, h[None], c[None])
                     new_ctx = chunk[-CONTEXT_SIZE:]
-                    return (h2[0], c2[0], new_ctx), prob[0]
+                    carry = (h2[0], c2[0], new_ctx)
+                    return carry, (prob[0], *carry)
 
-                (h, c, context), probs = jax.lax.scan(step, (h, c, context), chunks)
-                return probs, h, c, context
+                _, (probs, hs, cs, ctxs) = jax.lax.scan(
+                    step, (h, c, context), chunks
+                )
+                # per-step states so the caller can take the state AFTER the
+                # last REAL chunk (bucket padding would otherwise advance the
+                # LSTM through zero chunks and zero the carried context)
+                return probs, hs, cs, ctxs
 
             self._scan_cache[n_chunks] = jax.jit(run)
         return self._scan_cache[n_chunks]
@@ -145,7 +151,7 @@ class VadManager:
         padded = np.zeros((bucket, CHUNK_SIZE), np.float32)
         padded[:n] = chunks
         fn = self._chunk_scan(bucket)
-        probs, h, c, ctx = fn(
+        probs, hs, cs, ctxs = fn(
             self.params,
             jnp.asarray(padded),
             jnp.asarray(state.hidden_state),
@@ -155,10 +161,11 @@ class VadManager:
         probs = np.asarray(probs)[:n]
         dt = (time.perf_counter() - t0) / max(1, n)
 
-        # reconstruct per-chunk output states on host only for the final chunk
-        # (intermediate states live on device; the reference materialized all)
+        # output state taken AFTER the last real chunk (not the pad tail)
         results = []
-        final_state = VadState(np.asarray(h), np.asarray(c), np.asarray(ctx))
+        final_state = VadState(
+            np.asarray(hs[n - 1]), np.asarray(cs[n - 1]), np.asarray(ctxs[n - 1])
+        )
         for i, p in enumerate(probs):
             st = final_state if i == n - 1 else state
             results.append(
