@@ -15,11 +15,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# 1-core host: the thunk runtime's concurrent collective thunks can live-lock
-# the 8-virtual-device rendezvous (F-abort in rendezvous.cc); the legacy
-# sequential runtime is deadlock-free. Keep a raised timeout as extra margin.
-if "xla_cpu_use_thunk_runtime" not in flags:
-    flags += " --xla_cpu_use_thunk_runtime=false"
+# 1-core host: the thunk runtime's concurrency-optimized scheduler can issue
+# independent collective thunks in different orders across partitions and
+# live-lock the 8-virtual-device rendezvous (F-abort in rendezvous.cc).
+# `xla_cpu_use_thunk_runtime=false` is a NO-OP in this XLA ("no longer
+# supported" per its own warning); the live flag that serializes thunk issue
+# order is the scheduler one. Keep a raised timeout as extra margin.
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
 if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     flags += " --xla_cpu_collective_call_terminate_timeout_seconds=600"
 os.environ["XLA_FLAGS"] = flags
