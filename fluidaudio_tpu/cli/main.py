@@ -129,9 +129,12 @@ def cmd_tts(args: argparse.Namespace) -> int:
     from fluidaudio_tpu.tts import KokoroManager
     from fluidaudio_tpu.utils.audio_io import write_wav
 
-    manager = KokoroManager()
+    manager = KokoroManager(variant=args.variant)
     t0 = time.perf_counter()
-    result = manager.synthesize(args.text, voice=args.voice)
+    if args.phoneme_input:
+        result = manager.synthesize_from_phonemes(args.text, voice=args.voice)
+    else:
+        result = manager.synthesize(args.text, voice=args.voice)
     dt = time.perf_counter() - t0
     write_wav(args.output, result.samples, result.sample_rate)
     rtfx = result.duration / dt if dt else 0
@@ -278,7 +281,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("tts", help="synthesize speech")
     p.add_argument("text")
-    p.add_argument("--voice", default="af_heart")
+    p.add_argument("--voice", default=None,
+                   help="voice id (default: variant's default voice)")
+    p.add_argument("--variant", choices=["english", "mandarin", "japanese"],
+                   default="english")
+    p.add_argument("--phoneme-input", action="store_true",
+                   help="treat TEXT as pre-computed IPA/bopomofo phonemes "
+                        "(required for the japanese variant)")
     p.add_argument("--output", default="out.wav")
     p.set_defaults(fn=cmd_tts)
 

@@ -53,6 +53,39 @@ VOCAB = {s: i for i, s in enumerate(SYMBOLS)}
 # voice packs index style rows by phoneme count: ref_s = pack[len(ps) - 1]
 VOICE_PACK_ROWS = 510
 
+# Variant contract (reference KokoroAneConstants.swift:131-163): per-variant
+# HF repo, default voice, and text frontend. `mandarin` routes Hanzi through
+# MandarinG2P -> bopomofo; `japanese` ships no text frontend (phoneme input
+# only) and writes audio at native level (no peak normalization,
+# KokoroAneManager.swift:380-387).
+VARIANTS = ("english", "mandarin", "japanese")
+_VARIANT_REPO = {
+    "english": Repo.KOKORO_ANE,
+    "mandarin": Repo.KOKORO_ANE_ZH,
+    "japanese": Repo.KOKORO_ANE_JA,
+}
+_VARIANT_DEFAULT_VOICE = {
+    "english": "af_heart",
+    "mandarin": "zf_001",
+    "japanese": "jf_alpha",
+}
+
+
+def _seed_zh_vocab() -> dict[str, int]:
+    """Built-in stand-in for `ANE-zh/vocab.json` (bopomofo initials/finals,
+    special hanzi finals, tone digits, punctuation). A real vocab.json in
+    the asset cache always takes precedence."""
+    from fluidaudio_tpu.tts.mandarin_g2p import (
+        _FINAL_MAP,
+        _INITIAL_MAP,
+        ALLOWED_PUNCTUATION,
+    )
+
+    symbols = [_PAD] + sorted(ALLOWED_PUNCTUATION) + list("12345")
+    symbols += list(dict.fromkeys(_INITIAL_MAP.values()))
+    symbols += list(dict.fromkeys(_FINAL_MAP.values()))
+    return {s: i for i, s in enumerate(symbols)}
+
 
 @dataclass
 class KokoroStageTimings:
@@ -67,6 +100,10 @@ class KokoroSynthesisResult:
     samples: np.ndarray  # f32 @ 24 kHz
     sample_rate: int
     timings: KokoroStageTimings = field(default_factory=KokoroStageTimings)
+    # False for the japanese variant: output stays at the model's native
+    # level instead of being peak-scaled to 0 dBFS (ref KokoroAneManager
+    # wavData(from:), issue #698)
+    peak_normalized: bool = True
 
     @property
     def duration(self) -> float:
@@ -77,25 +114,55 @@ class KokoroManager:
     def __init__(
         self,
         *,
+        variant: str = "english",
+        default_voice: str | None = None,
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
         speed: float = 1.0,
         config: KokoroConfig | None = None,
     ):
+        if variant not in VARIANTS:
+            raise ValueError(f"unknown variant {variant!r}; one of {VARIANTS}")
+        self.variant = variant
+        self.default_voice = default_voice or _VARIANT_DEFAULT_VOICE[variant]
         self.cfg = config or KokoroConfig()
         self.speed = speed
+        lex_base = (
+            Path(checkpoint_dir)
+            if checkpoint_dir
+            else DownloadUtils.repo_dir(_VARIANT_REPO[variant])
+        )
+        self.g2p = None
+        self.mandarin_g2p = None
+        self.vocab = dict(VOCAB)
+        if variant == "english":
+            # full Misaki lexicon + converted BART fallback when the kokoro
+            # asset cache holds them (us_lexicon_cache.json / bart.npz —
+            # reference LexiconAssetCache.swift:35, G2PModel.swift:6)
+            from fluidaudio_tpu.tts.g2p import load_bart_fallback
+
+            self.g2p = EnglishG2P(fallback=load_bart_fallback(lex_base))
+            if self.g2p.load_misaki_cache(lex_base):
+                logger.info("loaded Misaki lexicon cache (%d entries)",
+                            len(self.g2p.misaki_lower))
+        elif variant == "mandarin":
+            from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P, MandarinG2pw
+
+            g2pw = MandarinG2pw.load(lex_base / "g2pw") or MandarinG2pw.load(lex_base)
+            self.mandarin_g2p = MandarinG2P(
+                lexicon_path=lex_base / "mandarin_lexicon.json", g2pw=g2pw
+            )
+            self.vocab = self._load_vocab(lex_base) or _seed_zh_vocab()
+        else:  # japanese: phoneme input only, IPA vocab like english
+            self.vocab = self._load_vocab(lex_base) or dict(VOCAB)
+        if config is None and self.vocab:
+            import dataclasses
+
+            need = max(self.vocab.values()) + 1
+            if need > self.cfg.vocab_size:
+                self.cfg = dataclasses.replace(self.cfg, vocab_size=need)
         self.text_program = KokoroTextProgram(self.cfg)
         self.audio_program = KokoroAudioProgram(self.cfg)
-        # full Misaki lexicon + converted BART fallback when the kokoro
-        # asset cache holds them (us_lexicon_cache.json / bart.npz —
-        # reference LexiconAssetCache.swift:35, G2PModel.swift:6)
-        from fluidaudio_tpu.tts.g2p import load_bart_fallback
-
-        lex_base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.KOKORO_ANE)
-        self.g2p = EnglishG2P(fallback=load_bart_fallback(lex_base))
-        if self.g2p.load_misaki_cache(lex_base):
-            logger.info("loaded Misaki lexicon cache (%d entries)",
-                        len(self.g2p.misaki_lower))
         self.post = AudioPostProcessor(SAMPLE_RATE)
 
         cfg = self.cfg
@@ -115,7 +182,7 @@ class KokoroManager:
                 s128,
             ),
         }
-        base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.KOKORO_ANE)
+        base = lex_base
         self.has_real_weights = False
         for part in ("text", "audio"):
             f = base / f"{part}.npz"
@@ -129,17 +196,38 @@ class KokoroManager:
             lambda p, *a, key: self.audio_program.apply(p, *a, rngs={"noise": key})
         )
 
+    def _load_vocab(self, base: Path) -> dict[str, int] | None:
+        """Per-variant `vocab.json` from the asset bundle ({symbol: id},
+        reference KokoroAneVocab); None when not cached."""
+        f = base / "vocab.json"
+        if not f.exists():
+            return None
+        import json
+
+        payload = json.loads(f.read_text(encoding="utf-8"))
+        return {str(k): int(v) for k, v in payload.items()}
+
+    # seeded fallback voices per variant (real packs come from voices.npz)
+    _FALLBACK_VOICES = {
+        "english": ("af_heart", "af_bella", "am_adam"),
+        "mandarin": ("zf_001", "zm_010"),
+        "japanese": ("jf_alpha", "jm_kumo"),
+    }
+
     def _load_voices(self, base: Path) -> dict[str, np.ndarray]:
         """Voice packs: [510, 256] style rows indexed by phoneme count
-        (reference VoicePack; upstream packs are [510, 1, 256])."""
-        f = base / "voices.npz"
-        if f.exists():
-            data = np.load(f)
-            return {k: data[k].reshape(-1, STYLE_DIM) for k in data.files}
+        (reference VoicePack; upstream packs are [510, 1, 256]). Mandarin/
+        Japanese bundles keep packs under voices/ (useVoicesSubdir,
+        KokoroAneConstants.swift:148-153) — the converter flattens them
+        into one voices.npz either way."""
+        for f in (base / "voices.npz", base / "voices" / "voices.npz"):
+            if f.exists():
+                data = np.load(f)
+                return {k: data[k].reshape(-1, STYLE_DIM) for k in data.files}
         rng = np.random.RandomState(7)
         return {
             name: rng.randn(VOICE_PACK_ROWS, STYLE_DIM).astype(np.float32) * 0.1
-            for name in ("af_heart", "af_bella", "am_adam")
+            for name in self._FALLBACK_VOICES[self.variant]
         }
 
     @property
@@ -147,15 +235,70 @@ class KokoroManager:
         return sorted(self.voices)
 
     def encode_phonemes(self, phonemes: str) -> list[int]:
-        ids = [VOCAB[c] for c in phonemes if c in VOCAB]
+        ids = [self.vocab[c] for c in phonemes if c in self.vocab]
         return ids[: MAX_TOKENS - 2]
 
-    def synthesize(self, text: str, voice: str = "af_heart") -> KokoroSynthesisResult:
+    def set_english_custom_lexicon(self, entries: dict[str, str]) -> None:
+        """User word -> Misaki-IPA overrides, checked before the bundled
+        lexicon (ref KokoroAneManager.setEnglishCustomLexicon). Only
+        meaningful for the english variant; a no-op store otherwise."""
+        if self.g2p is not None:
+            self.g2p.custom_lexicon = dict(entries)
+
+    def set_mandarin_custom_lexicon(self, entries: dict[str, list[str]]) -> None:
+        """User word -> pinyin/@bopomofo token overrides, slotted at the
+        front of the MandarinG2P cascade (ref setMandarinCustomLexicon).
+        Only meaningful for the mandarin variant."""
+        if self.mandarin_g2p is not None:
+            self.mandarin_g2p.set_custom_lexicon(entries)
+
+    def phonemes_for(self, text: str) -> str:
+        """Resolve the exact phoneme string `synthesize` would feed the
+        chain (reference `phonemes(for:)`, KokoroAneManager.swift:237-261).
+
+        English: Misaki-lexicon-first with BART fallback. Mandarin: the
+        MandarinG2P bopomofo pipeline for Hanzi input, pass-through for
+        strings already in phoneme form. Japanese: no text frontend —
+        raises; feed pre-computed IPA via `synthesize_from_phonemes`."""
+        if self.variant == "english":
+            return self.g2p.phonemize(text)
+        if self.variant == "mandarin":
+            from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P
+
+            if MandarinG2P.looks_like_hanzi(text):
+                return self.mandarin_g2p.phonemize_bopomofo(text)
+            # no Hanzi -> caller already supplied bopomofo; pass through so
+            # power users can override pronunciation manually
+            return text
+        raise ValueError(
+            "japanese variant has no text G2P frontend; call "
+            "synthesize_from_phonemes() with pre-computed IPA"
+        )
+
+    def synthesize(self, text: str, voice: str | None = None) -> KokoroSynthesisResult:
         timings = KokoroStageTimings()
         t0 = time.perf_counter()
-        phonemes = self.g2p.phonemize(text)
+        phonemes = self.phonemes_for(text)
         timings.g2p_seconds = time.perf_counter() - t0
+        return self._synthesize_resolved(phonemes, voice, timings)
 
+    def synthesize_from_phonemes(
+        self, phonemes: str, voice: str | None = None
+    ) -> KokoroSynthesisResult:
+        """Bypass G2P; feed an already-resolved phoneme string. Strict:
+        raises past the 510-token cap instead of auto-chunking (reference
+        synthesizeFromPhonemes contract)."""
+        n = sum(1 for c in phonemes if c in self.vocab)
+        if n > MAX_TOKENS - 2:
+            raise ValueError(
+                f"phoneme sequence too long: {n} > {MAX_TOKENS - 2} tokens"
+            )
+        return self._synthesize_resolved(phonemes, voice, KokoroStageTimings())
+
+    def _synthesize_resolved(
+        self, phonemes: str, voice: str | None, timings: KokoroStageTimings
+    ) -> KokoroSynthesisResult:
+        voice = voice or self.default_voice
         chunks = self._chunk_phonemes(phonemes)
         pieces = []
         for chunk in chunks:
@@ -163,8 +306,21 @@ class KokoroManager:
         t0 = time.perf_counter()
         audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
         audio = self.post.process(audio)
+        # Peak-scale once over the full concatenation so levels stay
+        # consistent across chunk joins; japanese writes at the model's
+        # native level (ref KokoroAneManager wavData(from:))
+        normalize = self.variant != "japanese"
+        if normalize and audio.size:
+            peak = float(np.abs(audio).max())
+            if peak > 0:
+                audio = audio / peak
         timings.post_seconds = time.perf_counter() - t0
-        return KokoroSynthesisResult(samples=audio, sample_rate=SAMPLE_RATE, timings=timings)
+        return KokoroSynthesisResult(
+            samples=audio,
+            sample_rate=SAMPLE_RATE,
+            timings=timings,
+            peak_normalized=normalize,
+        )
 
     def _chunk_phonemes(self, phonemes: str) -> list[str]:
         # shared PhonemeChunker semantics (reference TTS/Shared/PhonemeChunker.swift)
@@ -192,7 +348,9 @@ class KokoroManager:
         pack = self.voices.get(voice)
         if pack is None:
             raise KeyError(f"unknown voice {voice!r}; available: {self.available_voices}")
-        ref_s = pack[min(len(ids) - 1, pack.shape[0] - 1)]
+        # row = raw phoneme-string length, BOS/EOS not counted (reference
+        # KokoroAneManager.runChain: `let phonemeCount = phonemes.count`)
+        ref_s = pack[min(len(phonemes) - 1, pack.shape[0] - 1)]
         half = ref_s.shape[0] // 2  # [timbre | prosody] halves (ref VoicePack)
         sd = self.cfg.style_dim
         style_timbre = jnp.asarray(ref_s[None, :sd].astype(np.float32))

@@ -88,6 +88,53 @@ class MandarinG2P:
         # optional sentence-context polyphone disambiguator (MandarinG2pw);
         # None = pinyin-dict path only (reference g2pw == nil contract)
         self.g2pw = g2pw
+        # user pronunciation overrides, matched longest-prefix BEFORE the
+        # bundled lexicon (reference MandarinCustomLexicon.swift:17-43):
+        # word -> list of tokens, each either pinyin-with-tone ("zi4",
+        # joins the sandhi window) or "@"-escaped bopomofo ("@ㄈㄨ4",
+        # emitted verbatim, bypasses sandhi)
+        self.custom_lexicon: dict[str, list[str]] = {}
+        self._max_custom = 0
+
+    @staticmethod
+    def looks_like_hanzi(text: str) -> bool:
+        """True when the string contains any CJK unified ideograph —
+        the reference's routing gate between the Hanzi G2P pipeline and
+        phoneme passthrough (`KokoroAneManager.swift:244-252`)."""
+        return any(
+            "一" <= c <= "鿿" or "㐀" <= c <= "䶿" for c in text
+        )
+
+    def set_custom_lexicon(self, entries: dict[str, list[str]]) -> None:
+        """Install (or clear with {}) user pronunciation overrides.
+
+        Validates every token up front like the reference
+        (`MandarinCustomLexicon.swift:65-210`): pinyin tokens must encode
+        through the bopomofo map; `@`-tokens must contain only characters
+        the zh vocab can emit (bopomofo glyphs, special hanzi finals,
+        tone digits, allowed punctuation)."""
+        validated: dict[str, list[str]] = {}
+        for word, tokens in entries.items():
+            if not word or not tokens:
+                raise ValueError(f"custom lexicon entry {word!r} is empty")
+            for tok in tokens:
+                if tok.startswith("@"):
+                    bad = [
+                        c for c in tok[1:]
+                        if c not in _BOPOMOFO_EMIT_CHARS
+                    ]
+                    if bad or len(tok) == 1:
+                        raise ValueError(
+                            f"{word!r}: bopomofo token {tok!r} has characters "
+                            f"outside the zh vocab: {bad}")
+                else:
+                    base, tone = _split_tone(tok)
+                    if encode_bopomofo(base, tone) is None:
+                        raise ValueError(
+                            f"{word!r}: pinyin token {tok!r} does not encode")
+            validated[word] = list(tokens)
+        self.custom_lexicon = validated
+        self._max_custom = max((len(w) for w in validated), default=0)
 
     # -------------------------------------------------------------- segmenter
 
@@ -199,6 +246,116 @@ class MandarinG2P:
         syllables = self.apply_erhua(syllables)
         return " ".join(syllables)
 
+    def phonemize_bopomofo(self, text: str) -> str:
+        """zh text -> the bopomofo + tone-digit stream the kokoro ANE-zh
+        vocab expects, syllables concatenated with no separator
+        (reference `MandarinG2P.swift:87-180`).
+
+        Pipeline: number verbalization -> typed segmentation (custom
+        lexicon longest-prefix first, then bundled dict, then punctuation
+        / ASCII-literal passthrough) -> per-window erhua merge THEN tone
+        sandhi (so 3+3 promotion sees the r-coloured syllable as one
+        tonal unit) -> bopomofo encode. Sandhi windows break at
+        punctuation, literals, `@`-bopomofo tokens, and g2pW picks."""
+        text = re.sub(r"\d+", lambda m: number_to_mandarin(int(m.group(0))), text)
+        segments = self._segment_typed(text)
+
+        # g2pW polyphone picks: single-char dict segments in the catalog
+        overrides: dict[int, str] = {}
+        if self.g2pw is not None:
+            targets = [
+                pos for kind, val, pos in segments
+                if kind == "char" and val in self.g2pw.catalog
+            ]
+            if targets:
+                overrides = self.g2pw.disambiguate(text, targets)
+
+        out: list[str] = []
+        window: list[str] = []  # pending pinyin syllables (sandhi scope)
+
+        def flush() -> None:
+            if not window:
+                return
+            merged = self.apply_erhua(window)
+            merged = self.apply_tone_sandhi(merged)
+            for s in merged:
+                bo = _encode_pinyin_syllable(s)
+                if bo is not None:
+                    out.append(bo)
+            window.clear()
+
+        for kind, val, pos in segments:
+            if kind == "custom":
+                for tok in val:
+                    if tok.startswith("@"):
+                        flush()
+                        out.append(tok[1:])
+                    else:
+                        window.append(tok)
+            elif kind == "char" and pos in overrides:
+                # g2pW pick: encode directly and break the sandhi window
+                # (reference .bopomofoOverride contract)
+                flush()
+                bo = _encode_pinyin_syllable(overrides[pos])
+                if bo is not None:
+                    out.append(bo)
+            elif kind in ("word", "char"):
+                window.extend(self.word_to_pinyin(val))
+            elif kind == "punct":
+                flush()
+                out.append(val)
+            else:  # literal ASCII letters; vocab encodes what it can
+                flush()
+                out.append(val)
+        flush()
+        return "".join(out)
+
+    def _segment_typed(self, text: str) -> list[tuple[str, object, int]]:
+        """-> [(kind, value, char_pos)]: kind in {custom, word, char,
+        punct, literal}. Custom-lexicon entries win over equal-length
+        dict entries (reference MandarinCustomLexicon front-of-cascade)."""
+        segs: list[tuple[str, object, int]] = []
+        i = 0
+        n = len(text)
+        while i < n:
+            matched = False
+            for ln in range(min(self._max_custom, n - i), 0, -1):
+                cand = text[i : i + ln]
+                if cand in self.custom_lexicon:
+                    # only take a shorter-than-dict custom match if no
+                    # longer dict word starts here (user wins ties only)
+                    dict_ln = self._longest_dict_match(text, i)
+                    if dict_ln <= ln:
+                        segs.append(("custom", self.custom_lexicon[cand], i))
+                        i += ln
+                        matched = True
+                    break
+            if matched:
+                continue
+            ln = self._longest_dict_match(text, i)
+            if ln > 1:
+                segs.append(("word", text[i : i + ln], i))
+                i += ln
+                continue
+            ch = text[i]
+            if ch in self.lexicon:
+                segs.append(("char", ch, i))
+            elif ch in ALLOWED_PUNCTUATION:
+                segs.append(("punct", ch, i))
+            elif ch.isascii() and (ch.isalnum()):
+                segs.append(("literal", ch, i))
+            elif self.looks_like_hanzi(ch):
+                segs.append(("char", ch, i))  # OOV hanzi: dropped downstream
+            # anything else (unmapped unicode) drops here
+            i += 1
+        return segs
+
+    def _longest_dict_match(self, text: str, i: int) -> int:
+        for ln in range(min(self._max_word, len(text) - i), 1, -1):
+            if text[i : i + ln] in self.lexicon:
+                return ln
+        return 1
+
 
 # ---------------------------------------------------------------------------
 # g2pW polyphone disambiguation (optional, reference MandarinG2pwModel)
@@ -286,3 +443,128 @@ class MandarinG2pw:
             scores = [logits[row, idx] for _, idx in items]
             out[t] = items[int(np.argmax(scores))][0]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Pinyin -> Bopomofo encoding (reference MandarinBopomofoMap.swift, a port of
+# misaki/zh_frontend.py ZH_MAP): each toned syllable becomes
+# <initial bopomofo><final bopomofo (or special hanzi token)><tone digit>,
+# concatenated with no separators — the exact token stream the
+# kokoro-82m ANE-zh vocab expects.
+# ---------------------------------------------------------------------------
+
+# multi-char initials first so zh/ch/sh win longest-prefix over z/c/s/h
+_INITIALS = [
+    "zh", "ch", "sh",
+    "b", "p", "m", "f", "d", "t", "n", "l",
+    "g", "k", "h", "j", "q", "x",
+    "r", "z", "c", "s",
+]
+
+_INITIAL_MAP = {
+    "b": "ㄅ", "p": "ㄆ", "m": "ㄇ", "f": "ㄈ",
+    "d": "ㄉ", "t": "ㄊ", "n": "ㄋ", "l": "ㄌ",
+    "g": "ㄍ", "k": "ㄎ", "h": "ㄏ",
+    "j": "ㄐ", "q": "ㄑ", "x": "ㄒ",
+    "zh": "ㄓ", "ch": "ㄔ", "sh": "ㄕ", "r": "ㄖ",
+    "z": "ㄗ", "c": "ㄘ", "s": "ㄙ",
+}
+
+# finals; compound finals are hanzi tokens in the v1.1-zh vocab
+_FINAL_MAP = {
+    "a": "ㄚ", "o": "ㄛ", "e": "ㄜ", "ie": "ㄝ",
+    "ai": "ㄞ", "ei": "ㄟ", "ao": "ㄠ", "ou": "ㄡ",
+    "an": "ㄢ", "en": "ㄣ", "ang": "ㄤ", "eng": "ㄥ",
+    "er": "ㄦ", "i": "ㄧ", "u": "ㄨ", "v": "ㄩ",
+    "ii": "ㄭ", "iii": "十",
+    "ve": "月", "ia": "压", "ian": "言", "iang": "阳",
+    "iao": "要", "in": "阴", "ing": "应", "iong": "用",
+    "iou": "又", "ong": "中", "ua": "穵", "uai": "外",
+    "uan": "万", "uang": "王", "uei": "为", "uen": "文",
+    "ueng": "瓮", "uo": "我", "van": "元", "vn": "云",
+}
+
+# punctuation passthrough (ZH_MAP[p] = p in misaki); anything else drops
+ALLOWED_PUNCTUATION = set(';:,.!?/—…"()“” ')
+
+# full emit-character set: what a valid bopomofo string may contain
+_BOPOMOFO_EMIT_CHARS = (
+    set(_INITIAL_MAP.values())
+    | set(_FINAL_MAP.values())
+    | set("12345")
+    | ALLOWED_PUNCTUATION
+)
+
+# pypinyin "empty initial" surface forms -> canonical finals
+_EMPTY_INITIAL_FORMS = {
+    "yi": "i", "ya": "ia", "ye": "ie", "yao": "iao", "you": "iou",
+    "yan": "ian", "yin": "in", "yang": "iang", "ying": "ing",
+    "yong": "iong",
+    "wu": "u", "wa": "ua", "wo": "uo", "wai": "uai", "wei": "uei",
+    "wan": "uan", "wen": "uen", "wang": "uang", "weng": "ueng",
+    "yu": "v", "yue": "ve", "yuan": "van", "yun": "vn",
+}
+
+
+def _split_tone(syllable: str) -> tuple[str, int]:
+    """'hao3' -> ('hao', 3); missing digit -> neutral tone 5."""
+    if syllable and syllable[-1].isdigit():
+        return syllable[:-1], int(syllable[-1])
+    return syllable, 5
+
+
+def _split_initial_final(syllable: str) -> tuple[str, str]:
+    for ini in _INITIALS:
+        if syllable.startswith(ini):
+            return ini, syllable[len(ini):]
+    return "", syllable
+
+
+def encode_bopomofo(base: str, tone: int, erhua: bool = False) -> str | None:
+    """One toned pinyin syllable -> bopomofo + tone digit ('hao',3 ->
+    'ㄏㄠ3'); None when unparseable (caller drops, like kokoro's OOV
+    behavior). `erhua` appends ㄦ between final and tone digit so the
+    model sees one r-coloured tonal unit (ㄒㄧㄠㄦ3)."""
+    if not base:
+        return None
+    normalized = _EMPTY_INITIAL_FORMS.get(base, base)
+    initial, final = _split_initial_final(normalized)
+    # sibilant i: zi/ci/si -> ii (ㄭ); zhi/chi/shi/ri -> iii (十)
+    if final == "i":
+        if initial in ("z", "c", "s"):
+            final = "ii"
+        elif initial in ("zh", "ch", "sh", "r"):
+            final = "iii"
+    # j/q/x + u -> v: the umlaut is implicit in pinyin orthography
+    if initial in ("j", "q", "x") and final.startswith("u"):
+        final = "v" + final[1:]
+    # written-pinyin contractions ui/un/iu expand to full finals after a
+    # consonant initial (gui -> guei, dun -> duen, liu -> liou)
+    if initial:
+        final = {"ui": "uei", "un": "uen", "iu": "iou"}.get(final, final)
+    out = ""
+    if initial:
+        bo = _INITIAL_MAP.get(initial)
+        if bo is None:
+            return None
+        out += bo
+    if final:
+        bo = _FINAL_MAP.get(final)
+        if bo is None:
+            return None
+        out += bo
+    if erhua:
+        out += _FINAL_MAP["er"]
+    if 1 <= tone <= 5:
+        out += str(tone)
+    return out or None
+
+
+def _encode_pinyin_syllable(syllable: str) -> str | None:
+    """Encode a (possibly erhua-merged) pinyin string like 'huar1': any
+    base ending in 'r' other than 'er' is an erhua merge, since no
+    pinyin final ends in r."""
+    base, tone = _split_tone(syllable)
+    if base != "er" and len(base) > 1 and base.endswith("r"):
+        return encode_bopomofo(base[:-1], tone, erhua=True)
+    return encode_bopomofo(base, tone)

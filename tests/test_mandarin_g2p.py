@@ -123,3 +123,121 @@ class TestG2pwDisambiguation:
         g2p, g2pw = self._build(tmp_path)
         out = g2p.phonemize("行")
         assert out in ("xing2", "hang2")
+
+
+class TestBopomofo:
+    """Pinyin -> bopomofo encoding (ref MandarinBopomofoMap.swift, misaki
+    ZH_MAP parity)."""
+
+    def test_basic_syllables(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import encode_bopomofo
+
+        assert encode_bopomofo("hao", 3) == "ㄏㄠ3"
+        assert encode_bopomofo("zhong", 1) == "ㄓ中1"
+        assert encode_bopomofo("er", 2) == "ㄦ2"
+
+    def test_sibilant_i(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import encode_bopomofo
+
+        assert encode_bopomofo("zi", 4) == "ㄗㄭ4"   # ii
+        assert encode_bopomofo("shi", 4) == "ㄕ十4"  # iii
+
+    def test_jqx_umlaut(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import encode_bopomofo
+
+        # qu is qü: must emit ㄑㄩ, not ㄑㄨ (ASR mishears 醋 for 去)
+        assert encode_bopomofo("qu", 4) == "ㄑㄩ4"
+        assert encode_bopomofo("xue", 2) == "ㄒ月2"  # ue -> ve (compound final)
+
+    def test_contractions(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import encode_bopomofo
+
+        assert encode_bopomofo("gui", 1) == "ㄍ为1"   # ui -> uei
+        assert encode_bopomofo("dun", 4) == "ㄉ文4"   # un -> uen
+        assert encode_bopomofo("liu", 2) == "ㄌ又2"   # iu -> iou
+
+    def test_empty_initial_forms(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import encode_bopomofo
+
+        assert encode_bopomofo("wo", 3) == "我3"      # uo
+        assert encode_bopomofo("yi", 1) == "ㄧ1"
+        assert encode_bopomofo("yuan", 2) == "元2"    # van
+
+    def test_erhua_suffix_between_final_and_tone(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import encode_bopomofo
+
+        assert encode_bopomofo("xiao", 3, erhua=True) == "ㄒ要ㄦ3"
+
+    def test_unparseable_returns_none(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import encode_bopomofo
+
+        assert encode_bopomofo("", 1) is None
+        assert encode_bopomofo("qqq", 1) is None
+
+
+class TestPhonemizeBopomofo:
+    def test_sandhi_then_concat_no_separator(self, g2p):
+        assert g2p.phonemize_bopomofo("你好") == "ㄋㄧ2ㄏㄠ3"
+
+    def test_punctuation_breaks_sandhi_window(self, g2p):
+        # 好 , 好: without the punctuation flush 3+3 would promote
+        out = g2p.phonemize_bopomofo("好, 好")
+        assert out == "ㄏㄠ3, ㄏㄠ3"
+
+    def test_erhua_merge(self, g2p):
+        assert g2p.phonemize_bopomofo("花儿") == "ㄏ穵ㄦ1"
+
+    def test_numbers_verbalized(self, g2p):
+        out = g2p.phonemize_bopomofo("三")
+        assert out == g2p.phonemize_bopomofo("3")
+
+    def test_ascii_literal_passthrough(self, g2p):
+        assert "O" in g2p.phonemize_bopomofo("好OK")
+
+
+class TestCustomLexicon:
+    def test_pinyin_tokens_join_sandhi_window(self, g2p):
+        # user entry ends tone-3, next dict word starts tone-3 -> promotion
+        g2p.set_custom_lexicon({"你": ["ni3"]})
+        assert g2p.phonemize_bopomofo("你好") == "ㄋㄧ2ㄏㄠ3"
+
+    def test_bopomofo_escape_bypasses_sandhi(self, g2p):
+        # default path sandhi-promotes 水(shui3) before 好(hao3)
+        assert g2p.phonemize_bopomofo("水好") == "ㄕ为2ㄏㄠ3"
+        # @-escape emits verbatim: no 3+3 promotion across the token
+        g2p.set_custom_lexicon({"水": ["@ㄕㄨㄟ3"]})
+        assert g2p.phonemize_bopomofo("水好") == "ㄕㄨㄟ3ㄏㄠ3"
+
+    def test_user_entry_beats_equal_length_dict_entry(self, g2p):
+        g2p.set_custom_lexicon({"你好": ["ni4", "hao4"]})
+        assert g2p.phonemize_bopomofo("你好") == "ㄋㄧ4ㄏㄠ4"
+
+    def test_longer_dict_word_wins_over_shorter_custom(self, g2p):
+        g2p.set_custom_lexicon({"你": ["ni4"]})
+        # "你好" (dict, len 2) starts at the same position: dict wins
+        assert g2p.phonemize_bopomofo("你好") == "ㄋㄧ2ㄏㄠ3"
+
+    def test_validation_rejects_bad_tokens(self, g2p):
+        import pytest
+
+        with pytest.raises(ValueError, match="does not encode"):
+            g2p.set_custom_lexicon({"你": ["qqq9"]})
+        with pytest.raises(ValueError, match="outside the zh vocab"):
+            g2p.set_custom_lexicon({"你": ["@hello"]})
+        with pytest.raises(ValueError, match="empty"):
+            g2p.set_custom_lexicon({"你": []})
+
+    def test_clear_with_empty_dict(self, g2p):
+        g2p.set_custom_lexicon({"你": ["ni4"]})
+        g2p.set_custom_lexicon({})
+        assert g2p.phonemize_bopomofo("你好") == "ㄋㄧ2ㄏㄠ3"
+
+
+def test_looks_like_hanzi():
+    from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P
+
+    assert MandarinG2P.looks_like_hanzi("你好")
+    assert MandarinG2P.looks_like_hanzi("mixed 你 text")
+    assert not MandarinG2P.looks_like_hanzi("ㄋㄧ3ㄏㄠ3")
+    assert not MandarinG2P.looks_like_hanzi("hello!")
+    assert not MandarinG2P.looks_like_hanzi("こんにちは")  # kana is not hanzi

@@ -64,3 +64,93 @@ def test_synthesis_smoke():
     # unknown voice raises
     with pytest.raises(KeyError):
         mgr.synthesize("hi", voice="nope")
+
+
+_TINY_CFG = dict(
+    d_model=32,
+    style_dim=16,
+    n_layer=2,
+    max_dur=8,
+    albert_emb=16,
+    albert_hidden=48,
+    albert_heads=4,
+    albert_inter=64,
+    albert_layers=1,
+    decoder_hidden=48,
+    asr_res_ch=8,
+    upsample_initial=32,
+    max_frames=64,
+)
+
+
+class TestVariants:
+    """Per-variant routing contract (ref KokoroAneManager.swift:237-261,
+    380-387 and KokoroAneConstants.swift:131-163)."""
+
+    def test_mandarin_routes_hanzi_through_bopomofo_g2p(self):
+        from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
+
+        mgr = KokoroManager(variant="mandarin", config=KokoroConfig(**_TINY_CFG))
+        assert mgr.default_voice == "zf_001"
+        ph = mgr.phonemes_for("你好")
+        assert ph == "ㄋㄧ2ㄏㄠ3"  # 3+3 sandhi applied, bopomofo encoded
+        # every emitted char must be encodable by the zh vocab
+        assert all(c in mgr.vocab for c in ph)
+
+    def test_mandarin_passthrough_for_non_hanzi(self):
+        from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
+
+        mgr = KokoroManager(variant="mandarin", config=KokoroConfig(**_TINY_CFG))
+        # power users can feed pre-computed bopomofo directly
+        assert mgr.phonemes_for("ㄋㄧ3ㄏㄠ3") == "ㄋㄧ3ㄏㄠ3"
+
+    def test_mandarin_synthesis_end_to_end(self):
+        from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
+
+        mgr = KokoroManager(variant="mandarin", config=KokoroConfig(**_TINY_CFG))
+        result = mgr.synthesize("你好, 我们说话!")
+        assert result.samples.size > 0
+        assert np.all(np.isfinite(result.samples))
+        assert result.peak_normalized
+        # en/zh peak-scale the concatenation to full scale
+        assert np.abs(result.samples).max() == pytest.approx(1.0)
+
+    def test_mandarin_custom_lexicon_wires_through(self):
+        from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
+
+        mgr = KokoroManager(variant="mandarin", config=KokoroConfig(**_TINY_CFG))
+        mgr.set_mandarin_custom_lexicon({"你好": ["ni2", "hao3"]})
+        assert mgr.phonemes_for("你好") == "ㄋㄧ2ㄏㄠ3"
+        mgr.set_mandarin_custom_lexicon({"服": ["@ㄈㄨ4"]})
+        assert "ㄈㄨ4" in mgr.phonemes_for("服")
+
+    def test_japanese_has_no_text_frontend(self):
+        from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
+
+        mgr = KokoroManager(variant="japanese", config=KokoroConfig(**_TINY_CFG))
+        assert mgr.default_voice == "jf_alpha"
+        with pytest.raises(ValueError, match="no text G2P frontend"):
+            mgr.phonemes_for("こんにちは")
+        with pytest.raises(ValueError, match="no text G2P frontend"):
+            mgr.synthesize("こんにちは")
+
+    def test_japanese_phoneme_input_no_peak_normalization(self):
+        from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
+
+        mgr = KokoroManager(variant="japanese", config=KokoroConfig(**_TINY_CFG))
+        result = mgr.synthesize_from_phonemes("koɲitʃiwa")
+        assert result.samples.size > 0
+        assert not result.peak_normalized
+
+    def test_synthesize_from_phonemes_strict_cap(self):
+        from fluidaudio_tpu.tts.kokoro_manager import MAX_TOKENS, KokoroManager
+
+        mgr = KokoroManager(variant="japanese", config=KokoroConfig(**_TINY_CFG))
+        with pytest.raises(ValueError, match="too long"):
+            mgr.synthesize_from_phonemes("a" * (MAX_TOKENS + 10))
+
+    def test_unknown_variant_rejected(self):
+        from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
+
+        with pytest.raises(ValueError, match="unknown variant"):
+            KokoroManager(variant="klingon")
