@@ -41,8 +41,12 @@ def _size_aware_min_similarity(n_terms: int) -> float:
 
 
 class CustomVocabularyContext:
-    def __init__(self, terms: list[VocabularyTerm], tokenizer: Tokenizer | None = None):
+    def __init__(self, terms: list[VocabularyTerm], tokenizer: Tokenizer | None = None,
+                 *, min_term_length: int = 3):
         self.terms = terms
+        # terms shorter than this never rescore (NeMo CTC-WS paper;
+        # reference CustomVocabularyContext.minTermLength default 3)
+        self.min_term_length = min_term_length
         self.default_min_similarity = _size_aware_min_similarity(len(terms))
         self.bktree = BKTree()
         self._by_form: dict[str, VocabularyTerm] = {}

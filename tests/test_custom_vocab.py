@@ -124,3 +124,229 @@ class TestRescorer:
         tokens = [TokenWindow(2, 12), TokenWindow(3, 13)]
         result = rescorer.rescore(tokens)
         assert result.replacements == []
+
+
+class TestCandidateMatching:
+    """Reference VocabularyRescorer+TokenRescoring term-centric matching."""
+
+    def _ctx(self, *terms, **kw):
+        return CustomVocabularyContext(list(terms), **kw)
+
+    def test_multi_word_alias_span(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import find_candidates
+
+        ctx = self._ctx(
+            VocabularyTerm("Weights & Biases", aliases=["weights and biases"])
+        )
+        words = ["using", "waits", "and", "biases", "today"]
+        cands = find_candidates(ctx, words)
+        assert cands, "multi-word alias should match the 3-word span"
+        best = max(cands, key=lambda c: c.similarity)
+        assert best.span_start == 1 and best.span_length == 3
+
+    def test_compound_word_two_words(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import find_candidates
+
+        # 'Livmarli' transcribed as 'Liv Mali' (reference docstring case)
+        ctx = self._ctx(VocabularyTerm("Livmarli", min_similarity=0.6))
+        cands = find_candidates(ctx, ["take", "Liv", "Mali", "daily"])
+        assert any(c.span_start == 1 and c.span_length == 2 for c in cands)
+
+    def test_stopword_never_replaced_single(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import find_candidates
+
+        # `just` -> `Wyost` class of false positive must be blocked
+        ctx = self._ctx(VocabularyTerm("Wyost", min_similarity=0.1))
+        assert find_candidates(ctx, ["just"]) == []
+
+    def test_short_word_length_ratio_gate(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import find_candidates
+
+        # short hypothesis word vs much longer term needs >= 0.80 similarity
+        ctx = self._ctx(VocabularyTerm("Quickbooks", min_similarity=0.3))
+        assert find_candidates(ctx, ["quik"]) == []
+
+    def test_other_vocab_term_guard(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import find_candidates
+
+        # a word that IS another vocabulary term must not be rewritten
+        ctx = self._ctx(
+            VocabularyTerm("Cimzia", min_similarity=0.3),
+            VocabularyTerm("Cimza", min_similarity=0.3),
+        )
+        cands = find_candidates(ctx, ["cimza"])
+        assert all(c.term.text != "Cimzia" for c in cands)
+
+    def test_exact_canonical_skipped(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import find_candidates
+
+        ctx = self._ctx(VocabularyTerm("nvidia"))
+        assert find_candidates(ctx, ["nvidia"]) == []
+
+    def test_selection_prefers_higher_similarity_bucket(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+            MatchCandidate,
+            select_candidates,
+        )
+
+        # FDA-extended pattern: 2-word `rom vimza`->Romvimza (0.89) must
+        # beat overlapping 1-word `vimza`->Cimzia (0.67) despite span
+        t_big = VocabularyTerm("Romvimza")
+        t_small = VocabularyTerm("Cimzia")
+        a = MatchCandidate(t_big, 0, 2, 0.89, "rom vimza")
+        b = MatchCandidate(t_small, 1, 1, 0.67, "vimza")
+        chosen = select_candidates([b, a])
+        assert chosen == [a]
+
+    def test_selection_span_tiebreak_within_bucket(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+            MatchCandidate,
+            select_candidates,
+        )
+
+        t = VocabularyTerm("acme")
+        a = MatchCandidate(t, 0, 2, 0.80, "ac me")
+        b = MatchCandidate(t, 0, 1, 0.79, "acme")  # same 0.05 bucket
+        chosen = select_candidates([a, b])
+        assert chosen[0] is b  # shorter span wins within a bucket
+
+
+class TestRescorerMultiWord:
+    VOCAB = {
+        0: "▁the", 1: "▁weights", 2: "▁and", 3: "▁biases", 4: "▁waits",
+        5: "▁W&B", 6: "▁dashboard", 7: ",", 8: "▁acme",
+    }
+
+    def test_multi_word_alias_splice(self):
+        tokenizer = Tokenizer(self.VOCAB)
+        term = VocabularyTerm("W&B", aliases=["weights and biases"])
+        ctx = CustomVocabularyContext([term], tokenizer)
+        term.tdt_token_ids = [5]
+        rescorer = VocabularyRescorer(ctx, tokenizer)
+        tokens = [
+            TokenWindow(0, 5),
+            TokenWindow(4, 10), TokenWindow(2, 12), TokenWindow(3, 14),
+            TokenWindow(6, 20),
+        ]
+        result = rescorer.rescore(tokens)
+        assert ("waits and biases", "W&B") in result.replacements
+        ids = [t.token for t in result.tokens]
+        assert ids == [0, 5, 6]
+        # spliced tokens keep the first span word's timestamp
+        assert result.tokens[1].timestamp == 10
+
+    def test_punctuation_kept_from_last_span_word(self):
+        tokenizer = Tokenizer(self.VOCAB)
+        term = VocabularyTerm("W&B", aliases=["weights and biases"])
+        ctx = CustomVocabularyContext([term], tokenizer)
+        term.tdt_token_ids = [5]
+        rescorer = VocabularyRescorer(ctx, tokenizer)
+        tokens = [
+            TokenWindow(4, 10), TokenWindow(2, 12),
+            TokenWindow(3, 14), TokenWindow(7, 15),  # trailing comma piece
+            TokenWindow(6, 20),
+        ]
+        result = rescorer.rescore(tokens)
+        ids = [t.token for t in result.tokens]
+        assert ids == [5, 7, 6]
+
+    def test_case_variant_folding(self):
+        tokenizer = Tokenizer({0: "▁ACME", 1: "▁Acme", 2: "▁acquire"})
+        term = VocabularyTerm("ACME")
+        ctx = CustomVocabularyContext([term], tokenizer)
+        term.tdt_token_ids = [0]
+        rescorer = VocabularyRescorer(ctx, tokenizer)
+        # exact case-variant match is "already correct": normalization
+        # lowercases both, so Acme == acme == ACME -> no replacement
+        result = rescorer.rescore([TokenWindow(1, 3)])
+        assert result.replacements == []
+
+
+class TestCtcTokenRescore:
+    """CTC-vs-CTC shallow fusion (reference ctcTokenRescore)."""
+
+    BLANK = 9
+    VOCAB = {
+        0: "▁n", 1: "vidia", 2: "videa", 3: "▁the", 4: "▁runs",
+    }
+
+    def _lp(self, path, V=10, p=0.98):
+        return peaked_logprobs(path, V, p)
+
+    def test_replaces_when_acoustics_support_term(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+            WordTiming,
+            ctc_token_rescore,
+        )
+
+        tokenizer = Tokenizer(self.VOCAB)
+        ctx = CustomVocabularyContext([VocabularyTerm("nvidia")], tokenizer)
+        # frames spell ▁n vidia: the TERM's tokens, not the hypothesis's
+        lp = self._lp([self.BLANK, 3, self.BLANK, 0, 1, 1, self.BLANK, 4, self.BLANK])
+        words = [
+            WordTiming("the", 0.08, 0.18),
+            WordTiming("nvidea", 0.28, 0.58),
+            WordTiming("runs", 0.68, 0.80),
+        ]
+        out = ctc_token_rescore(
+            words, lp, 0.1, ctx, tokenizer, blank_id=self.BLANK
+        )
+        assert out.was_modified
+        assert out.text == "the nvidia runs"
+        assert out.replacements[0].boosted_vocab_score > out.replacements[0].original_score
+
+    def test_keeps_original_when_acoustics_refute(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+            RescorerConfig,
+            WordTiming,
+            ctc_token_rescore,
+        )
+
+        tokenizer = Tokenizer(self.VOCAB)
+        ctx = CustomVocabularyContext([VocabularyTerm("nvidia")], tokenizer)
+        # frames spell ▁n videa — the ORIGINAL hypothesis, strongly
+        lp = self._lp([0, 2, 2, 2, 2, 2], p=0.999)
+        words = [WordTiming("nvidea", 0.0, 0.6)]
+        out = ctc_token_rescore(
+            words, lp, 0.1, ctx, tokenizer, blank_id=self.BLANK,
+            config=RescorerConfig(cbw=0.0, spotter_rescue_enabled=False),
+        )
+        assert not out.was_modified
+
+    def test_capitalization_preserved(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+            WordTiming,
+            ctc_token_rescore,
+        )
+
+        tokenizer = Tokenizer(self.VOCAB)
+        ctx = CustomVocabularyContext([VocabularyTerm("nvidia")], tokenizer)
+        lp = self._lp([0, 1, 1, self.BLANK])
+        words = [WordTiming("Nvidea", 0.0, 0.4)]
+        out = ctc_token_rescore(words, lp, 0.1, ctx, tokenizer, blank_id=self.BLANK)
+        assert out.was_modified and out.text == "Nvidia"
+
+
+class TestRescorerUtilities:
+    def test_normalize_for_similarity(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import normalize_for_similarity
+
+        assert normalize_for_similarity("  Hello,  World! ") == "hello world"
+        assert normalize_for_similarity("it's-a-test") == "it's-a-test"
+
+    def test_adaptive_cbw_scaling(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import RescorerConfig
+
+        cfg = RescorerConfig()
+        assert cfg.adaptive_cbw(3.0, 3) == pytest.approx(3.0)
+        assert cfg.adaptive_cbw(3.0, 6) == pytest.approx(3.0 * 1.3)
+        assert cfg.adaptive_cbw(3.0, 12) == pytest.approx(3.0 * 1.6)
+        taper = RescorerConfig(short_term_cbw_taper_pivot=5)
+        assert taper.adaptive_cbw(3.0, 2) == pytest.approx(3.0 * (2 / 5) ** 2)
+
+    def test_encode_variants(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import encode_variants
+
+        tokenizer = Tokenizer({0: "▁liv", 1: "marli", 2: "liv"})
+        variants = encode_variants(tokenizer, "livmarli")
+        assert [0, 1] in variants and [2, 1] in variants
