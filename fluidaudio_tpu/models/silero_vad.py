@@ -1,16 +1,26 @@
-"""Silero-style VAD network, TPU-native.
+"""Silero VAD v5 network, TPU-native.
 
-Explicit JAX equivalent of the reference's unified 256 ms Silero CoreML bundle
-(`VAD/VadManager.swift:14-30`): input = 64-sample context + 4096 new samples,
-LSTM h/c 128-d carried state, output = one speech probability + new states.
+Behavioral parity: the reference wraps the upstream silero-vad v5 model as a
+unified 256 ms CoreML bundle (`VAD/VadManager.swift:14-30`: input = 64-sample
+context + 4096 new samples, LSTM h/c 128-d carried state, one probability per
+chunk) and pays one CoreML round-trip per chunk.
 
-Internally (Silero v5 topology): the 4160-sample buffer is split into 8
-subframes of (64 context + 512 new); each runs a learned STFT-basis conv ->
-4-layer conv encoder -> LSTMCell(128) -> sigmoid head; the chunk probability
-is the max over subframes (a chunk is speech if any 32 ms of it is). The
-subframe loop is a `lax.scan`, so a whole utterance can additionally be
-scanned over chunks inside one jit (see VadManager.process) — no host
-round-trip per 256 ms like the reference's per-chunk CoreML calls.
+TPU re-design: the model is kept at its native 32 ms frame granularity
+(64 context + 512 new samples) and split into its data-parallel and
+state-serial halves:
+
+* `SileroVadV5.encode` — STFT-basis conv + 4-layer conv encoder. Depends
+  ONLY on audio (each frame's 64-sample context comes from the raw waveform,
+  not from model state), so a whole utterance's frames — or a batch of
+  utterances — run as ONE batched conv stack on the MXU.
+* the LSTM cell + sigmoid head — the only truly sequential part, 128-d.
+  `vad_frame_program` precomputes the input-side projection (`z_ih`)
+  batched, then `lax.scan`s just the 128x512 recurrent matmul + gates, and
+  applies the head batched over all per-frame hidden states afterwards.
+
+The 256 ms public contract (one probability per 4096-sample chunk) is the max
+over the chunk's 8 frame probabilities — a chunk is speech if any 32 ms of it
+is. See `vad/manager.py` for the utterance/batch drivers.
 """
 
 from __future__ import annotations
@@ -20,105 +30,6 @@ from dataclasses import dataclass
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-
-
-@dataclass(frozen=True)
-class SileroVadConfig:
-    context_size: int = 64
-    frame_size: int = 512  # 32 ms subframes
-    chunk_size: int = 4096  # 256 ms public contract
-    stft_filters: int = 129
-    stft_kernel: int = 256
-    stft_stride: int = 128
-    encoder_dims: tuple[int, ...] = (128, 64, 64, 128)
-    hidden: int = 128
-
-    @property
-    def subframes_per_chunk(self) -> int:
-        return self.chunk_size // self.frame_size  # 8
-
-    @property
-    def model_input_size(self) -> int:
-        return self.chunk_size + self.context_size  # 4160
-
-
-class SileroVad(nn.Module):
-    """One 256 ms chunk step: (audio [B, 4160], h [B,128], c [B,128]) ->
-    (prob [B], h', c')."""
-
-    cfg: SileroVadConfig = SileroVadConfig()
-
-    @nn.compact
-    def __call__(self, audio: jax.Array, h: jax.Array, c: jax.Array):
-        cfg = self.cfg
-        B = audio.shape[0]
-        n_sub = cfg.subframes_per_chunk
-        sub_w = cfg.context_size + cfg.frame_size  # 576
-
-        # subframe i covers samples [i*512, i*512 + 576) of the 4160 buffer
-        idx = (
-            jnp.arange(n_sub)[:, None] * cfg.frame_size
-            + jnp.arange(sub_w)[None, :]
-        )  # [8, 576]
-        frames = audio[:, idx]  # [B, 8, 576]
-
-        stft = nn.Conv(
-            cfg.stft_filters,
-            (cfg.stft_kernel,),
-            strides=(cfg.stft_stride,),
-            padding="VALID",
-            use_bias=False,
-            name="stft_basis",
-        )
-        convs = [
-            nn.Conv(d, (3,), padding="SAME", name=f"enc{i}")
-            for i, d in enumerate(cfg.encoder_dims)
-        ]
-        lstm = _LstmCellDense(cfg.hidden, name="lstm")
-        head = nn.Dense(1, name="head")
-
-        def subframe_step(carry, frame):
-            h, c = carry
-            x = jnp.abs(stft(frame[:, :, None]))  # [B, t, 129] magnitude-ish
-            for conv in convs:
-                x = nn.relu(conv(x))
-            feat = x.mean(axis=1)  # [B, 128]
-            h2, c2 = lstm(feat, h, c)
-            prob = jax.nn.sigmoid(head(nn.relu(h2))[:, 0])
-            return (h2, c2), prob
-
-        (h_out, c_out), probs = _manual_scan(subframe_step, (h, c), frames)
-
-        chunk_prob = jnp.max(probs, axis=0)  # [B]
-        return chunk_prob, h_out, c_out
-
-
-def _manual_scan(step, carry, frames):
-    """Unrolled loop over the 8 subframes (static count; lets flax share params)."""
-    probs = []
-    for i in range(frames.shape[1]):
-        carry, p = step(carry, frames[:, i])
-        probs.append(p)
-    return carry, jnp.stack(probs)
-
-
-class _LstmCellDense(nn.Module):
-    hidden: int
-
-    @nn.compact
-    def __call__(self, x, h, c):
-        z = nn.Dense(4 * self.hidden, name="ih")(x) + nn.Dense(
-            4 * self.hidden, name="hh"
-        )(h)
-        i, f, g, o = jnp.split(z, 4, axis=-1)
-        c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
-        return h2, c2
-
-
-# --------------------------------------------------------------------------
-# Checkpoint-convertible Silero v5 (upstream jit key layout)
-# --------------------------------------------------------------------------
 
 
 @dataclass(frozen=True)
@@ -136,6 +47,36 @@ class SileroV5Config:
     encoder_strides: tuple[int, ...] = (1, 2, 2, 1)
     hidden: int = 128
 
+    @property
+    def window_size(self) -> int:
+        return self.context_size + self.frame_size  # 576
+
+
+class _LstmCellDense(nn.Module):
+    hidden: int
+
+    def setup(self):
+        self.ih = nn.Dense(4 * self.hidden)
+        self.hh = nn.Dense(4 * self.hidden)
+
+    def input_proj(self, x: jax.Array) -> jax.Array:
+        return self.ih(x)
+
+    def step_from_z(self, z: jax.Array, h: jax.Array, c: jax.Array):
+        """One cell step given the precomputed input projection `z`."""
+        return lstm_gates(z + self.hh(h), c)
+
+    def __call__(self, x, h, c):
+        return self.step_from_z(self.ih(x), h, c)
+
+
+def lstm_gates(zz: jax.Array, c: jax.Array):
+    """(i,f,g,o) gate math shared by the flax cell and the scan program."""
+    i, f, g, o = jnp.split(zz, 4, axis=-1)
+    c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+    return h2, c2
+
 
 class SileroVadV5(nn.Module):
     """One 32 ms frame step, upstream-exact graph:
@@ -149,24 +90,90 @@ class SileroVadV5(nn.Module):
 
     cfg: SileroV5Config = SileroV5Config()
 
-    @nn.compact
-    def __call__(self, frame: jax.Array, h: jax.Array, c: jax.Array):
+    def setup(self):
         cfg = self.cfg
         n_bins = cfg.stft_kernel // 2 + 1  # 129
+        self.stft_basis = nn.Conv(
+            2 * n_bins,
+            (cfg.stft_kernel,),
+            strides=(cfg.stft_stride,),
+            padding="VALID",
+            use_bias=False,
+        )
+        self.enc0 = nn.Conv(cfg.encoder_dims[0], (3,),
+                            strides=(cfg.encoder_strides[0],), padding=((1, 1),))
+        self.enc1 = nn.Conv(cfg.encoder_dims[1], (3,),
+                            strides=(cfg.encoder_strides[1],), padding=((1, 1),))
+        self.enc2 = nn.Conv(cfg.encoder_dims[2], (3,),
+                            strides=(cfg.encoder_strides[2],), padding=((1, 1),))
+        self.enc3 = nn.Conv(cfg.encoder_dims[3], (3,),
+                            strides=(cfg.encoder_strides[3],), padding=((1, 1),))
+        self.lstm = _LstmCellDense(cfg.hidden)
+        self.head = nn.Dense(1)
 
-        x = jnp.pad(frame, ((0, 0), (cfg.stft_pad, cfg.stft_pad)), mode="reflect")
-        basis = nn.Conv(2 * n_bins, (cfg.stft_kernel,), strides=(cfg.stft_stride,),
-                        padding="VALID", use_bias=False, name="stft_basis")
-        spec = basis(x[:, :, None])  # [B, T, 258]
-        mag = jnp.sqrt(spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2 + 1e-12)
+    def encode(self, frames: jax.Array) -> jax.Array:
+        """[N, 576] audio frames -> [N, 128] features. Pure conv stack — no
+        recurrent state, so N can be every frame of a batch of utterances."""
+        cfg = self.cfg
+        n_bins = cfg.stft_kernel // 2 + 1
+        x = jnp.pad(frames, ((0, 0), (cfg.stft_pad, cfg.stft_pad)), mode="reflect")
+        spec = self.stft_basis(x[:, :, None])  # [N, t, 258]
+        y = jnp.sqrt(spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2 + 1e-12)
+        for conv in (self.enc0, self.enc1, self.enc2, self.enc3):
+            y = nn.relu(conv(y))
+        return y.mean(axis=1)  # [N, 128]
 
-        y = mag
-        for i, (d, s) in enumerate(zip(cfg.encoder_dims, cfg.encoder_strides)):
-            y = nn.relu(nn.Conv(d, (3,), strides=(s,), padding=((1, 1),),
-                                name=f"enc{i}")(y))
-        feat = y.mean(axis=1)  # collapse any residual time -> [B, 128]
-
-        h2, c2 = _LstmCellDense(cfg.hidden, name="lstm")(feat, h, c)
-        head = nn.Dense(1, name="head")
-        prob = jax.nn.sigmoid(head(nn.relu(h2))[:, 0])
+    def __call__(self, frame: jax.Array, h: jax.Array, c: jax.Array):
+        feat = self.encode(frame)
+        h2, c2 = self.lstm(feat, h, c)
+        prob = jax.nn.sigmoid(self.head(nn.relu(h2))[:, 0])
         return prob, h2, c2
+
+
+def vad_frame_program(
+    model: SileroVadV5, params, audio: jax.Array, h0: jax.Array, c0: jax.Array
+):
+    """Whole-utterance (or batch-of-utterances) forward in one jit.
+
+    audio [B, 64 + N*512]: per-row initial context prepended to the raw
+    samples; frame j of row b is audio[b, j*512 : j*512 + 576], so adjacent
+    frames share their 64-sample context through the waveform itself.
+    h0/c0 [B, 128].
+
+    Returns (frame_probs [B, N], hs [B, N, 128], cs [B, N, 128]) — per-frame
+    hidden states so the caller can take the carried state after the last
+    REAL frame of each row (rows are bucket-padded).
+
+    The LSTM gate math mirrors `_LstmCellDense` exactly
+    (`tests/test_vad.py::test_frame_program_matches_sequential` pins it).
+    """
+    cfg = model.cfg
+    B, total = audio.shape
+    n_frames = (total - cfg.context_size) // cfg.frame_size
+    idx = (
+        jnp.arange(n_frames)[:, None] * cfg.frame_size
+        + jnp.arange(cfg.window_size)[None, :]
+    )  # [N, 576]
+    frames = audio[:, idx]  # [B, N, 576]
+
+    feats = model.apply(
+        params, frames.reshape(B * n_frames, cfg.window_size),
+        method=SileroVadV5.encode,
+    ).reshape(B, n_frames, -1)
+
+    p = params["params"]["lstm"]
+    z_ih = feats @ p["ih"]["kernel"] + p["ih"]["bias"]  # [B, N, 4H] batched
+    w_hh, b_hh = p["hh"]["kernel"], p["hh"]["bias"]
+
+    def body(carry, z):
+        h, c = carry
+        h2, c2 = lstm_gates(z + h @ w_hh + b_hh, c)
+        return (h2, c2), (h2, c2)
+
+    _, (hs, cs) = jax.lax.scan(body, (h0, c0), jnp.moveaxis(z_ih, 1, 0))
+    hs = jnp.moveaxis(hs, 0, 1)  # [B, N, H]
+    cs = jnp.moveaxis(cs, 0, 1)
+
+    ph = params["params"]["head"]
+    probs = jax.nn.sigmoid(jax.nn.relu(hs) @ ph["kernel"] + ph["bias"])[..., 0]
+    return probs, hs, cs

@@ -6,9 +6,12 @@ padding of the final partial chunk, LSTM h/c threaded sequentially; plus
 `+SpeechSegmentation` (hysteresis machine) and `+Streaming` (state-in/state-out
 events, deliberately not an async stream).
 
-TPU re-design: the whole utterance's chunk loop is ONE `lax.scan` inside jit —
-state stays in HBM and there is one device dispatch per utterance, not one per
-256 ms (the reference pays a CoreML round-trip per chunk). Chunk counts are
+TPU re-design: the reference pays one CoreML round-trip per 256 ms chunk; here
+a whole utterance — or a batch of utterances (`process_batch`) — is ONE device
+dispatch of `vad_frame_program`: the conv encoder runs batched over every
+32 ms frame at once (frame context comes from the raw waveform, not model
+state), only the 128-d LSTM cell is scanned, and its input projection + the
+sigmoid head are hoisted out of the scan as batched matmuls. Frame counts are
 bucketed (powers of two) so jit caches stay warm across file lengths.
 """
 
@@ -22,10 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fluidaudio_tpu.models.silero_vad import SileroVad, SileroVadConfig
+from fluidaudio_tpu.models.silero_vad import SileroV5Config, SileroVadV5, vad_frame_program
 from fluidaudio_tpu.registry import DownloadUtils, Repo
 from fluidaudio_tpu.utils.checkpoint import load_params
-from fluidaudio_tpu.utils.converter import AudioConverter
 from fluidaudio_tpu.utils.logging import get_logger
 from fluidaudio_tpu.vad.segmentation import detect_speech_sample_ranges, segments_from_ranges
 from fluidaudio_tpu.vad.types import (
@@ -45,6 +47,9 @@ from fluidaudio_tpu.vad.types import (
 
 logger = get_logger("vad")
 
+FRAME_SIZE = 512  # 32 ms model frames; 8 per 256 ms public chunk
+FRAMES_PER_CHUNK = CHUNK_SIZE // FRAME_SIZE
+
 
 class VadManager:
     def __init__(
@@ -58,17 +63,16 @@ class VadManager:
         """`skip_model_loading=True` builds a logic-only manager for testing the
         segmentation/streaming machines (reference `VadManager(skipModelLoading:)`)."""
         self.config = config or VadConfig()
-        self.model_cfg = SileroVadConfig()
-        self.model = SileroVad(self.model_cfg)
+        self.model_cfg = SileroV5Config()
+        self.model = SileroVadV5(self.model_cfg)
         self.params: Any | None = None
-        self._scan_cache: dict[int, Any] = {}
-        self._step_jit = None
+        self._program_cache: dict[tuple[int, int], Any] = {}
         if not skip_model_loading:
             self._load_params(checkpoint_dir, rng_seed)
 
     def _load_params(self, checkpoint_dir: str | Path | None, rng_seed: int) -> None:
         dummy = (
-            jnp.zeros((1, self.model_cfg.model_input_size)),
+            jnp.zeros((1, self.model_cfg.window_size)),
             jnp.zeros((1, STATE_SIZE)),
             jnp.zeros((1, STATE_SIZE)),
         )
@@ -83,91 +87,82 @@ class VadManager:
 
     # ----------------------------------------------------------------- device
 
-    def _chunk_scan(self, n_chunks: int):
-        """Jitted scan over [n_chunks, 4096] with carried (h, c, context)."""
-        if n_chunks not in self._scan_cache:
+    def _frame_program(self, batch: int, n_frames: int):
+        """Jitted whole-utterance program for fixed [batch, n_frames]."""
+        key = (batch, n_frames)
+        if key not in self._program_cache:
             model = self.model
-
-            def run(params, chunks, h, c, context):
-                def step(carry, chunk):
-                    h, c, ctx = carry
-                    buf = jnp.concatenate([ctx, chunk], axis=-1)[None, :]
-                    prob, h2, c2 = model.apply(params, buf, h[None], c[None])
-                    new_ctx = chunk[-CONTEXT_SIZE:]
-                    carry = (h2[0], c2[0], new_ctx)
-                    return carry, (prob[0], *carry)
-
-                _, (probs, hs, cs, ctxs) = jax.lax.scan(
-                    step, (h, c, context), chunks
-                )
-                # per-step states so the caller can take the state AFTER the
-                # last REAL chunk (bucket padding would otherwise advance the
-                # LSTM through zero chunks and zero the carried context)
-                return probs, hs, cs, ctxs
-
-            self._scan_cache[n_chunks] = jax.jit(run)
-        return self._scan_cache[n_chunks]
-
-    def _single_step(self):
-        if self._step_jit is None:
-            model = self.model
-
-            def run(params, chunk, h, c, context):
-                buf = jnp.concatenate([context, chunk], axis=-1)[None, :]
-                prob, h2, c2 = model.apply(params, buf, h[None], c[None])
-                return prob[0], h2[0], c2[0], chunk[-CONTEXT_SIZE:]
-
-            self._step_jit = jax.jit(run)
-        return self._step_jit
+            self._program_cache[key] = jax.jit(
+                lambda params, audio, h, c: vad_frame_program(model, params, audio, h, c)
+            )
+        return self._program_cache[key]
 
     # ------------------------------------------------------------------- API
 
     @staticmethod
     def _pad_chunks(samples: np.ndarray) -> np.ndarray:
-        """[n] -> [n_chunks, 4096], final partial chunk repeat-last padded."""
+        """[n] -> flat [n_chunks * 4096], final partial chunk repeat-last padded."""
         n = samples.shape[0]
         n_chunks = max(1, -(-n // CHUNK_SIZE))
-        out = np.empty((n_chunks, CHUNK_SIZE), np.float32)
-        flat = out.reshape(-1)
+        flat = np.empty(n_chunks * CHUNK_SIZE, np.float32)
         flat[:n] = samples
         if n < flat.size:
             flat[n:] = samples[-1] if n else 0.0
-        return out
+        return flat
+
+    def _run_batch(
+        self, rows: list[np.ndarray], states: list[VadState]
+    ) -> tuple[np.ndarray, list[VadState]]:
+        """Shared driver: rows = per-utterance raw samples (non-empty).
+
+        Returns (chunk_probs [B, max_chunks] with NaN past each row's real
+        chunks, final_states after each row's last real chunk)."""
+        assert self.params is not None, "model not loaded (skip_model_loading)"
+        flats = [self._pad_chunks(r) for r in rows]
+        n_chunks = [f.size // CHUNK_SIZE for f in flats]
+        # one bucket for the whole batch keeps it a single dispatch
+        bucket = 1 << (max(n_chunks) - 1).bit_length()
+        n_frames = bucket * FRAMES_PER_CHUNK
+        B = len(rows)
+
+        audio = np.zeros((B, CONTEXT_SIZE + n_frames * FRAME_SIZE), np.float32)
+        for b, (flat, st) in enumerate(zip(flats, states)):
+            audio[b, :CONTEXT_SIZE] = st.context
+            audio[b, CONTEXT_SIZE : CONTEXT_SIZE + flat.size] = flat
+        h0 = np.stack([st.hidden_state for st in states]).astype(np.float32)
+        c0 = np.stack([st.cell_state for st in states]).astype(np.float32)
+
+        fn = self._frame_program(B, n_frames)
+        probs, hs, cs = fn(self.params, jnp.asarray(audio), jnp.asarray(h0), jnp.asarray(c0))
+        probs = np.asarray(probs)
+        hs = np.asarray(hs)
+        cs = np.asarray(cs)
+
+        chunk_probs = probs.reshape(B, bucket, FRAMES_PER_CHUNK).max(axis=2)
+        finals = []
+        for b, (flat, nc) in enumerate(zip(flats, n_chunks)):
+            last = nc * FRAMES_PER_CHUNK - 1  # causal scan: pad tail can't leak back
+            chunk_probs[b, nc:] = np.nan
+            finals.append(VadState(hs[b, last], cs[b, last], flat[-CONTEXT_SIZE:].copy()))
+        return chunk_probs, finals
 
     def process(
         self, samples: np.ndarray, input_state: VadState | None = None
     ) -> list[VadResult]:
         """Sequential state-threaded probabilities for each 256 ms chunk."""
-        assert self.params is not None, "model not loaded (skip_model_loading)"
         t0 = time.perf_counter()
         samples = np.asarray(samples, np.float32).reshape(-1)
         if samples.size == 0:
             return []
         state = input_state or VadState.initial()
-        chunks = self._pad_chunks(samples)
-        # bucket chunk count to limit recompiles
-        n = chunks.shape[0]
-        bucket = 1 << (n - 1).bit_length()
-        padded = np.zeros((bucket, CHUNK_SIZE), np.float32)
-        padded[:n] = chunks
-        fn = self._chunk_scan(bucket)
-        probs, hs, cs, ctxs = fn(
-            self.params,
-            jnp.asarray(padded),
-            jnp.asarray(state.hidden_state),
-            jnp.asarray(state.cell_state),
-            jnp.asarray(state.context),
-        )
-        probs = np.asarray(probs)[:n]
+        chunk_probs, finals = self._run_batch([samples], [state])
+        probs = chunk_probs[0][~np.isnan(chunk_probs[0])]
+        n = probs.size
         dt = (time.perf_counter() - t0) / max(1, n)
 
-        # output state taken AFTER the last real chunk (not the pad tail)
         results = []
-        final_state = VadState(
-            np.asarray(hs[n - 1]), np.asarray(cs[n - 1]), np.asarray(ctxs[n - 1])
-        )
         for i, p in enumerate(probs):
-            st = final_state if i == n - 1 else state
+            st = finals[0] if i == n - 1 else state
             results.append(
                 VadResult(
                     probability=float(p),
@@ -177,6 +172,40 @@ class VadManager:
                 )
             )
         return results
+
+    def process_batch(
+        self,
+        utterances: list[np.ndarray],
+        input_states: list[VadState] | None = None,
+    ) -> list[list[VadResult]]:
+        """Batch many utterances into ONE device dispatch (rows bucket-padded
+        to the longest). The throughput path for benchmark/file workloads —
+        per-call overhead and the LSTM scan amortize across all rows."""
+        rows = [np.asarray(u, np.float32).reshape(-1) for u in utterances]
+        states = input_states or [VadState.initial() for _ in rows]
+        nonempty = [i for i, r in enumerate(rows) if r.size]
+        out: list[list[VadResult]] = [[] for _ in rows]
+        if not nonempty:
+            return out
+        t0 = time.perf_counter()
+        chunk_probs, finals = self._run_batch(
+            [rows[i] for i in nonempty], [states[i] for i in nonempty]
+        )
+        dt = time.perf_counter() - t0
+        total_chunks = int(np.sum(~np.isnan(chunk_probs)))
+        for j, i in enumerate(nonempty):
+            probs = chunk_probs[j][~np.isnan(chunk_probs[j])]
+            n = probs.size
+            out[i] = [
+                VadResult(
+                    probability=float(p),
+                    is_voice_active=float(p) >= self.config.default_threshold,
+                    output_state=finals[j] if k == n - 1 else states[i],
+                    processing_time=dt / max(1, total_chunks),
+                )
+                for k, p in enumerate(probs)
+            ]
+        return out
 
     def process_chunk(
         self, chunk: np.ndarray, input_state: VadState | None = None
@@ -189,19 +218,11 @@ class VadManager:
             pad_val = chunk[-1] if chunk.size else 0.0
             chunk = np.concatenate([chunk, np.full(CHUNK_SIZE - chunk.size, pad_val, np.float32)])
         chunk = chunk[:CHUNK_SIZE]
-        fn = self._single_step()
-        prob, h, c, ctx = fn(
-            self.params,
-            jnp.asarray(chunk),
-            jnp.asarray(state.hidden_state),
-            jnp.asarray(state.cell_state),
-            jnp.asarray(state.context),
-        )
-        out_state = VadState(np.asarray(h), np.asarray(c), np.asarray(ctx))
+        chunk_probs, finals = self._run_batch([chunk], [state])
         return VadResult(
-            probability=float(prob),
-            is_voice_active=float(prob) >= self.config.default_threshold,
-            output_state=out_state,
+            probability=float(chunk_probs[0, 0]),
+            is_voice_active=float(chunk_probs[0, 0]) >= self.config.default_threshold,
+            output_state=finals[0],
             processing_time=time.perf_counter() - t0,
         )
 

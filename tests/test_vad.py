@@ -149,3 +149,85 @@ def test_model_smoke_deterministic():
     assert out.probability != out2.probability or not np.allclose(
         out.output_state.hidden_state, out2.output_state.hidden_state
     )
+
+
+def test_frame_program_matches_sequential():
+    """`vad_frame_program` (batched encoder + hoisted ih/head, LSTM-only scan)
+    must equal stepping SileroVadV5 frame by frame — pins the duplicated gate
+    math and the global framing (shared 64-sample context via the waveform)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluidaudio_tpu.models.silero_vad import (
+        SileroV5Config,
+        SileroVadV5,
+        vad_frame_program,
+    )
+
+    cfg = SileroV5Config()
+    model = SileroVadV5(cfg)
+    rng = np.random.RandomState(3)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.window_size)),
+        jnp.zeros((1, cfg.hidden)),
+        jnp.zeros((1, cfg.hidden)),
+    )
+    n_frames = 11
+    samples = rng.randn(n_frames * cfg.frame_size).astype(np.float32) * 0.1
+    ctx0 = rng.randn(cfg.context_size).astype(np.float32) * 0.1
+    audio = np.concatenate([ctx0, samples])[None, :]
+
+    probs, hs, cs = jax.jit(
+        lambda p, a, h, c: vad_frame_program(model, p, a, h, c)
+    )(params, jnp.asarray(audio), jnp.zeros((1, cfg.hidden)), jnp.zeros((1, cfg.hidden)))
+
+    h = jnp.zeros((1, cfg.hidden))
+    c = jnp.zeros((1, cfg.hidden))
+    step = jax.jit(model.apply)
+    for j in range(n_frames):
+        frame = audio[:, j * cfg.frame_size : j * cfg.frame_size + cfg.window_size]
+        p_ref, h, c = step(params, jnp.asarray(frame), h, c)
+        np.testing.assert_allclose(float(probs[0, j]), float(p_ref[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hs[0, j]), np.asarray(h[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cs[0, -1]), np.asarray(c[0]), atol=1e-5)
+
+
+def test_process_batch_matches_process():
+    """The single-dispatch batch path must produce identical probabilities and
+    final states to per-utterance `process`, including ragged lengths."""
+    m = VadManager(VadConfig())
+    rng = np.random.RandomState(1)
+    utts = [
+        (rng.randn(int(SAMPLE_RATE * d)) * 0.1).astype(np.float32)
+        for d in (1.0, 0.35, 2.3)
+    ]
+    batched = m.process_batch(utts)
+    for u, batch_results in zip(utts, batched):
+        solo = m.process(u)
+        assert len(solo) == len(batch_results)
+        for a, b in zip(solo, batch_results):
+            np.testing.assert_allclose(a.probability, b.probability, atol=1e-5)
+        np.testing.assert_allclose(
+            solo[-1].output_state.hidden_state,
+            batch_results[-1].output_state.hidden_state,
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            solo[-1].output_state.context, batch_results[-1].output_state.context
+        )
+
+
+def test_process_batch_state_threading():
+    """Chaining final states through process_batch equals one long process."""
+    m = VadManager(VadConfig())
+    rng = np.random.RandomState(2)
+    audio = (rng.randn(SAMPLE_RATE * 2) * 0.1).astype(np.float32)
+    whole = m.process(audio)
+    half = SAMPLE_RATE  # chunk-aligned? 16000/4096 is not integral — force align
+    half = (half // CHUNK_SIZE) * CHUNK_SIZE
+    first = m.process(audio[:half])
+    second = m.process(audio[half:], first[-1].output_state)
+    got = [r.probability for r in first + second]
+    want = [r.probability for r in whole]
+    np.testing.assert_allclose(got, want, atol=1e-5)
