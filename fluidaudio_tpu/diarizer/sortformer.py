@@ -26,6 +26,7 @@ from fluidaudio_tpu.models.sortformer import (
     SortformerModel,
     SortformerState,
     init_state,
+    streaming_scan_program,
     streaming_step,
 )
 from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
@@ -64,6 +65,37 @@ class SortformerDiarizer:
             lambda p, mel, st: streaming_step(self.model, p, mel, st, self.cfg)
         )
         self._offline = jax.jit(self.model.apply)
+        # fused single-dispatch programs (mel folded in; cached per shape)
+        self._scan_cache: dict[int, object] = {}
+        self._offline_fused_cache: dict[int, object] = {}
+
+    def _stream_scan(self, n_chunks: int):
+        """One jit for a whole recording: raw chunk buffers [N, chunk_samples]
+        -> batched mel -> batched encoder -> lax.scan transformer/state."""
+        if n_chunks not in self._scan_cache:
+            mel_frames = self.cfg.chunk_frames * 8
+
+            def run(params, chunk_audio, state):
+                mel, _ = self.mel(chunk_audio)  # [N, n_mels, T] rows independent
+                mel = mel[:, :, :mel_frames]
+                return streaming_scan_program(self.model, params, mel, state, self.cfg)
+
+            self._scan_cache[n_chunks] = jax.jit(run)
+        return self._scan_cache[n_chunks]
+
+    def _offline_fused(self, n_windows: int):
+        """One jit for all of a recording's 30.72 s windows: raw window audio
+        [W, window_samples] -> batched mel -> one fused encoder+transformer
+        pass -> preds [W, 384, 4]."""
+        if n_windows not in self._offline_fused_cache:
+
+            def run(params, windows):
+                mel, _ = self.mel(windows)
+                mel = mel[:, :, :OFFLINE_WINDOW_MEL]
+                return self.model.apply(params, mel)
+
+            self._offline_fused_cache[n_windows] = jax.jit(run)
+        return self._offline_fused_cache[n_windows]
 
     # -------------------------------------------------------------- streaming
 
@@ -83,17 +115,24 @@ class SortformerDiarizer:
         return np.asarray(preds[0]), state
 
     def process(self, samples: np.ndarray) -> DiarizationResult:
-        """Streaming pass over a whole recording."""
+        """Streaming-semantics pass over a whole recording as ONE device
+        dispatch: all chunks' mel + encoder run batched, the stateful
+        transformer/cache updates run in `lax.scan` (chunk counts bucketed
+        to powers of two for jit-cache reuse; the causal scan makes pad
+        chunks harmless)."""
         t0 = time.perf_counter()
         samples = np.asarray(samples, np.float32).reshape(-1)
         chunk_samples = self.cfg.chunk_frames * 1280
-        state = self.make_state()
-        all_preds = []
-        for start in range(0, samples.size, chunk_samples):
-            preds, state = self.process_chunk(samples[start : start + chunk_samples], state)
-            all_preds.append(preds)
-        preds = np.concatenate(all_preds) if all_preds else np.zeros((0, NUM_SPEAKERS))
-        n_frames = min(len(preds), int(np.ceil(samples.size / 1280)))
+        n_chunks = max(1, -(-samples.size // chunk_samples))
+        bucket = 1 << (n_chunks - 1).bit_length()
+        buf = np.zeros((bucket, chunk_samples), np.float32)
+        flat = buf.reshape(-1)
+        flat[: samples.size] = samples
+        fn = self._stream_scan(bucket)
+        preds, _ = fn(self.params, jnp.asarray(buf), self.make_state())
+        preds = np.asarray(preds).reshape(-1, NUM_SPEAKERS)
+        n_frames = min(n_chunks * self.cfg.chunk_frames,
+                       int(np.ceil(samples.size / 1280)))
         segments = self._preds_to_segments(preds[:n_frames])
         timings = PipelineTimings(total_seconds=time.perf_counter() - t0)
         return DiarizationResult(
@@ -105,27 +144,40 @@ class SortformerDiarizer:
     # ---------------------------------------------------------------- offline
 
     def process_offline(self, samples: np.ndarray) -> DiarizationResult:
-        """Fused 30.72 s windows + speaker stitching across windows."""
+        """Fused 30.72 s windows + speaker stitching across windows.
+
+        ALL of a recording's windows run as one batched device call (window
+        count bucketed to powers of two) — mel, encoder, and transformer in a
+        single jit — instead of the reference's two CoreML dispatches per
+        window (`OfflineSortformerDiarizer.swift:215`)."""
         t0 = time.perf_counter()
         samples = np.asarray(samples, np.float32).reshape(-1)
         window_samples = OFFLINE_WINDOW_MEL * 160
         overlap_frames = 64  # ~5 s of 80 ms frames for identity matching
         step = window_samples - overlap_frames * 1280
 
-        windows = []
+        starts: list[int] = []
+        sizes: list[int] = []
         for start in range(0, max(1, samples.size), max(1, step)):
-            buf = np.zeros(window_samples, np.float32)
-            seg = samples[start : start + window_samples]
-            if seg.size < 16000 and windows:
+            seg_size = max(0, min(samples.size - start, window_samples))
+            if seg_size < 16000 and starts:
                 break
-            buf[: seg.size] = seg
-            mel, _ = self.mel(jnp.asarray(buf)[None, :])
-            mel = mel[:, :, :OFFLINE_WINDOW_MEL]
-            preds = np.asarray(self._offline(self.params, mel))[0]  # [384, 4]
-            n_valid = min(preds.shape[0], int(np.ceil(seg.size / 1280)))
-            windows.append((start // 1280, preds[:n_valid]))
+            starts.append(start)
+            sizes.append(seg_size)
             if start + window_samples >= samples.size:
                 break
+
+        W = len(starts)
+        bucket = 1 << (W - 1).bit_length()
+        wins = np.zeros((bucket, window_samples), np.float32)
+        for i, (start, size) in enumerate(zip(starts, sizes)):
+            wins[i, :size] = samples[start : start + size]
+        preds_all = np.asarray(self._offline_fused(bucket)(self.params, jnp.asarray(wins)))
+
+        windows = []
+        for i, (start, size) in enumerate(zip(starts, sizes)):
+            n_valid = min(preds_all.shape[1], int(np.ceil(size / 1280)))
+            windows.append((start // 1280, preds_all[i, :n_valid]))
 
         stitched = self._stitch(windows)
         segments = self._preds_to_segments(stitched)

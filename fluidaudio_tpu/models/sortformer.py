@@ -190,6 +190,47 @@ def streaming_step(
     update period handled by quota-based eviction).
     """
     frames = model.apply(params, mel_chunk, method=SortformerModel.encode_frames)
+    return streaming_step_from_frames(model, params, frames, state, cfg)
+
+
+def streaming_scan_program(
+    model: SortformerModel,
+    params,
+    mel_chunks: jax.Array,
+    state: SortformerState,
+    cfg: SortformerConfig,
+) -> tuple[jax.Array, SortformerState]:
+    """Whole-recording streaming pass in ONE jit (B=1 state).
+
+    mel_chunks [N, n_mels, chunk_frames*8]: the conformer encoder is
+    STATELESS per chunk, so all N chunks encode as one batched call on the
+    MXU; only the transformer-over-[spkcache|fifo|chunk] + cache update —
+    the truly stateful part — runs under `lax.scan`. Replaces the
+    reference's one-CoreML-call-per-0.48 s loop
+    (`SortformerDiarizer.swift` process loop) with a single dispatch.
+
+    Returns (preds [N, chunk_frames, 4], final state).
+    """
+    frames_all = model.apply(
+        params, mel_chunks, method=SortformerModel.encode_frames
+    )  # [N, T, D]
+
+    def body(st, fr):
+        preds, st2 = streaming_step_from_frames(model, params, fr[None], st, cfg)
+        return st2, preds[0]
+
+    final, preds = jax.lax.scan(body, state, frames_all)
+    return preds, final
+
+
+def streaming_step_from_frames(
+    model: SortformerModel,
+    params,
+    frames: jax.Array,
+    state: SortformerState,
+    cfg: SortformerConfig,
+) -> tuple[jax.Array, SortformerState]:
+    """`streaming_step` after the (stateless) encoder: frames [B, T, D]."""
     B, T, D = frames.shape
     S, F = cfg.spkcache_len, cfg.fifo_len
 

@@ -61,3 +61,53 @@ def test_stitcher_permutation_alignment(diarizer):
     # after alignment the overlap region should agree with base
     np.testing.assert_allclose(stitched[8:12], base[8:12], atol=0.51)
     np.testing.assert_allclose(stitched[12:], base[12:], atol=1e-6)
+
+
+def test_stream_scan_matches_per_chunk_steps(diarizer):
+    """The single-dispatch scan program must equal looping process_chunk with
+    carried state (pins batched-encode + lax.scan against the stepwise path)."""
+    rng = np.random.RandomState(7)
+    chunk_samples = diarizer.cfg.chunk_frames * 1280
+    n = 5
+    audio = (rng.randn(chunk_samples * n) * 0.1).astype(np.float32)
+
+    state = diarizer.make_state()
+    loop_preds = []
+    for i in range(n):
+        preds, state = diarizer.process_chunk(
+            audio[i * chunk_samples : (i + 1) * chunk_samples], state
+        )
+        loop_preds.append(preds)
+    loop_preds = np.concatenate(loop_preds)
+
+    result = diarizer.process(audio)
+    import jax.numpy as jnp
+
+    bucket = 1 << (n - 1).bit_length()
+    buf = np.zeros((bucket, chunk_samples), np.float32)
+    buf.reshape(-1)[: audio.size] = audio
+    scan_preds, _ = diarizer._stream_scan(bucket)(
+        diarizer.params, jnp.asarray(buf), diarizer.make_state()
+    )
+    scan_preds = np.asarray(scan_preds).reshape(-1, NUM_SPEAKERS)[: n * diarizer.cfg.chunk_frames]
+    np.testing.assert_allclose(scan_preds, loop_preds, atol=2e-4)
+    assert result.timings.total_seconds > 0
+
+
+def test_offline_batched_windows_match_single(diarizer):
+    """Batched-window fused offline preds must equal one-window-at-a-time
+    `_offline` calls (pins window packing + bucket padding)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(8)
+    from fluidaudio_tpu.diarizer.sortformer import OFFLINE_WINDOW_MEL
+
+    window_samples = OFFLINE_WINDOW_MEL * 160
+    wins = (rng.randn(3, window_samples) * 0.1).astype(np.float32)
+    padded = np.zeros((4, window_samples), np.float32)
+    padded[:3] = wins
+    batched = np.asarray(diarizer._offline_fused(4)(diarizer.params, jnp.asarray(padded)))
+    for i in range(3):
+        mel, _ = diarizer.mel(jnp.asarray(wins[i])[None, :])
+        solo = np.asarray(diarizer._offline(diarizer.params, mel[:, :, :OFFLINE_WINDOW_MEL]))[0]
+        np.testing.assert_allclose(batched[i], solo, atol=2e-4)
