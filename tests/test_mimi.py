@@ -310,3 +310,61 @@ def test_mimi_ring_kv_matches_full_attention():
         outs.append(np.asarray(y))
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_mimi_encoder_chain_matches_torch():
+    """Conv-only encoder (trans_layers=0) must equal a torch full-sequence
+    causal mirrored-SEANet encoder + x2 depthwise downsample + input_proj on
+    the same weights — the voice-cloning path's numeric pin (reference
+    `PocketTTS/PocketTtsVoiceCloner.swift` mimi encode), decoder analog:
+    `test_mimi_seanet_chain_matches_torch`."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as tF
+
+    cfg = MimiConfig(
+        latent_dim=6, dim=16, n_filters=4, ratios=(4, 3), kernel=5,
+        trans_layers=0, trans_heads=4, trans_ff=32, trans_context=8,
+    )
+    rng = np.random.RandomState(5)
+    sd = synthetic_mimi_state_dict(cfg, rng)
+    params = convert_mimi_encoder_state_dict(sd, cfg)
+
+    hop = int(np.prod(cfg.ratios)) * 2
+    N = hop * 6
+    audio = (rng.randn(1, N) * 0.1).astype(np.float32)
+
+    def causal_conv(x, w, b, stride=1, dil=1, groups=1):
+        pad = (w.shape[-1] - 1) * dil + 1 - stride
+        x = tF.pad(x, (pad, 0))
+        return tF.conv1d(x, w, b, stride=stride, dilation=dil, groups=groups)
+
+    t = lambda k: torch.tensor(np.asarray(sd[k], np.float32))
+    x = torch.tensor(audio[:, None, :])
+    x = causal_conv(x, t("encoder.model.0.conv.conv.weight"),
+                    t("encoder.model.0.conv.conv.bias"))
+    for s_ in range(len(cfg.ratios)):
+        r = tuple(reversed(cfg.ratios))[s_]
+        base = 1 + 3 * s_
+        res = tF.elu(x)
+        res = causal_conv(res, t(f"encoder.model.{base}.block.1.conv.conv.weight"),
+                          t(f"encoder.model.{base}.block.1.conv.conv.bias"))
+        res = tF.elu(res)
+        res = causal_conv(res, t(f"encoder.model.{base}.block.3.conv.conv.weight"),
+                          t(f"encoder.model.{base}.block.3.conv.conv.bias"))
+        x = x + res
+        x = tF.elu(x)
+        x = causal_conv(x, t(f"encoder.model.{base + 2}.conv.conv.weight"),
+                        t(f"encoder.model.{base + 2}.conv.conv.bias"), stride=r)
+    x = tF.elu(x)
+    last = 1 + 3 * len(cfg.ratios) + 1
+    x = causal_conv(x, t(f"encoder.model.{last}.conv.conv.weight"),
+                    t(f"encoder.model.{last}.conv.conv.bias"))
+    x = causal_conv(x, t("downsample.conv.conv.weight"),
+                    t("downsample.conv.conv.bias"), stride=2, groups=cfg.dim)
+    x = tF.conv1d(x, t("quantizer.input_proj.weight"))
+    ref = x.detach().numpy().transpose(0, 2, 1)  # [1, T, latent]
+
+    enc = MimiEncoder(cfg)
+    got = np.asarray(enc.apply(params, jnp.asarray(audio)))
+    assert got.shape == ref.shape == (1, 6, cfg.latent_dim)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
