@@ -170,6 +170,111 @@ def _parse_node_summary(buf: memoryview) -> str:
     return op_type
 
 
+class OnnxNode:
+    """NodeProto subset: op_type + I/O names + int/float attributes."""
+
+    __slots__ = ("op_type", "name", "inputs", "outputs", "attrs")
+
+    def __init__(self):
+        self.op_type = ""
+        self.name = ""
+        self.inputs: list[str] = []
+        self.outputs: list[str] = []
+        self.attrs: dict[str, object] = {}
+
+    def __repr__(self):
+        return f"OnnxNode({self.op_type}, in={self.inputs}, out={self.outputs})"
+
+
+def _parse_attribute(buf: memoryview) -> tuple[str, object]:
+    """AttributeProto: name(1), f(2), i(3), s(4), floats(7), ints(8)."""
+    name = ""
+    value: object = None
+    ints: list[int] = []
+    floats: list[float] = []
+    for field, wire, val in _iter_fields(buf):
+        if field == 1 and wire == 2:
+            name = bytes(val).decode("utf-8", "replace")
+        elif field == 2 and wire == 5:
+            value = struct.unpack("<f", val)[0]
+        elif field == 3 and wire == 0:
+            value = _signed64(val)
+        elif field == 4 and wire == 2:
+            value = bytes(val)
+        elif field == 8 and wire == 0:
+            ints.append(_signed64(val))
+        elif field == 8 and wire == 2:
+            p = 0
+            while p < len(val):
+                v, p = _read_varint(val, p)
+                ints.append(_signed64(v))
+        elif field == 7 and wire == 5:
+            floats.append(struct.unpack("<f", val)[0])
+    if ints:
+        value = ints
+    elif floats:
+        value = floats
+    return name, value
+
+
+def _parse_node(buf: memoryview) -> OnnxNode:
+    node = OnnxNode()
+    for field, wire, val in _iter_fields(buf):
+        if field == 1 and wire == 2:
+            node.inputs.append(bytes(val).decode("utf-8", "replace"))
+        elif field == 2 and wire == 2:
+            node.outputs.append(bytes(val).decode("utf-8", "replace"))
+        elif field == 3 and wire == 2:
+            node.name = bytes(val).decode("utf-8", "replace")
+        elif field == 4 and wire == 2:
+            node.op_type = bytes(val).decode("utf-8", "replace")
+        elif field == 5 and wire == 2:
+            k, v = _parse_attribute(val)
+            if k:
+                node.attrs[k] = v
+    return node
+
+
+class OnnxGraph:
+    """Weights + full node list (graph-order, which ONNX requires to be
+    topologically sorted) — the connectivity view the topology-based
+    Supertonic3 converter matches against (`convert/supertonic3.py`)."""
+
+    def __init__(self, weights: dict[str, np.ndarray], nodes: list[OnnxNode]):
+        self.weights = weights
+        self.nodes = nodes
+
+    def weight_events(self):
+        """Yield (node, input_position, name, shape) for every node input
+        that is an initializer, in graph/input order — the op-position
+        stream name-free matching keys on."""
+        for node in self.nodes:
+            for pos, inp in enumerate(node.inputs):
+                if inp in self.weights:
+                    yield node, pos, inp, self.weights[inp].shape
+
+
+def read_onnx_graph(path: str | Path) -> OnnxGraph:
+    """Full-connectivity read: initializers + ordered nodes with I/O names."""
+    data = memoryview(Path(path).read_bytes())
+    graph: memoryview | None = None
+    for field, wire, val in _iter_fields(data):
+        if field == 7 and wire == 2:
+            graph = val
+            break
+    if graph is None:
+        raise OnnxParseError("no GraphProto (field 7) found — not an ONNX model?")
+    weights: dict[str, np.ndarray] = {}
+    nodes: list[OnnxNode] = []
+    for field, wire, val in _iter_fields(graph):
+        if field == 5 and wire == 2:
+            name, arr = _parse_tensor(val)
+            weights[name] = arr
+        elif field == 1 and wire == 2:
+            nodes.append(_parse_node(val))
+    return OnnxGraph(weights, nodes)
+
+
 def read_onnx(path: str | Path) -> tuple[dict[str, np.ndarray], dict[str, int]]:
     """-> (initializers {name: array}, node op_type histogram)."""
     data = memoryview(Path(path).read_bytes())

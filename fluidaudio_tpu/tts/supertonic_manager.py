@@ -200,6 +200,16 @@ class Supertonic3Manager:
             "vocoder": self.vocoder.init(k[3], jnp.zeros((1, LATENT_CH, L))),
         }
         base = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(Repo.SUPERTONIC3)
+        if all((base / f"{part}.onnx").exists() for part in self.params) and not any(
+            (base / f"{part}.npz").exists() for part in self.params
+        ):
+            # staged upstream ONNX release, not yet converted: run the
+            # topology-based converter in place (convert/supertonic3.py)
+            from fluidaudio_tpu.convert.supertonic3 import convert_supertonic3
+            from fluidaudio_tpu.utils.checkpoint import save_params
+
+            for part, tree in convert_supertonic3(base, self.cfg).items():
+                save_params(base / f"{part}.npz", tree)
         for part in self.params:
             f = base / f"{part}.npz"
             if f.exists():
