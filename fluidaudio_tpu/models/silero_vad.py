@@ -131,25 +131,38 @@ class SileroVadV5(nn.Module):
 
 
 def vad_frame_program(
-    model: SileroVadV5, params, audio: jax.Array, h0: jax.Array, c0: jax.Array
+    model: SileroVadV5,
+    params,
+    audio: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    last_idx: jax.Array | None = None,
 ):
     """Whole-utterance (or batch-of-utterances) forward in one jit.
 
     audio [B, 64 + N*512]: per-row initial context prepended to the raw
     samples; frame j of row b is audio[b, j*512 : j*512 + 576], so adjacent
-    frames share their 64-sample context through the waveform itself.
-    h0/c0 [B, 128].
+    frames share their 64-sample context through the waveform itself. int16
+    audio is upcast on device (PCM scale 1/32768) — halving the
+    host->device transfer, the dominant end-to-end cost on a remote link.
+    h0/c0 [B, 128]. last_idx [B]: index of each row's last REAL frame (rows
+    are bucket-padded; the causal scan makes the pad tail harmless).
 
-    Returns (frame_probs [B, N], hs [B, N, 128], cs [B, N, 128]) — per-frame
-    hidden states so the caller can take the carried state after the last
-    REAL frame of each row (rows are bucket-padded).
+    Returns (frame_probs [B, N], h_final [B, 128], c_final [B, 128]) with the
+    final state gathered ON DEVICE at `last_idx` — downloading the full
+    per-frame state history just to pick one row cost ~4 MB per call over the
+    device link and dominated end-to-end latency.
 
     The LSTM gate math mirrors `_LstmCellDense` exactly
     (`tests/test_vad.py::test_frame_program_matches_sequential` pins it).
     """
     cfg = model.cfg
+    if jnp.issubdtype(audio.dtype, jnp.integer):  # trace-time branch
+        audio = audio.astype(jnp.float32) / 32768.0
     B, total = audio.shape
     n_frames = (total - cfg.context_size) // cfg.frame_size
+    if last_idx is None:
+        last_idx = jnp.full((B,), n_frames - 1, jnp.int32)
     idx = (
         jnp.arange(n_frames)[:, None] * cfg.frame_size
         + jnp.arange(cfg.window_size)[None, :]
@@ -176,4 +189,5 @@ def vad_frame_program(
 
     ph = params["params"]["head"]
     probs = jax.nn.sigmoid(jax.nn.relu(hs) @ ph["kernel"] + ph["bias"])[..., 0]
-    return probs, hs, cs
+    rows = jnp.arange(B)
+    return probs, hs[rows, last_idx], cs[rows, last_idx]

@@ -51,6 +51,15 @@ FRAME_SIZE = 512  # 32 ms model frames; 8 per 256 ms public chunk
 FRAMES_PER_CHUNK = CHUNK_SIZE // FRAME_SIZE
 
 
+def _coerce_samples(samples) -> np.ndarray:
+    """f32 passthrough; int16 preserved for the on-device PCM upcast (half
+    the host->device bytes); everything else coerced to f32."""
+    arr = np.asarray(samples)
+    if arr.dtype not in (np.float32, np.int16):
+        arr = arr.astype(np.float32)
+    return arr.reshape(-1)
+
+
 class VadManager:
     def __init__(
         self,
@@ -93,7 +102,9 @@ class VadManager:
         if key not in self._program_cache:
             model = self.model
             self._program_cache[key] = jax.jit(
-                lambda params, audio, h, c: vad_frame_program(model, params, audio, h, c)
+                lambda params, audio, h, c, last: vad_frame_program(
+                    model, params, audio, h, c, last
+                )
             )
         return self._program_cache[key]
 
@@ -101,14 +112,25 @@ class VadManager:
 
     @staticmethod
     def _pad_chunks(samples: np.ndarray) -> np.ndarray:
-        """[n] -> flat [n_chunks * 4096], final partial chunk repeat-last padded."""
+        """[n] -> flat [n_chunks * 4096], final partial chunk repeat-last
+        padded; dtype-preserving (int16 rows stay int16 until the on-device
+        upcast — half the host->device bytes for PCM sources)."""
         n = samples.shape[0]
         n_chunks = max(1, -(-n // CHUNK_SIZE))
-        flat = np.empty(n_chunks * CHUNK_SIZE, np.float32)
+        flat = np.empty(n_chunks * CHUNK_SIZE, samples.dtype)
         flat[:n] = samples
         if n < flat.size:
-            flat[n:] = samples[-1] if n else 0.0
+            flat[n:] = samples[-1] if n else 0
         return flat
+
+    @staticmethod
+    def _ctx_as(ctx: np.ndarray, dtype) -> np.ndarray:
+        """Carried context -> the packed buffer's dtype (PCM scale 1/32768)."""
+        if ctx.dtype == dtype:
+            return ctx
+        if np.issubdtype(dtype, np.integer):
+            return np.clip(np.round(ctx * 32768.0), -32768, 32767).astype(dtype)
+        return ctx.astype(np.float32) / 32768.0
 
     def _run_batch(
         self, rows: list[np.ndarray], states: list[VadState]
@@ -125,25 +147,38 @@ class VadManager:
         n_frames = bucket * FRAMES_PER_CHUNK
         B = len(rows)
 
-        audio = np.zeros((B, CONTEXT_SIZE + n_frames * FRAME_SIZE), np.float32)
+        pack_dtype = (
+            np.int16 if all(f.dtype == np.int16 for f in flats) else np.float32
+        )
+        audio = np.zeros((B, CONTEXT_SIZE + n_frames * FRAME_SIZE), pack_dtype)
         for b, (flat, st) in enumerate(zip(flats, states)):
-            audio[b, :CONTEXT_SIZE] = st.context
-            audio[b, CONTEXT_SIZE : CONTEXT_SIZE + flat.size] = flat
+            audio[b, :CONTEXT_SIZE] = self._ctx_as(np.asarray(st.context), pack_dtype)
+            if flat.dtype == pack_dtype:
+                audio[b, CONTEXT_SIZE : CONTEXT_SIZE + flat.size] = flat
+            else:  # int16 row in a mixed (f32-packed) batch: PCM upcast here
+                audio[b, CONTEXT_SIZE : CONTEXT_SIZE + flat.size] = (
+                    flat.astype(np.float32) / 32768.0
+                )
         h0 = np.stack([st.hidden_state for st in states]).astype(np.float32)
         c0 = np.stack([st.cell_state for st in states]).astype(np.float32)
 
+        last_idx = np.asarray(
+            [nc * FRAMES_PER_CHUNK - 1 for nc in n_chunks], np.int32
+        )  # causal scan: pad tail can't leak back into the last real frame
         fn = self._frame_program(B, n_frames)
-        probs, hs, cs = fn(self.params, jnp.asarray(audio), jnp.asarray(h0), jnp.asarray(c0))
+        probs, h_fin, c_fin = fn(
+            self.params, jnp.asarray(audio), jnp.asarray(h0), jnp.asarray(c0),
+            jnp.asarray(last_idx),
+        )
         probs = np.asarray(probs)
-        hs = np.asarray(hs)
-        cs = np.asarray(cs)
+        h_fin = np.asarray(h_fin)
+        c_fin = np.asarray(c_fin)
 
         chunk_probs = probs.reshape(B, bucket, FRAMES_PER_CHUNK).max(axis=2)
         finals = []
         for b, (flat, nc) in enumerate(zip(flats, n_chunks)):
-            last = nc * FRAMES_PER_CHUNK - 1  # causal scan: pad tail can't leak back
             chunk_probs[b, nc:] = np.nan
-            finals.append(VadState(hs[b, last], cs[b, last], flat[-CONTEXT_SIZE:].copy()))
+            finals.append(VadState(h_fin[b], c_fin[b], flat[-CONTEXT_SIZE:].copy()))
         return chunk_probs, finals
 
     def process(
@@ -151,7 +186,7 @@ class VadManager:
     ) -> list[VadResult]:
         """Sequential state-threaded probabilities for each 256 ms chunk."""
         t0 = time.perf_counter()
-        samples = np.asarray(samples, np.float32).reshape(-1)
+        samples = _coerce_samples(samples)
         if samples.size == 0:
             return []
         state = input_state or VadState.initial()
@@ -181,7 +216,7 @@ class VadManager:
         """Batch many utterances into ONE device dispatch (rows bucket-padded
         to the longest). The throughput path for benchmark/file workloads —
         per-call overhead and the LSTM scan amortize across all rows."""
-        rows = [np.asarray(u, np.float32).reshape(-1) for u in utterances]
+        rows = [_coerce_samples(u) for u in utterances]
         states = input_states or [VadState.initial() for _ in rows]
         nonempty = [i for i, r in enumerate(rows) if r.size]
         out: list[list[VadResult]] = [[] for _ in rows]
@@ -213,10 +248,12 @@ class VadManager:
         assert self.params is not None
         t0 = time.perf_counter()
         state = input_state or VadState.initial()
-        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        chunk = _coerce_samples(chunk)
         if chunk.size < CHUNK_SIZE:
-            pad_val = chunk[-1] if chunk.size else 0.0
-            chunk = np.concatenate([chunk, np.full(CHUNK_SIZE - chunk.size, pad_val, np.float32)])
+            pad_val = chunk[-1] if chunk.size else 0
+            chunk = np.concatenate(
+                [chunk, np.full(CHUNK_SIZE - chunk.size, pad_val, chunk.dtype)]
+            )
         chunk = chunk[:CHUNK_SIZE]
         chunk_probs, finals = self._run_batch([chunk], [state])
         return VadResult(

@@ -95,19 +95,42 @@ def test_stream_scan_matches_per_chunk_steps(diarizer):
 
 
 def test_offline_batched_windows_match_single(diarizer):
-    """Batched-window fused offline preds must equal one-window-at-a-time
-    `_offline` calls (pins window packing + bucket padding)."""
+    """Flat-audio fused offline preds (on-device overlapped windowing) must
+    equal one-window-at-a-time `_offline` calls on the same hand-cut windows
+    (pins the reshape/slice windowing + bucket padding), and the int16
+    transfer path must match f32 on PCM-representable audio."""
     import jax.numpy as jnp
 
     rng = np.random.RandomState(8)
     from fluidaudio_tpu.diarizer.sortformer import OFFLINE_WINDOW_MEL
 
     window_samples = OFFLINE_WINDOW_MEL * 160
-    wins = (rng.randn(3, window_samples) * 0.1).astype(np.float32)
-    padded = np.zeros((4, window_samples), np.float32)
-    padded[:3] = wins
-    batched = np.asarray(diarizer._offline_fused(4)(diarizer.params, jnp.asarray(padded)))
-    for i in range(3):
-        mel, _ = diarizer.mel(jnp.asarray(wins[i])[None, :])
+    overlap = 64 * 1280
+    step = window_samples - overlap
+    # PCM-representable so the int16 path is lossless
+    flat_real = (
+        np.round(rng.randn(2 * step + overlap) * 3000).astype(np.int16)
+    )
+    samples = flat_real.astype(np.float32) / 32768.0
+
+    bucket = 4
+    flat = np.zeros((bucket + 1) * step, np.float32)
+    flat[: samples.size] = samples
+    fn = diarizer._offline_fused(bucket, step, window_samples)
+    batched = np.asarray(fn(diarizer.params, jnp.asarray(flat)))
+    for i in range(2):
+        win = np.zeros(window_samples, np.float32)
+        seg = samples[i * step : i * step + window_samples]
+        win[: seg.size] = seg
+        mel, _ = diarizer.mel(jnp.asarray(win)[None, :])
         solo = np.asarray(diarizer._offline(diarizer.params, mel[:, :, :OFFLINE_WINDOW_MEL]))[0]
         np.testing.assert_allclose(batched[i], solo, atol=2e-4)
+
+    flat16 = np.zeros((bucket + 1) * step, np.int16)
+    flat16[: flat_real.size] = flat_real
+    batched16 = np.asarray(
+        diarizer._offline_fused(bucket, step, window_samples)(
+            diarizer.params, jnp.asarray(flat16)
+        )
+    )
+    np.testing.assert_allclose(batched16, batched, atol=1e-5)

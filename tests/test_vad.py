@@ -178,9 +178,11 @@ def test_frame_program_matches_sequential():
     ctx0 = rng.randn(cfg.context_size).astype(np.float32) * 0.1
     audio = np.concatenate([ctx0, samples])[None, :]
 
-    probs, hs, cs = jax.jit(
-        lambda p, a, h, c: vad_frame_program(model, p, a, h, c)
-    )(params, jnp.asarray(audio), jnp.zeros((1, cfg.hidden)), jnp.zeros((1, cfg.hidden)))
+    mid = n_frames - 3  # also pin the on-device last_idx gather off the end
+    probs, h_mid, c_mid = jax.jit(
+        lambda p, a, h, c, last: vad_frame_program(model, p, a, h, c, last)
+    )(params, jnp.asarray(audio), jnp.zeros((1, cfg.hidden)),
+      jnp.zeros((1, cfg.hidden)), jnp.asarray([mid], jnp.int32))
 
     h = jnp.zeros((1, cfg.hidden))
     c = jnp.zeros((1, cfg.hidden))
@@ -189,8 +191,9 @@ def test_frame_program_matches_sequential():
         frame = audio[:, j * cfg.frame_size : j * cfg.frame_size + cfg.window_size]
         p_ref, h, c = step(params, jnp.asarray(frame), h, c)
         np.testing.assert_allclose(float(probs[0, j]), float(p_ref[0]), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(hs[0, j]), np.asarray(h[0]), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(cs[0, -1]), np.asarray(c[0]), atol=1e-5)
+        if j == mid:
+            np.testing.assert_allclose(np.asarray(h_mid[0]), np.asarray(h[0]), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(c_mid[0]), np.asarray(c[0]), atol=1e-5)
 
 
 def test_process_batch_matches_process():
@@ -231,3 +234,26 @@ def test_process_batch_state_threading():
     got = [r.probability for r in first + second]
     want = [r.probability for r in whole]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_int16_transfer_path_matches_f32():
+    """int16 input (PCM) must produce identical probabilities and threadable
+    state vs the same audio pre-upcast to f32 — the on-device 1/32768 upcast
+    halves host->device bytes and must be lossless for PCM sources."""
+    m = VadManager(VadConfig())
+    rng = np.random.RandomState(4)
+    pcm = np.round(rng.randn(SAMPLE_RATE + 1234) * 3000).astype(np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+
+    r16 = m.process(pcm)
+    r32 = m.process(f32)
+    assert len(r16) == len(r32)
+    np.testing.assert_allclose(
+        [a.probability for a in r16], [b.probability for b in r32], atol=1e-6
+    )
+    # carried context stays int16 and threads into the next int16 call
+    st = r16[-1].output_state
+    assert st.context.dtype == np.int16
+    n16 = m.process(pcm[:CHUNK_SIZE], st)
+    n32 = m.process(f32[:CHUNK_SIZE], r32[-1].output_state)
+    np.testing.assert_allclose(n16[0].probability, n32[0].probability, atol=1e-6)
