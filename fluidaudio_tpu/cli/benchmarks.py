@@ -291,12 +291,18 @@ def cmd_vad_benchmark(args: argparse.Namespace) -> int:
     conv = AudioConverter()
     tp = fp = tn = fn = 0
     total_audio = total_wall = 0.0
-    for wav, is_speech in items:
-        samples = conv.resample_file(wav)
+    # batch files into shared dispatches (the throughput path; per-file
+    # results are identical to solo `process` — pinned in tests/test_vad.py)
+    BATCH = 8
+    all_results: list = []
+    wavs = [conv.resample_file(w) for w, _ in items]
+    for i in range(0, len(wavs), BATCH):
+        group = wavs[i : i + BATCH]
         t0 = time.perf_counter()
-        results = manager.process(samples)
+        all_results.extend(manager.process_batch(group))
         total_wall += time.perf_counter() - t0
-        total_audio += samples.size / 16000
+        total_audio += sum(s.size for s in group) / 16000
+    for (wav, is_speech), samples, results in zip(items, wavs, all_results):
         probs = [r.probability for r in results]
         # clips shorter than one VAD window yield no chunk results: score as
         # non-speech explicitly instead of np.mean([]) = NaN (always False)
@@ -524,7 +530,165 @@ def cmd_download_dataset(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
+    """Egress-free end-to-end guardrail battery: seeded weights + seeded
+    synthetic audio make every number DETERMINISTIC per backend, so relative
+    regressions are caught with no real checkpoints (real-accuracy gates stay
+    in benchmarks.yml, egress-gated). Battery:
+
+      asr        43.75 s speech-shaped utterance transcribed with chunk batch
+                 1 and 3 — transcripts must be identical (the worker-pool
+                 completion-determinism analog); emits token count + stream sha
+      roundtrip  sentences through Kokoro TTS -> 16 kHz -> ASR -> WER
+      vad        synthetic speech/nonspeech corpus -> accuracy/F1
+      diarizer   2-speaker synthetic mixture -> sortformer offline DER vs the
+                 construction truth
+
+    With --baseline, numeric fields are compared within tolerances and string
+    fields exactly; nonzero exit on drift.
+    """
+    import hashlib
+
+    import numpy as np
+
+    out: dict[str, object] = {"backend": _jax_backend()}
+    rng = np.random.RandomState(0)
+
+    def speechish(seconds: float, seed: int) -> np.ndarray:
+        r = np.random.RandomState(seed)
+        t = np.arange(int(seconds * 16000)) / 16000.0
+        env = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t)) * (
+            0.3 + 0.7 * (np.sin(2 * np.pi * 0.31 * t) > 0)
+        )
+        return (r.randn(t.size) * 0.1 * (0.05 + env)).astype(np.float32)
+
+    # --- asr: merge determinism + token-stream checksum --------------------
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.zoo import AsrModels
+
+    # plain gaussian, not speech-shaped: seeded-random weights happen to stay
+    # blank-dominated on AM-modulated noise, and a 0-token stream would make
+    # the determinism check vacuous
+    audio = (np.random.RandomState(7).randn(700_000) * 0.1).astype(np.float32)
+    streams = []
+    for bs in (1, 3):
+        m = AsrManager(
+            AsrModels.load(args.version, allow_random_init=True),
+            ASRConfig(parallel_chunk_batch=bs),
+        )
+        r = m.transcribe(audio)
+        streams.append([(t.token_id, round(t.start_time, 3)) for t in r.token_timings])
+    out["asr_batch_invariant"] = streams[0] == streams[1]
+    out["asr_tokens"] = len(streams[0])
+    out["asr_stream_sha"] = hashlib.sha1(
+        json.dumps(streams[0]).encode()
+    ).hexdigest()[:16]
+
+    # --- tts -> asr roundtrip ---------------------------------------------
+    from fluidaudio_tpu.metrics.text_normalizer import normalize_for_scoring
+    from fluidaudio_tpu.metrics.wer import wer
+    from fluidaudio_tpu.tts import KokoroManager
+    from fluidaudio_tpu.utils.converter import resample
+
+    sentences = [
+        "the quick brown fox jumps over the lazy dog",
+        "speech synthesis round trips through recognition",
+        "numbers like twenty five stay stable across rounds",
+    ][: args.sentences]
+    tts = KokoroManager()
+    asr = AsrManager(
+        AsrModels.load(args.version, allow_random_init=True), ASRConfig()
+    )
+    wers = []
+    for s in sentences:
+        audio_tts = tts.synthesize(s)
+        a16 = resample(np.asarray(audio_tts.samples, np.float32),
+                       audio_tts.sample_rate, 16000)
+        hyp = asr.transcribe(a16).text
+        wers.append(wer(normalize_for_scoring(s), normalize_for_scoring(hyp)).rate)
+    out["roundtrip_wer_pct"] = round(100 * sum(wers) / len(wers), 2)
+
+    # --- vad ---------------------------------------------------------------
+    from fluidaudio_tpu.vad import VadManager
+
+    vad = VadManager()
+    utts = [speechish(2.0, seed=100 + i) for i in range(4)] + [
+        (np.random.RandomState(200 + i).randn(32000) * 0.002).astype(np.float32)
+        for i in range(4)
+    ]
+    batches = vad.process_batch(utts)
+    probs = [float(np.mean([r.probability for r in b])) for b in batches]
+    out["vad_prob_sha"] = hashlib.sha1(
+        json.dumps([round(p, 5) for p in probs]).encode()
+    ).hexdigest()[:16]
+    preds = [p >= 0.5 for p in probs]
+    truth = [True] * 4 + [False] * 4
+    out["vad_accuracy_pct"] = round(
+        100 * sum(a == b for a, b in zip(preds, truth)) / len(truth), 1
+    )
+
+    # --- diarizer (sortformer offline on a 2-speaker synthetic mixture) ----
+    from fluidaudio_tpu.diarizer.metrics import compute_der
+    from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+    from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
+
+    mix = np.zeros(16000 * 60, np.float32)
+    ref_segs = []
+    for k, (s0, s1) in enumerate([(0, 14), (16, 29), (31, 44), (46, 59)]):
+        spk = f"spk{k % 2}"
+        seg = speechish(s1 - s0, seed=300 + k)
+        mix[s0 * 16000 : s0 * 16000 + seg.size] += seg
+        ref_segs.append(TimedSpeakerSegment(speaker_id=spk, start_time=float(s0),
+                                            end_time=float(s1)))
+    diar = SortformerDiarizer()
+    result = diar.process_offline(mix)
+    der = compute_der(ref_segs, result.segments, collar=0.25)
+    out["diar_der_pct"] = round(der.der * 100, 2)
+    out["diar_segments"] = len(result.segments)
+
+    print(json.dumps(out))
+
+    if args.baseline:
+        base = json.loads(Path(args.baseline).read_text())
+        if base.get("backend") != out["backend"]:
+            print(f"guardrail: baseline backend {base.get('backend')} != "
+                  f"{out['backend']}; skipping comparison")
+            return 0
+        tol = {"roundtrip_wer_pct": 5.0, "vad_accuracy_pct": 0.01,
+               "diar_der_pct": 5.0, "asr_tokens": 0, "diar_segments": 2}
+        failures = []
+        for key, want in base.items():
+            got = out.get(key)
+            if isinstance(want, (int, float)) and not isinstance(want, bool):
+                if abs(float(got) - float(want)) > tol.get(key, 0.0):
+                    failures.append(f"{key}: {got} vs baseline {want}")
+            elif got != want:
+                failures.append(f"{key}: {got!r} vs baseline {want!r}")
+        if failures:
+            print("guardrail DRIFT: " + "; ".join(failures))
+            return 1
+        print("guardrail: within baseline tolerances")
+    return 0
+
+
+def _jax_backend() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
 def register(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "synthetic-guardrail",
+        help="egress-free deterministic end-to-end battery (seeded weights); "
+             "catches relative regressions without real checkpoints",
+    )
+    p.add_argument("--version", default="v3", help="ASR zoo version (test-tiny for CI)")
+    p.add_argument("--sentences", type=int, default=3)
+    p.add_argument("--baseline", help="baseline JSON to compare against")
+    p.set_defaults(fn=cmd_synthetic_guardrail)
+
     p = sub.add_parser(
         "vad-benchmark",
         help="VAD accuracy/F1 over labeled wavs (musan layout or labels.json)",
