@@ -187,3 +187,82 @@ def test_merge_midpoint_respects_word_boundaries():
     merged = cp.merge_chunks(left, right, safe)
     tokens = [t.token for t in merged]
     assert tokens == [1, 9, 4]  # left word completed; orphaned "ing" dropped
+
+
+# --- merge-strategy selection + gap resolution (reference
+# ChunkProcessorEdgeCaseTests documents these semantics in comments but ships
+# placeholder asserts; these are real differential pins of each branch) -----
+
+
+def test_merge_contiguous_priority_drops_left_stragglers():
+    """A contiguous matched run >= minimumPairs is used directly; tokens after
+    the last match come from the RIGHT window (fresher acoustic context), so
+    left stragglers in the overlap are dropped."""
+    cp = make_cp()
+    left = [TokenWindow(6, 100), TokenWindow(1, 180), TokenWindow(2, 182),
+            TokenWindow(3, 184), TokenWindow(9, 190)]
+    right = [TokenWindow(1, 181), TokenWindow(2, 183), TokenWindow(3, 185),
+             TokenWindow(5, 200)]
+    merged = cp.merge_chunks(left, right)
+    assert [t.token for t in merged] == [6, 1, 2, 3, 5]
+    ts = [t.timestamp for t in merged]
+    assert ts == sorted(ts)
+
+
+def test_merge_lcs_fallback_gap_prefers_longer_side():
+    """When the longest contiguous run < minimumPairs (= max(len(overlap)//2,
+    1)), LCS anchors are used; between two anchors the side with MORE tokens
+    wins the gap."""
+    cp = make_cp()
+    left = [TokenWindow(6, 100), TokenWindow(1, 180), TokenWindow(30, 183),
+            TokenWindow(2, 188), TokenWindow(32, 193)]
+    right = [TokenWindow(1, 181), TokenWindow(41, 182), TokenWindow(42, 184),
+             TokenWindow(43, 186), TokenWindow(2, 189), TokenWindow(5, 200)]
+    merged = cp.merge_chunks(left, right)
+    assert [t.token for t in merged] == [6, 1, 41, 42, 43, 2, 5]
+
+
+def test_merge_gap_equal_length_prefers_left():
+    """gapLeft.count == gapRight.count -> keep the LEFT gap (older decode wins
+    ties, reference gap-resolution rule)."""
+    cp = make_cp()
+    left = [TokenWindow(6, 100), TokenWindow(1, 180), TokenWindow(30, 183),
+            TokenWindow(2, 188), TokenWindow(32, 193)]
+    right = [TokenWindow(1, 181), TokenWindow(41, 184), TokenWindow(2, 189),
+             TokenWindow(5, 200)]
+    merged = cp.merge_chunks(left, right)
+    assert [t.token for t in merged] == [6, 1, 30, 2, 5]
+
+
+def test_merge_midpoint_fallback_when_no_matches():
+    """Overlap regions populated but zero id matches -> LCS empty -> midpoint
+    split: left keeps tokens before the temporal midpoint, right supplies the
+    rest."""
+    cp = make_cp()
+    left = [TokenWindow(6, 100), TokenWindow(30, 180), TokenWindow(31, 185)]
+    right = [TokenWindow(40, 182), TokenWindow(41, 190), TokenWindow(5, 200)]
+    merged = cp.merge_chunks(left, right)
+    assert [t.token for t in merged] == [6, 30, 41, 5]
+    ts = [t.timestamp for t in merged]
+    assert ts == sorted(ts)
+
+
+def test_merge_insufficient_overlap_uses_midpoint():
+    """< 2 tokens on either overlap side skips matching entirely (midpoint)."""
+    cp = make_cp()
+    left = [TokenWindow(6, 100), TokenWindow(1, 186)]
+    right = [TokenWindow(1, 185), TokenWindow(41, 190), TokenWindow(5, 200)]
+    merged = cp.merge_chunks(left, right)
+    # midpoint of (14.96, 14.8) = 14.88 -> frame 186: left keeps strictly
+    # before the cutoff (1@186 sits ON it and is cut), right resumes >= it
+    assert [t.token for t in merged] == [6, 41, 5]
+
+
+def test_merge_prefix_before_first_match_kept():
+    """Left tokens before the first matched anchor always survive."""
+    cp = make_cp()
+    left = [TokenWindow(60, 10), TokenWindow(61, 50), TokenWindow(1, 180),
+            TokenWindow(2, 182), TokenWindow(3, 184)]
+    right = [TokenWindow(1, 181), TokenWindow(2, 183), TokenWindow(3, 185)]
+    merged = cp.merge_chunks(left, right)
+    assert [t.token for t in merged][:2] == [60, 61]
