@@ -49,6 +49,13 @@ logger = get_logger("asr")
 _BUCKETS = (16_000, 32_000, 64_000, 128_000, 240_000)
 
 
+def _copy_raw(source: AudioSampleSource, start: int, count: int) -> np.ndarray:
+    """Dtype-preserving read; falls back to the f32 contract for custom
+    sources that predate `copy_samples_raw`."""
+    fn = getattr(source, "copy_samples_raw", None)
+    return fn(start, count) if fn is not None else source.copy_samples(start, count)
+
+
 class AsrManager:
     def __init__(self, models: AsrModels, config: ASRConfig | None = None):
         self.models = models
@@ -94,6 +101,10 @@ class AsrManager:
         )
 
         def run(params, audio, lengths, state):
+            if jnp.issubdtype(audio.dtype, jnp.integer):
+                # int16 PCM shipped raw; upcast on device (half the
+                # host->device bytes — same contract as VAD/sortformer)
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
             mel, mel_len = models.mel(audio, lengths)
             enc_out, enc_len = models.encoder.apply(params["encoder"], mel, mel_len)
 
@@ -177,8 +188,13 @@ class AsrManager:
                 audio, disk_backed_threshold=self.config.streaming_threshold
             )
         else:
-            samples = np.asarray(audio, dtype=np.float32).reshape(-1)
+            samples = np.asarray(audio)
+            if samples.dtype != np.int16:  # int16 PCM rides raw to the device
+                samples = samples.astype(np.float32)
+            samples = samples.reshape(-1)
             if sample_rate and sample_rate != self.config.sample_rate:
+                if samples.dtype == np.int16:
+                    samples = samples.astype(np.float32) / 32768.0
                 samples = self.converter.resample_buffer(samples, sample_rate)
             source = ArrayAudioSource(samples)
 
@@ -225,7 +241,7 @@ class AsrManager:
         else:
             # caller-held state: decode continues from the provided carry
             fn = self._get_stateful_pipeline(1, width, language)
-        audio = jnp.asarray(source.copy_samples(0, width))[None, :]
+        audio = jnp.asarray(_copy_raw(source, 0, width))[None, :]
         lengths = jnp.array([n], jnp.int32)
         if decoder_state is None:
             result, _ = fn(self.models.params, audio, lengths)
@@ -257,12 +273,13 @@ class AsrManager:
 
         merged: list[TokenWindow] = []
         n_groups = -(-len(windows) // B)
+        pack_dtype = _copy_raw(source, 0, 0).dtype
         for i in range(0, len(windows), B):
             group = windows[i : i + B]
-            audio = np.zeros((B, W), np.float32)
+            audio = np.zeros((B, W), pack_dtype)
             lengths = np.zeros((B,), np.int32)
             for r, w in enumerate(group):
-                audio[r, : w.read_count] = source.copy_samples(w.read_start, w.read_count)
+                audio[r, : w.read_count] = _copy_raw(source, w.read_start, w.read_count)
                 lengths[r] = w.read_count
             result, _ = fn(self.models.params, jnp.asarray(audio), jnp.asarray(lengths))
             for r, w in enumerate(group):

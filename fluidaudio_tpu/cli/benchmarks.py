@@ -17,18 +17,20 @@ from pathlib import Path
 
 
 def _iter_librispeech(dataset_dir: Path):
-    """Yield (utt_id, wav_path, reference_text) from a LibriSpeech-style tree:
-    any `*.trans.txt` with lines `<utt-id> <TRANSCRIPT>` and `<utt-id>.wav`
-    (or .flac pre-converted to wav) next to it."""
+    """Yield (utt_id, audio_path, reference_text) from a LibriSpeech-style
+    tree: any `*.trans.txt` with lines `<utt-id> <TRANSCRIPT>` and
+    `<utt-id>.wav` or `<utt-id>.flac` (native decoder) next to it."""
     for trans in sorted(dataset_dir.rglob("*.trans.txt")):
         for line in trans.read_text().splitlines():
             line = line.strip()
             if not line:
                 continue
             utt_id, _, text = line.partition(" ")
-            wav = trans.parent / f"{utt_id}.wav"
-            if wav.exists():
-                yield utt_id, wav, text
+            for ext in (".wav", ".flac"):
+                audio = trans.parent / f"{utt_id}{ext}"
+                if audio.exists():
+                    yield utt_id, audio, text
+                    break
 
 
 def cmd_asr_benchmark(args: argparse.Namespace) -> int:
@@ -44,8 +46,7 @@ def cmd_asr_benchmark(args: argparse.Namespace) -> int:
         utts = utts[: args.max_files]
     if not utts:
         print(f"no utterances found under {dataset_dir} "
-              "(expected LibriSpeech layout: *.trans.txt + <utt>.wav; "
-              "convert .flac to .wav first — no flac decoder in this env)")
+              "(expected LibriSpeech layout: *.trans.txt + <utt>.wav/.flac)")
         return 1
 
     models = AsrModels.load(args.version, allow_random_init=args.allow_random_init)

@@ -244,8 +244,9 @@ class DatasetDownloader:
         (`AsrBenchmark.swift:52-58`: FluidInference/librispeech
         test-clean.tar.gz). Extracted into the standard LibriSpeech layout
         the asr-benchmark command consumes. Audio inside the upstream
-        openslr tars is FLAC; this environment has no FLAC decoder, so
-        .flac files are staged as-is and a warning names the conversion."""
+        openslr tars is FLAC; staged .flac files decode natively via
+        `native/flac` (when the library is built) straight onto the int16
+        device-transfer path."""
         import tarfile
 
         out = self.root / "LibriSpeech"
@@ -264,9 +265,15 @@ class DatasetDownloader:
             staged = hits[0].parents[2] if hits else out
         flacs = list(staged.rglob("*.flac"))
         if flacs:
-            logger.warning(
-                "%d FLAC files staged; convert to wav before benchmarking "
-                "(no FLAC decoder in this environment)", len(flacs))
+            from fluidaudio_tpu.native.flac import native_available
+
+            if native_available():
+                logger.info("%d FLAC files staged (native decoder available)",
+                            len(flacs))
+            else:
+                logger.warning(
+                    "%d FLAC files staged but libfluidaudio_native.so is not "
+                    "built; build native/ or convert to wav first", len(flacs))
         return staged
 
     def download_fleurs(self, languages: str = "es_419,fr_fr,de_de") -> Path:

@@ -1,5 +1,5 @@
 from fluidaudio_tpu.utils.logging import get_logger
-from fluidaudio_tpu.utils.audio_io import read_wav, write_wav
+from fluidaudio_tpu.utils.audio_io import read_audio, read_wav, write_wav
 from fluidaudio_tpu.utils.converter import AudioConverter
 from fluidaudio_tpu.utils.audio_source import (
     ArrayAudioSource,
@@ -11,6 +11,7 @@ from fluidaudio_tpu.utils.timing import StageTimer, PerformanceMetrics, Progress
 
 __all__ = [
     "get_logger",
+    "read_audio",
     "read_wav",
     "write_wav",
     "AudioConverter",

@@ -1,8 +1,11 @@
-"""WAV read/write without external audio deps.
+"""WAV/FLAC read and WAV write without external audio deps.
 
 Behavioral parity: reference `Shared/AudioConverter.swift:458-517` (`AudioWAV.data`
-writer) and the AVAudioFile read paths. Supports PCM 8/16/24/32-bit int and
-32/64-bit float, mono or multichannel; reads return float32 in [-1, 1].
+writer) and the AVAudioFile read paths (which handle wav AND flac through the
+OS decoder). Supports PCM 8/16/24/32-bit int and 32/64-bit float WAV, mono or
+multichannel; FLAC decodes via the native library (`native/flac/flac.cpp`).
+Float reads return float32 in [-1, 1]; `read_audio_raw` preserves int16 for
+the half-bytes device-transfer path.
 """
 
 from __future__ import annotations
@@ -15,6 +18,43 @@ import numpy as np
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (samples float32 [n, channels], sample_rate)."""
+    x, sample_rate = read_wav_raw(path)
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) / 32768.0
+    return x, sample_rate
+
+
+def read_audio_raw(path: str | Path) -> tuple[np.ndarray, int]:
+    """Dtype-preserving reader for WAV and FLAC (dispatch by magic bytes).
+
+    PCM16 WAV and FLAC return int16 [n, channels] (FLAC sources wider than
+    16 bits round down); other WAV formats return float32 in [-1, 1].
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from fluidaudio_tpu.native.flac import read_flac_raw
+
+        return read_flac_raw(path)
+    return read_wav_raw(path)
+
+
+def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
+    """Read a WAV or FLAC file -> (samples float32 [n, channels], rate)."""
+    x, sample_rate = read_audio_raw(path)
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) / 32768.0
+    return x, sample_rate
+
+
+def read_wav_raw(path: str | Path) -> tuple[np.ndarray, int]:
+    """Read a WAV file dtype-preservingly for PCM16.
+
+    PCM16 payloads come back as int16 [n, channels] (half the memory and —
+    when shipped to the device raw — half the host->device transfer bytes;
+    scale 1/32768 applied on-device). Every other format returns float32 in
+    [-1, 1] exactly like `read_wav`.
+    """
     data = Path(path).read_bytes()
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE file: {path}")
@@ -43,7 +83,7 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
 
     if audio_format == 1:  # PCM int
         if bits == 16:
-            x = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+            x = np.frombuffer(payload, dtype="<i2").astype(np.int16)
         elif bits == 32:
             x = np.frombuffer(payload, dtype="<i4").astype(np.float32) / 2147483648.0
         elif bits == 8:
@@ -83,14 +123,27 @@ def write_wav(
     *,
     dtype: str = "int16",
 ) -> None:
-    """Write float32 samples [n] or [n, channels] as a PCM16 or float32 WAV."""
-    x = np.asarray(samples, dtype=np.float32)
+    """Write samples [n] or [n, channels] as a PCM16 or float32 WAV.
+
+    int16 input with dtype="int16" is written verbatim (no scale/clip), so a
+    PCM16 payload round-trips bit-exactly through write_wav -> read_wav_raw.
+    Float input is clipped and scaled by 32767 as before.
+    """
+    x = np.asarray(samples)
+    if x.dtype == np.int16:
+        if dtype != "int16":
+            x = x.astype(np.float32) / 32768.0
+    else:
+        x = x.astype(np.float32)
     if x.ndim == 1:
         x = x[:, None]
     channels = x.shape[1]
 
     if dtype == "int16":
-        body = (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+        if x.dtype == np.int16:
+            body = x.astype("<i2").tobytes()
+        else:
+            body = (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
         audio_format, bits = 1, 16
     elif dtype == "float32":
         body = x.astype("<f4").tobytes()

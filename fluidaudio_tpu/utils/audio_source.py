@@ -26,17 +26,37 @@ class AudioSampleSource(Protocol):
         """Return float32 [count]; out-of-range tail is zero-filled."""
         ...
 
+    def copy_samples_raw(self, start: int, count: int) -> np.ndarray:
+        """Return [count] in the source's native dtype (int16 for PCM16
+        sources, float32 otherwise); out-of-range tail is zero-filled.
+
+        int16 rows are shipped to the device as-is and upcast there
+        (scale 1/32768) — half the host->device bytes through the tunnel."""
+        ...
+
 
 class ArrayAudioSource:
+    """In-memory source; int16 input is kept int16 (PCM transfer path),
+    everything else is normalized to float32."""
+
     def __init__(self, samples: np.ndarray):
-        self._samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        arr = np.asarray(samples)
+        if arr.dtype != np.int16:
+            arr = arr.astype(np.float32)
+        self._samples = arr.reshape(-1)
 
     @property
     def sample_count(self) -> int:
         return int(self._samples.size)
 
     def copy_samples(self, start: int, count: int) -> np.ndarray:
-        out = np.zeros(count, dtype=np.float32)
+        out = self.copy_samples_raw(start, count)
+        if out.dtype == np.int16:
+            out = out.astype(np.float32) / 32768.0
+        return out
+
+    def copy_samples_raw(self, start: int, count: int) -> np.ndarray:
+        out = np.zeros(count, dtype=self._samples.dtype)
         lo = max(0, start)
         hi = min(self._samples.size, start + count)
         if hi > lo:
@@ -45,16 +65,16 @@ class ArrayAudioSource:
 
 
 class DiskBackedAudioSampleSource:
-    """mmap view over a raw little-endian f32 file at 16 kHz.
+    """mmap view over a raw little-endian f32 (or PCM16) file at 16 kHz.
 
     With `owns_file=True` the backing temp file is unlinked on close()/GC
     (make_audio_source creates one full-size temp file per long input; a
     batch over many hour-scale files would otherwise fill /tmp)."""
 
     def __init__(self, path: str | Path, sample_count: int | None = None,
-                 *, owns_file: bool = False):
+                 *, owns_file: bool = False, dtype: str = "<f4"):
         self._path = Path(path)
-        self._mmap = np.memmap(self._path, dtype="<f4", mode="r")
+        self._mmap = np.memmap(self._path, dtype=dtype, mode="r")
         self._count = int(sample_count if sample_count is not None else self._mmap.size)
         self._finalizer = None
         if owns_file:
@@ -81,11 +101,17 @@ class DiskBackedAudioSampleSource:
         return self._count
 
     def copy_samples(self, start: int, count: int) -> np.ndarray:
-        out = np.zeros(count, dtype=np.float32)
+        out = self.copy_samples_raw(start, count)
+        if out.dtype == np.int16:
+            out = out.astype(np.float32) / 32768.0
+        return out
+
+    def copy_samples_raw(self, start: int, count: int) -> np.ndarray:
+        out = np.zeros(count, dtype=self._mmap.dtype)
         lo = max(0, start)
         hi = min(self._count, start + count)
         if hi > lo:
-            out[lo - start : hi - start] = np.asarray(self._mmap[lo:hi], dtype=np.float32)
+            out[lo - start : hi - start] = np.asarray(self._mmap[lo:hi])
         return out
 
 
@@ -99,12 +125,34 @@ def make_audio_source(
 
     Threshold default mirrors the reference's `streamingThreshold` (480k samples
     = 30 s @16 kHz, `Parakeet/AsrTypes.swift:5-101`).
+
+    PCM16 mono WAVs and FLACs already at the target rate skip the f32
+    conversion entirely: the source stays int16 end-to-end and the device
+    upcasts (scale 1/32768) — half the host->device transfer bytes and half
+    the temp-file footprint for long files.
     """
-    conv = converter or AudioConverter(TARGET_SAMPLE_RATE)
-    samples = conv.resample_file(path)
+    samples: np.ndarray | None = None
+    if str(path).lower().endswith((".wav", ".flac")):
+        try:
+            from fluidaudio_tpu.utils.audio_io import read_audio_raw
+
+            raw, sr = read_audio_raw(path)
+            if raw.dtype == np.int16 and raw.shape[1] == 1 and sr == TARGET_SAMPLE_RATE:
+                samples = raw[:, 0]
+        except (ValueError, OSError, RuntimeError):
+            samples = None  # fall through to the converter path
+    if samples is None:
+        conv = converter or AudioConverter(TARGET_SAMPLE_RATE)
+        samples = conv.resample_file(path)
     if samples.size <= disk_backed_threshold:
         return ArrayAudioSource(samples)
-    tmp = tempfile.NamedTemporaryFile(prefix="fluidaudio_", suffix=".f32", delete=False)
-    tmp.write(samples.astype("<f4").tobytes())
+    if samples.dtype == np.int16:
+        suffix, store = ".i16", samples.astype("<i2")
+    else:
+        suffix, store = ".f32", samples.astype("<f4")
+    tmp = tempfile.NamedTemporaryFile(prefix="fluidaudio_", suffix=suffix, delete=False)
+    tmp.write(store.tobytes())
     tmp.close()
-    return DiskBackedAudioSampleSource(tmp.name, samples.size, owns_file=True)
+    return DiskBackedAudioSampleSource(
+        tmp.name, samples.size, owns_file=True, dtype=store.dtype.str
+    )

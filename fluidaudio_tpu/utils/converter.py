@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from fluidaudio_tpu.utils.audio_io import read_wav
+from fluidaudio_tpu.utils.audio_io import read_audio
 
 try:
     from scipy.signal import resample_poly as _resample_poly
@@ -60,7 +60,7 @@ class AudioConverter:
         return resample(mono, sample_rate, self.target_rate)
 
     def resample_file(self, path: str | Path) -> np.ndarray:
-        samples, rate = read_wav(path)
+        samples, rate = read_audio(path)
         return self.resample_buffer(samples, rate)
 
     def stream_convert_to_file(
@@ -73,7 +73,7 @@ class AudioConverter:
         """
         from math import gcd
 
-        samples, rate = read_wav(path)  # WAV payload is mmap-able in principle;
+        samples, rate = read_audio(path)  # WAV payload is mmap-able in principle;
         mono = mix_to_mono(samples)
         total = 0
         g = gcd(rate, self.target_rate)
