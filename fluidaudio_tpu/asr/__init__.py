@@ -1,5 +1,12 @@
 from fluidaudio_tpu.asr.constants import ASRConstants
-from fluidaudio_tpu.asr.config import ASRConfig, ASRResult, TdtConfig, TokenTiming
+from fluidaudio_tpu.asr.config import (
+    ASRConfig,
+    ASRResult,
+    TdtConfig,
+    TokenTiming,
+    WordTiming,
+    build_word_timings,
+)
 from fluidaudio_tpu.asr.chunk import ChunkProcessor, TokenWindow
 from fluidaudio_tpu.asr.tokenizer import Tokenizer
 
@@ -9,6 +16,8 @@ __all__ = [
     "ASRResult",
     "TdtConfig",
     "TokenTiming",
+    "WordTiming",
+    "build_word_timings",
     "ChunkProcessor",
     "TokenWindow",
     "Tokenizer",

@@ -44,6 +44,72 @@ class TokenTiming:
     confidence: float
 
 
+@dataclass(frozen=True)
+class WordTiming:
+    """Word-level timing aggregated from sub-word `TokenTiming`s.
+
+    Behavioral parity: reference `Parakeet/AsrTypes.swift:163-216`
+    (`WordTiming`, `buildWordTimings`).
+    """
+
+    word: str
+    start_time: float
+    end_time: float
+
+
+_WORD_BOUNDARY_MARKER = "▁"  # SentencePiece ▁
+_SKIP_TOKENS = frozenset(("", "<blank>", "<pad>"))
+
+
+def _is_word_boundary(token: str) -> bool:
+    return token.startswith(_WORD_BOUNDARY_MARKER) or token.startswith(" ")
+
+
+def _strip_word_boundary_prefix(token: str) -> str:
+    # exactly ONE leading marker, reference `VocabularyRescorer+Utilities.swift:165-170`
+    if token.startswith(_WORD_BOUNDARY_MARKER) or token.startswith(" "):
+        return token[1:]
+    return token
+
+
+def build_word_timings(token_timings: list[TokenTiming]) -> list[WordTiming]:
+    """Group sub-word token timings into word-level spans.
+
+    Tokens whose raw piece starts with a word-boundary marker (`▁` or a
+    leading space) begin a new word; the rest append to the current word. A
+    word spans its first sub-word's start to its last sub-word's end. Empty /
+    `<blank>` / `<pad>` pieces are skipped. Reference
+    `AsrTypes.swift:182-216`, exercised by `WordTimingTests.swift`.
+    """
+    words: list[WordTiming] = []
+    current = ""
+    word_start = 0.0
+    word_end = 0.0
+
+    def flush() -> None:
+        trimmed = current.strip()
+        if trimmed:
+            words.append(WordTiming(trimmed, word_start, word_end))
+
+    for t in token_timings:
+        token = t.token
+        if token in _SKIP_TOKENS:
+            continue
+        starts_new = _is_word_boundary(token) or not current
+        if starts_new and current:
+            flush()
+            current = ""
+        if starts_new:
+            current = _strip_word_boundary_prefix(token)
+            word_start = t.start_time
+        else:
+            current += token
+        word_end = t.end_time
+
+    flush()
+    return words
+
+
 @dataclass
 class ASRResult:
     text: str

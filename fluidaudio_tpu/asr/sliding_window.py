@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from fluidaudio_tpu.asr.chunk import TokenWindow
+from fluidaudio_tpu.asr.config import TokenTiming, WordTiming, build_word_timings
 from fluidaudio_tpu.asr.constants import ASRConstants
 from fluidaudio_tpu.asr.manager import AsrManager
 from fluidaudio_tpu.utils.logging import get_logger
@@ -57,6 +58,11 @@ class _Session:
     confirmed: list[TokenWindow] = field(default_factory=list)
     volatile: list[TokenWindow] = field(default_factory=list)
     error_count: int = 0
+    # globalized timings of CONFIRMED tokens since the last drain; bounded by
+    # consume_token_timings() so hour-long sessions don't grow it (reference
+    # `StreamingUnifiedAsrManager.swift:53-59,195-199` pendingTokenTimings)
+    pending_timings: list[TokenTiming] = field(default_factory=list)
+    volatile_timings: list[TokenTiming] = field(default_factory=list)
 
 
 class SlidingWindowAsrManager:
@@ -92,8 +98,27 @@ class SlidingWindowAsrManager:
                 self._text(session.confirmed), "", is_final=True
             )
         session.confirmed.extend(session.volatile)
+        session.pending_timings.extend(session.volatile_timings)
         session.volatile = []
+        session.volatile_timings = []
         return SlidingWindowUpdate(self._text(session.confirmed), "", is_final=True)
+
+    def consume_token_timings(self, session: _Session) -> list[TokenTiming]:
+        """Drain the confirmed-token timings accumulated since the last call.
+
+        Times are absolute stream seconds. Draining keeps the buffer bounded
+        over hour-long sessions (reference
+        `StreamingUnifiedAsrManager.swift:195-199`).
+        """
+        out = session.pending_timings
+        session.pending_timings = []
+        return out
+
+    def consume_word_timings(self, session: _Session) -> list[WordTiming]:
+        """Word-level timings since the last drain; shares the buffer with
+        `consume_token_timings` (call one or the other per cycle). Reference
+        `StreamingUnifiedAsrManager.swift:201-209`."""
+        return build_word_timings(self.consume_token_timings(session))
 
     def _process_window(self, session: _Session, flush: bool) -> SlidingWindowUpdate:
         cfg = self.config
@@ -119,7 +144,9 @@ class SlidingWindowAsrManager:
         left_skip = (chunk_start - win_start) / ASRConstants.SAMPLE_RATE
         confirmed_new: list[TokenWindow] = []
         volatile_new: list[TokenWindow] = []
+        volatile_timings_new: list[TokenTiming] = []
         offset_frames = win_start // fpe
+        win_offset_s = win_start / ASRConstants.SAMPLE_RATE
         for t in result.token_timings:
             tw = TokenWindow(
                 t.token_id,
@@ -128,13 +155,22 @@ class SlidingWindowAsrManager:
             )
             if t.start_time < left_skip:
                 continue  # re-heard left context: already confirmed
+            # globalize window-relative times to absolute stream seconds
+            gt = TokenTiming(
+                t.token, t.token_id,
+                win_offset_s + t.start_time, win_offset_s + t.end_time,
+                t.confidence,
+            )
             if flush or t.start_time < confirm_limit:
                 confirmed_new.append(tw)
+                session.pending_timings.append(gt)
             else:
                 volatile_new.append(tw)
+                volatile_timings_new.append(gt)
 
         session.confirmed.extend(confirmed_new)
         session.volatile = volatile_new
+        session.volatile_timings = volatile_timings_new
         session.consumed = chunk_end
         return SlidingWindowUpdate(
             self._text(session.confirmed),

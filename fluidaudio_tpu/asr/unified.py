@@ -68,3 +68,15 @@ class StreamingUnifiedAsrManager:
 
     def finish(self, session) -> SlidingWindowUpdate:
         return self._sliding.finish(session)
+
+    def consume_token_timings(self, session):
+        """Drain per-token timings (absolute seconds) confirmed since the last
+        call; bounded buffer for hour-long streams. Reference
+        `StreamingUnifiedAsrManager.swift:195-199` (issue #704)."""
+        return self._sliding.consume_token_timings(session)
+
+    def consume_word_timings(self, session):
+        """Word-level spans since the last drain, for word→speaker
+        attribution in streaming diarized ASR. Reference
+        `StreamingUnifiedAsrManager.swift:201-209`."""
+        return self._sliding.consume_word_timings(session)
