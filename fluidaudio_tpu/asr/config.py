@@ -19,6 +19,9 @@ class TdtConfig:
     max_tokens_per_chunk: int = 512
     consecutive_blank_limit: int = 5
     include_token_duration: bool = True
+    # how far into the next chunk a boundary-duplicated run may start
+    # (reference `TdtConfig.boundarySearchFrames`, default 20)
+    boundary_search_frames: int = 20
 
 
 @dataclass(frozen=True)

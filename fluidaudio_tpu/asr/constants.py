@@ -19,6 +19,9 @@ class ASRConstants:
     SAMPLES_PER_ENCODER_FRAME: int = MEL_HOP_SIZE * ENCODER_SUBSAMPLING  # 1280 = 80 ms
     SECONDS_PER_ENCODER_FRAME: float = SAMPLES_PER_ENCODER_FRAME / SAMPLE_RATE  # 0.08
     SENTENCEPIECE_WORD_BOUNDARY: str = "▁"  # ▁
+    # period / comma / question-mark token IDs in the parakeet-tdt vocab
+    # (reference `ASRConstants.punctuationTokens`, used by boundary dedup)
+    PUNCTUATION_TOKENS: frozenset[int] = frozenset((7883, 7952, 7948))
     MINIMUM_AUDIO_DURATION_SECONDS: float = 0.1
 
     @staticmethod

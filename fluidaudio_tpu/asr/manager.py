@@ -31,6 +31,7 @@ from fluidaudio_tpu.asr.chunk import (
 )
 from fluidaudio_tpu.asr.config import ASRConfig, ASRResult, TokenTiming
 from fluidaudio_tpu.asr.constants import ASRConstants
+from fluidaudio_tpu.asr.sequence_matcher import remove_duplicate_token_sequence
 from fluidaudio_tpu.models.zoo import AsrModels
 from fluidaudio_tpu.ops.tdt_decode import (
     TdtDecodeConfig,
@@ -173,6 +174,7 @@ class AsrManager:
         sample_rate: int | None = None,
         language: str | None = None,
         decoder_state=None,
+        previous_tokens: list[int] | None = None,
     ) -> ASRResult:
         """Transcribe an array or file.
 
@@ -180,7 +182,10 @@ class AsrManager:
         `AsrManager.transcribe(..., language:)`); `decoder_state` lets the
         caller carry TDT decoder state across calls (reference
         `decoderState:` parameter) — the updated state is returned on
-        `ASRResult.decoder_state`.
+        `ASRResult.decoder_state`. `previous_tokens` are the tail token IDs
+        of the preceding sequential chunk: boundary-duplicated tokens are
+        dropped from this result's head (reference
+        `AsrManager+Transcription.swift:79-88` / `previousTokens:`).
         """
         t_start = time.perf_counter()
         if isinstance(audio, (str, Path)):
@@ -223,6 +228,11 @@ class AsrManager:
                 )
             tokens, final_state = self._transcribe_chunked(source, language)
 
+        if previous_tokens:
+            _, removed = self.remove_duplicate_token_sequence(
+                previous_tokens, [t.token for t in tokens]
+            )
+            tokens = tokens[removed:]
         tokens = ChunkProcessor(source).collapse_seam_word_duplicates(
             tokens, self.models.tokenizer.vocabulary
         )
@@ -289,6 +299,20 @@ class AsrManager:
                 )
             self.progress.emit((i // B + 1) / n_groups)
         return merged, None
+
+    def remove_duplicate_token_sequence(
+        self, previous: list[int], current: list[int], max_overlap: int = 12
+    ) -> tuple[list[int], int]:
+        """Boundary dedup between sequential chunks (reference
+        `AsrManager+TokenProcessing.swift:110-165`); see
+        `sequence_matcher.remove_duplicate_token_sequence`."""
+        return remove_duplicate_token_sequence(
+            previous,
+            current,
+            punctuation_tokens=ASRConstants.PUNCTUATION_TOKENS,
+            boundary_search_frames=self.config.tdt.boundary_search_frames,
+            max_overlap=max_overlap,
+        )
 
     def _extract_tokens(self, result, row: int, frame_offset: int) -> list[TokenWindow]:
         count = int(result.counts[row])

@@ -117,3 +117,47 @@ def consolidate_matches(matches: list[SequenceMatch]) -> list[SequenceMatch]:
             cur = nxt
     out.append(cur)
     return out
+
+
+def remove_duplicate_token_sequence(
+    previous: Sequence[int],
+    current: Sequence[int],
+    *,
+    punctuation_tokens: frozenset[int] | set[int] = frozenset(),
+    boundary_search_frames: int = 20,
+    max_overlap: int = 12,
+) -> tuple[list[int], int]:
+    """Drop tokens at the head of `current` already emitted at the tail of
+    `previous` (sequential-chunk boundary duplicates).
+
+    Three stages, behavioral parity with reference
+    `AsrManager+TokenProcessing.swift:110-165`:
+    1. a single duplicated punctuation token (period/question/exclamation),
+    2. exact suffix-prefix overlap up to `max_overlap` (min length 2),
+    3. bounded substring search: the duplicate run may start up to
+       `boundary_search_frames` tokens into `current`; everything up to and
+       including the run is dropped.
+
+    Returns (deduped current, removed leading count) so the caller can drop
+    the same number of aligned timestamps/confidences.
+    """
+    working = list(current)
+    removed = 0
+
+    if previous and working and previous[-1] == working[0] and working[0] in punctuation_tokens:
+        working = working[1:]
+        removed += 1
+
+    eq: Matcher = lambda a, b: a == b
+    match = find_suffix_prefix_match(previous, working, eq, max_overlap)
+    if match is not None:
+        return working[match.length :], removed + match.length
+
+    match = find_bounded_substring_match(
+        previous, working, min(15, len(previous)), boundary_search_frames, eq
+    )
+    if match is not None:
+        drop = match.right_start + match.length
+        return working[drop:], removed + drop
+
+    return working, removed
