@@ -107,31 +107,94 @@ def preprocess_text(raw: str, lang: str) -> str:
     return f"<{lang}>{text}</{lang}>"
 
 
-def chunk_text(text: str, max_chars: int) -> list[str]:
-    """`Supertonic3TextChunker` behavior: sentence-boundary packing, with
-    over-long sentences split at the latest space (or hard at the cap) so
-    no chunk ever exceeds `max_chars` — text past the encoder's char buffer
-    would otherwise be silently dropped."""
-    parts = re.split(r"(?<=[.!?;])\s+", text.strip())
-    pieces: list[str] = []
-    for p in parts:
-        while len(p) > max_chars:
-            cut = p.rfind(" ", 1, max_chars + 1)
-            if cut <= 0:
-                cut = max_chars
-            pieces.append(p[:cut].strip())
-            p = p[cut:].strip()
-        if p:
-            pieces.append(p)
-    chunks, cur = [], ""
-    for p in pieces:
-        if cur and len(cur) + len(p) + 1 > max_chars:
+# sentence terminators that are actually abbreviations — do not split after
+# (reference `Supertonic3TextChunker.abbreviations`)
+_ABBREVIATIONS = (
+    "Dr.", "Mr.", "Mrs.", "Ms.", "Prof.", "Sr.", "Jr.",
+    "St.", "Ave.", "Rd.", "Blvd.", "Dept.", "Inc.", "Ltd.",
+    "Co.", "Corp.", "etc.", "vs.", "i.e.", "e.g.", "Ph.D.",
+)
+
+
+def _split_sentences(text: str) -> list[str]:
+    """Abbreviation-aware sentence split on `[.!?]` + whitespace."""
+    sentences: list[str] = []
+    last = 0
+    for m in re.finditer(r"[.!?]\s+", text):
+        combined = text[last : m.start() + 1].strip()
+        if any(combined.endswith(a) for a in _ABBREVIATIONS):
+            continue
+        sentences.append(text[last : m.end()])
+        last = m.end()
+    if last < len(text):
+        sentences.append(text[last:])
+    return sentences or [text]
+
+
+def _pack(parts: list[str], max_chars: int, sep: str, overflow) -> list[str]:
+    """Greedy packing of `parts` into chunks <= max_chars, recursing into
+    `overflow` for parts that alone exceed the cap."""
+    chunks: list[str] = []
+    cur = ""
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        if len(part) > max_chars:
+            if cur:
+                chunks.append(cur)
+                cur = ""
+            chunks.extend(overflow(part))
+            continue
+        if cur and len(cur) + len(part) + len(sep) > max_chars:
             chunks.append(cur)
-            cur = p
-        else:
-            cur = f"{cur} {p}".strip()
+            cur = ""
+        cur = part if not cur else f"{cur}{sep}{part}"
     if cur:
         chunks.append(cur)
+    return chunks
+
+
+def chunk_text(text: str, max_chars: int) -> list[str]:
+    """`Supertonic3TextChunker.chunk` parity (upstream `Helper.chunkText`):
+    split on blank-line paragraph boundaries first (each short paragraph is
+    its own chunk), then pack abbreviation-aware sentences, falling back to
+    comma boundaries and finally whitespace so no chunk ever exceeds
+    `max_chars` — text past the encoder's fixed char buffer would otherwise
+    be silently dropped."""
+    text = text.strip()
+    if not text:
+        return []
+
+    def pack_words(phrase: str) -> list[str]:
+        out, cur = [], ""
+        for w in phrase.split():
+            if len(w) > max_chars:  # single over-long word: hard cut
+                if cur:
+                    out.append(cur)
+                    cur = ""
+                out.extend(w[i : i + max_chars] for i in range(0, len(w), max_chars))
+                continue
+            if cur and len(cur) + len(w) + 1 > max_chars:
+                out.append(cur)
+                cur = ""
+            cur = w if not cur else f"{cur} {w}"
+        if cur:
+            out.append(cur)
+        return out
+
+    def pack_commas(sentence: str) -> list[str]:
+        return _pack(sentence.split(","), max_chars, ", ", pack_words)
+
+    chunks: list[str] = []
+    for para in re.split(r"\n\s*\n", text):
+        para = para.strip()
+        if not para:
+            continue
+        if len(para) <= max_chars:
+            chunks.append(para)
+            continue
+        chunks.extend(_pack(_split_sentences(para), max_chars, " ", pack_commas))
     return chunks
 
 
