@@ -298,6 +298,7 @@ class AsrManager:
                     merged, window_tokens, self._splice_safe, self._case_canon
                 )
             self.progress.emit((i // B + 1) / n_groups)
+        self.progress.finish_session()
         return merged, None
 
     def remove_duplicate_token_sequence(

@@ -63,16 +63,76 @@ class PerformanceMetrics:
         return self.audio_seconds / self.total_seconds if self.total_seconds > 0 else 0.0
 
 
+class ProgressSession:
+    """One consumer-side progress stream (reference `ProgressEmitter.swift`
+    AsyncStream session): iterating yields clamped fractions starting at 0.0;
+    `finish` ends the stream after a final 1.0; `fail` re-raises the error in
+    the consumer. Queue-backed so producers on other threads are safe."""
+
+    _END = object()
+
+    def __init__(self) -> None:
+        import queue
+
+        self._q: queue.Queue = queue.Queue()
+        self._q.put(0.0)  # initial yield, reference ensureSession contract
+        self.done = False
+
+    def _push(self, item) -> None:
+        if not self.done:
+            self._q.put(item)
+
+    def __iter__(self) -> Iterator[float]:
+        while True:
+            item = self._q.get()
+            if item is ProgressSession._END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
 class ProgressEmitter:
-    """Callback-based progress fan-out (0.0 → 1.0) for long-running jobs."""
+    """Progress fan-out (0.0 → 1.0) for long-running jobs.
+
+    Two consumption styles, both reference-parity
+    (`Shared/ProgressEmitter.swift:3-55`): callback `subscribe`/`emit`, and
+    the session stream `ensure_session()` → iterate → `finish_session()` /
+    `fail_session(err)`. `emit` reports into the active session too, so
+    manager code only calls one method.
+    """
 
     def __init__(self) -> None:
         self._subscribers: list[Callable[[float], None]] = []
+        self._session: ProgressSession | None = None
 
     def subscribe(self, fn: Callable[[float], None]) -> None:
         self._subscribers.append(fn)
+
+    def ensure_session(self) -> ProgressSession:
+        """Return the active session, creating one (first yield is 0.0)."""
+        if self._session is None or self._session.done:
+            self._session = ProgressSession()
+        return self._session
 
     def emit(self, fraction: float) -> None:
         f = min(1.0, max(0.0, fraction))
         for fn in self._subscribers:
             fn(f)
+        if self._session is not None:  # report without session: silently ignored
+            self._session._push(f)
+
+    report = emit  # reference naming
+
+    def finish_session(self) -> None:
+        if self._session is not None:
+            self._session._push(1.0)
+            self._session._push(ProgressSession._END)
+            self._session.done = True
+            self._session = None
+
+    def fail_session(self, error: BaseException) -> None:
+        if self._session is not None:
+            self._session._push(error)
+            self._session.done = True
+            self._session = None
