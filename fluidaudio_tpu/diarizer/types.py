@@ -27,11 +27,25 @@ class DiarizerConfig:
     chunk_overlap: float = 0.0
 
 
+_SEGMENT_COUNTER = 0
+
+
+def _next_segment_id() -> int:
+    global _SEGMENT_COUNTER
+    _SEGMENT_COUNTER += 1
+    return _SEGMENT_COUNTER
+
+
 @dataclass
 class RawEmbedding:
+    """L2-normalized at construction (ref `SpeakerTypes.swift:214-218`)."""
+
     embedding: np.ndarray
     timestamp: float = field(default_factory=time.time)
-    segment_id: int = 0
+    segment_id: int = field(default_factory=_next_segment_id)
+
+    def __post_init__(self) -> None:
+        self.embedding = l2_normalize(np.asarray(self.embedding, np.float32))
 
 
 MAX_RAW_EMBEDDINGS = 50
@@ -54,15 +68,28 @@ def cosine_distance(a: np.ndarray, b: np.ndarray) -> float:
 
 @dataclass
 class Speaker:
+    """Speaker identity record (ref `SpeakerTypes.swift:6-205`).
+
+    The main embedding is L2-normalized at construction; adding/removing a
+    raw embedding recalculates it as the L2-normalized average of the raw
+    FIFO (ref `recalculateMainEmbedding`, `:131-162`); `update_count` starts
+    at 1 and counts embedding updates.
+    """
+
     id: str
     name: str
     current_embedding: np.ndarray
     duration: float = 0.0
     is_permanent: bool = False
-    update_count: int = 0
+    update_count: int = 1
     raw_embeddings: list[RawEmbedding] = field(default_factory=list)
     created_at: float = field(default_factory=time.time)
     updated_at: float = field(default_factory=time.time)
+
+    def __post_init__(self) -> None:
+        self.current_embedding = l2_normalize(
+            np.asarray(self.current_embedding, np.float32)
+        )
 
     def add_raw_embedding(self, raw: RawEmbedding) -> None:
         if float(np.sum(raw.embedding**2)) <= 0.01:
@@ -70,10 +97,35 @@ class Speaker:
         if len(self.raw_embeddings) >= MAX_RAW_EMBEDDINGS:
             self.raw_embeddings.pop(0)
         self.raw_embeddings.append(raw)
+        self.recalculate_main_embedding()
+
+    def remove_raw_embedding(self, segment_id: int) -> RawEmbedding | None:
+        """Remove by segment id and recalc main (ref :120-129)."""
+        for i, raw in enumerate(self.raw_embeddings):
+            if raw.segment_id == segment_id:
+                removed = self.raw_embeddings.pop(i)
+                self.recalculate_main_embedding()
+                return removed
+        return None
+
+    def recalculate_main_embedding(self) -> None:
+        """Main embedding := L2-normalized mean of same-size raws (ref :131-162)."""
+        if not self.raw_embeddings:
+            return
+        size = self.raw_embeddings[0].embedding.size
+        if size == 0:
+            return
+        valid = [r.embedding for r in self.raw_embeddings if r.embedding.size == size]
+        if not valid:
+            return
+        self.current_embedding = l2_normalize(np.mean(valid, axis=0))
+        self.updated_at = time.time()
 
     def update_main_embedding(
         self, duration: float, embedding: np.ndarray, alpha: float = 0.9
     ) -> None:
+        """EMA blend on top of the raw-average recalc (ref :67-101)."""
+        embedding = np.asarray(embedding, np.float32)
         if float(np.sum(np.square(embedding))) <= 0.01:
             return
         norm_emb = l2_normalize(embedding)
@@ -87,18 +139,36 @@ class Speaker:
         self.update_count += 1
 
     def merge_with(self, other: "Speaker", keep_name: str | None = None) -> None:
-        total = self.duration + other.duration
-        if total > 0:
-            w = other.duration / total
-            self.current_embedding = l2_normalize(
-                (1 - w) * self.current_embedding + w * other.current_embedding
-            )
-        self.duration = total
-        for raw in other.raw_embeddings:
-            self.add_raw_embedding(raw)
+        """Union raws (most-recent 50), recalc main from raws (ref :164-196)."""
+        merged = self.raw_embeddings + other.raw_embeddings
+        if len(merged) > MAX_RAW_EMBEDDINGS:
+            merged = sorted(merged, key=lambda r: r.timestamp, reverse=True)[
+                :MAX_RAW_EMBEDDINGS
+            ]
+        self.raw_embeddings = merged
+        self.duration += other.duration
         if keep_name:
             self.name = keep_name
+        if self.raw_embeddings:
+            self.recalculate_main_embedding()
+        else:
+            # No raw history on either side: blend mains by duration so the
+            # merged identity still reflects both sources.
+            total = self.duration
+            if total > 0:
+                w = other.duration / total
+                self.current_embedding = l2_normalize(
+                    (1 - w) * self.current_embedding + w * other.current_embedding
+                )
         self.updated_at = time.time()
+        self.update_count += other.update_count
+
+    # Identity-based equality/hash like the reference (ref :198-204).
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Speaker) and self.id == other.id
+
+    def __hash__(self) -> int:
+        return hash(self.id)
 
 
 @dataclass(frozen=True)
