@@ -55,9 +55,11 @@ class TestSsml:
         assert segs[1].text == "second part"
 
     def test_say_as(self):
-        assert interpret_say_as("abc", "characters") == "A B C"
+        # Reference SayAsInterpreter: literal character spacing, hyphenated
+        # spell-out (SSMLTests.swift testInterpretSpellOut/Cardinal).
+        assert interpret_say_as("abc", "characters") == "a b c"
         assert interpret_say_as("911", "digits") == "nine one one"
-        assert interpret_say_as("42", "cardinal") == "forty two"
+        assert interpret_say_as("42", "cardinal") == "forty-two"
         assert interpret_say_as("3", "ordinal") == "third"
         segs = SSMLProcessor().process(
             '<speak>dial <say-as interpret-as="telephone">555 1212</say-as> now</speak>'
