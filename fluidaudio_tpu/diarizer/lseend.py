@@ -82,9 +82,99 @@ class LSEENDDiarizer:
         else:
             logger.warning("ls-eend: no checkpoint at %s — seeded random init", ckpt)
         self._step = jax.jit(self.model.apply)
+        # persistent streaming session: the recurrent state carries enrolled
+        # identity across calls (ref `LSEENDDiarizer` enrollSpeaker,
+        # exercised by SpeakerEnrollmentTests.swift:366-556)
+        self._session_state = init_state(self.cfg, 1)
+        self._session_frames = 0
+        self._slot_names: dict[int, str] = {}
 
     def make_state(self) -> LsEendState:
         return init_state(self.cfg, 1)
+
+    # ------------------------------------------------------------- enrollment
+
+    @property
+    def speaker_names(self) -> dict[int, str]:
+        return dict(self._slot_names)
+
+    def reset_session(self) -> None:
+        self._session_state = init_state(self.cfg, 1)
+        self._session_frames = 0
+        self._slot_names = {}
+
+    def enroll_speaker(
+        self,
+        samples: np.ndarray,
+        sample_rate: int = 16_000,
+        name: str | None = None,
+        overwrite_assigned_name: bool = True,
+    ) -> str | None:
+        """Warm the recurrent session with a known speaker's audio and name
+        the track the model assigns it. The frame clock resets so subsequent
+        streaming starts at frame zero (enrollment does not offset the
+        timeline — ref SpeakerEnrollmentTests :409-480)."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        audio8k = resample(samples, sample_rate, LSEEND_SAMPLE_RATE)
+        step_samples = self.step_frames * LSEEND_SAMPLE_RATE // 10
+        if audio8k.size < step_samples:
+            logger.warning(
+                "enroll: need >= %d ms of audio", self.step_frames * 100
+            )
+            return None
+        speech_frames = np.zeros(MAX_SPEAKERS, np.int64)
+        for start in range(0, audio8k.size - step_samples + 1, step_samples):
+            acts, self._session_state = self.process_step(
+                audio8k[start : start + step_samples], self._session_state
+            )
+            speech_frames += (acts >= self.threshold).sum(axis=0)
+        best = int(np.argmax(speech_frames))
+        if speech_frames[best] == 0:
+            logger.warning("enroll: no speech detected — speaker not enrolled")
+            self._session_frames = 0
+            return None
+        if best in self._slot_names and not overwrite_assigned_name:
+            logger.warning(
+                "enroll: matched existing speaker %r at track %d and "
+                "overwrite_assigned_name=False", self._slot_names[best], best,
+            )
+            self._session_frames = 0
+            return None
+        assigned = name or f"Speaker {best + 1}"
+        self._slot_names[best] = assigned
+        self._session_frames = 0
+        return assigned
+
+    def process_stream(
+        self, samples: np.ndarray, sample_rate: int = 16_000
+    ) -> DiarizationResult:
+        """Streaming pass continuing the persistent session (state + names +
+        frame clock)."""
+        t0 = time.perf_counter()
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        audio8k = resample(samples, sample_rate, LSEEND_SAMPLE_RATE)
+        step_samples = self.step_frames * LSEEND_SAMPLE_RATE // 10
+        preds = []
+        for start in range(0, max(1, audio8k.size), step_samples):
+            acts, self._session_state = self.process_step(
+                audio8k[start : start + step_samples], self._session_state
+            )
+            preds.append(acts)
+            if start + step_samples >= audio8k.size:
+                break
+        activities = np.concatenate(preds) if preds else np.zeros((0, MAX_SPEAKERS))
+        n_frames = min(len(activities), int(audio8k.size / (LSEEND_SAMPLE_RATE // 10)))
+        segments = self._to_segments(
+            activities[:n_frames],
+            names=self._slot_names,
+            frame_offset=self._session_frames,
+        )
+        self._session_frames += n_frames
+        return DiarizationResult(
+            segments=segments,
+            speaker_count=len({s.speaker_id for s in segments}),
+            timings=PipelineTimings(total_seconds=time.perf_counter() - t0),
+        )
 
     def process_step(
         self, samples_8k: np.ndarray, state: LsEendState
@@ -118,8 +208,14 @@ class LSEENDDiarizer:
             timings=PipelineTimings(total_seconds=time.perf_counter() - t0),
         )
 
-    def _to_segments(self, activities: np.ndarray) -> list[TimedSpeakerSegment]:
+    def _to_segments(
+        self,
+        activities: np.ndarray,
+        names: dict[int, str] | None = None,
+        frame_offset: int = 0,
+    ) -> list[TimedSpeakerSegment]:
         segments = []
+        names = names or {}
         T = len(activities)
         for s in range(MAX_SPEAKERS):
             active = activities[:, s] >= self.threshold
@@ -131,9 +227,9 @@ class LSEENDDiarizer:
                 elif not on and start is not None:
                     segments.append(
                         TimedSpeakerSegment(
-                            speaker_id=f"spk{s}",
-                            start_time=start * FRAME_SECONDS,
-                            end_time=f * FRAME_SECONDS,
+                            speaker_id=names.get(s, f"spk{s}"),
+                            start_time=(frame_offset + start) * FRAME_SECONDS,
+                            end_time=(frame_offset + f) * FRAME_SECONDS,
                         )
                     )
                     start = None

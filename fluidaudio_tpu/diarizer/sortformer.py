@@ -68,6 +68,12 @@ class SortformerDiarizer:
         # fused single-dispatch programs (mel folded in; cached per shape)
         self._scan_cache: dict[int, object] = {}
         self._offline_fused_cache: dict[int, object] = {}
+        # persistent streaming session: the spkcache/FIFO state carries
+        # enrolled-speaker identity across calls (ref enrollSpeaker,
+        # `SortformerDiarizer.swift:225-380`)
+        self._session_state = init_state(self.cfg, 1)
+        self._session_frames = 0
+        self._slot_names: dict[int, str] = {}
 
     def _stream_scan(self, n_chunks: int):
         """One jit for a whole recording: raw chunk buffers [N, chunk_samples]
@@ -117,6 +123,98 @@ class SortformerDiarizer:
 
     def make_state(self, batch: int = 1) -> SortformerState:
         return init_state(self.cfg, batch)
+
+    # ------------------------------------------------------------- enrollment
+
+    @property
+    def speaker_names(self) -> dict[int, str]:
+        return dict(self._slot_names)
+
+    def reset_session(self) -> None:
+        """Clear the persistent streaming state AND enrolled identities."""
+        self._session_state = init_state(self.cfg, 1)
+        self._session_frames = 0
+        self._slot_names = {}
+
+    def enroll_speaker(
+        self,
+        samples: np.ndarray,
+        name: str | None = None,
+        overwrite_assigned_name: bool = True,
+    ) -> str | None:
+        """Prime the spkcache with a known speaker's audio and name the slot
+        the model assigns it (ref `SortformerDiarizer.swift:225-380`).
+
+        The enrollment audio flows through the normal streaming path so the
+        speaker cache retains the identity; the frame clock resets so
+        subsequent streaming starts at time zero. Returns the assigned name,
+        or None when there isn't at least one full chunk of audio, no slot
+        shows speech, or the best slot is already named and
+        `overwrite_assigned_name` is False.
+        """
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        chunk_samples = self.cfg.chunk_frames * 1280
+        if samples.size < chunk_samples:
+            logger.warning(
+                "enroll: need >= %.2f s of audio, got %.2f s",
+                chunk_samples / SAMPLE_RATE, samples.size / SAMPLE_RATE,
+            )
+            return None
+        speech_frames = np.zeros(NUM_SPEAKERS, np.int64)
+        for start in range(0, samples.size - chunk_samples + 1, chunk_samples):
+            preds, self._session_state = self.process_chunk(
+                samples[start : start + chunk_samples], self._session_state
+            )
+            speech_frames += (preds >= self.threshold).sum(axis=0)
+        best = int(np.argmax(speech_frames))
+        if speech_frames[best] == 0:
+            logger.warning("enroll: no speech detected — speaker not enrolled")
+            self._session_frames = 0
+            return None
+        if best in self._slot_names and not overwrite_assigned_name:
+            logger.warning(
+                "enroll: diarizer matched existing speaker %r at slot %d and "
+                "overwrite_assigned_name=False", self._slot_names[best], best,
+            )
+            self._session_frames = 0
+            return None
+        assigned = name or f"Speaker {best + 1}"
+        self._slot_names[best] = assigned
+        self._session_frames = 0
+        return assigned
+
+    def process_stream(self, samples: np.ndarray) -> DiarizationResult:
+        """Streaming pass that CONTINUES the persistent session (state +
+        enrolled names + frame clock), unlike `process` which is
+        one-shot-per-recording."""
+        t0 = time.perf_counter()
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        chunk_samples = self.cfg.chunk_frames * 1280
+        preds_list = []
+        for start in range(0, max(1, samples.size), chunk_samples):
+            preds, self._session_state = self.process_chunk(
+                samples[start : start + chunk_samples], self._session_state
+            )
+            preds_list.append(preds)
+            if start + chunk_samples >= samples.size:
+                break
+        preds = (
+            np.concatenate(preds_list)
+            if preds_list
+            else np.zeros((0, NUM_SPEAKERS), np.float32)
+        )
+        n_frames = min(len(preds), int(np.ceil(samples.size / 1280)))
+        segments = self._preds_to_segments(
+            preds[:n_frames],
+            names=self._slot_names,
+            frame_offset=self._session_frames,
+        )
+        self._session_frames += n_frames
+        return DiarizationResult(
+            segments=segments,
+            speaker_count=len({s.speaker_id for s in segments}),
+            timings=PipelineTimings(total_seconds=time.perf_counter() - t0),
+        )
 
     def process_chunk(
         self, samples: np.ndarray, state: SortformerState
@@ -231,8 +329,14 @@ class SortformerDiarizer:
 
     # ------------------------------------------------------------------ utils
 
-    def _preds_to_segments(self, preds: np.ndarray) -> list[TimedSpeakerSegment]:
+    def _preds_to_segments(
+        self,
+        preds: np.ndarray,
+        names: dict[int, str] | None = None,
+        frame_offset: int = 0,
+    ) -> list[TimedSpeakerSegment]:
         segments: list[TimedSpeakerSegment] = []
+        names = names or {}
         T = len(preds)
         for s in range(NUM_SPEAKERS):
             active = preds[:, s] >= self.threshold
@@ -244,9 +348,9 @@ class SortformerDiarizer:
                 elif not on and start is not None:
                     segments.append(
                         TimedSpeakerSegment(
-                            speaker_id=f"spk{s}",
-                            start_time=start * FRAME_SECONDS,
-                            end_time=f * FRAME_SECONDS,
+                            speaker_id=names.get(s, f"spk{s}"),
+                            start_time=(frame_offset + start) * FRAME_SECONDS,
+                            end_time=(frame_offset + f) * FRAME_SECONDS,
                         )
                     )
                     start = None
