@@ -53,11 +53,16 @@ FRAMES_PER_CHUNK = CHUNK_SIZE // FRAME_SIZE
 
 def _coerce_samples(samples) -> np.ndarray:
     """f32 passthrough; int16 preserved for the on-device PCM upcast (half
-    the host->device bytes); everything else coerced to f32."""
+    the host->device bytes); everything else coerced to f32. Non-finite
+    samples are sanitized (NaN -> 0, ±inf -> ±1) so probabilities stay
+    finite (ref VadTests testVadWithNaNAndInfinity)."""
     arr = np.asarray(samples)
     if arr.dtype not in (np.float32, np.int16):
         arr = arr.astype(np.float32)
-    return arr.reshape(-1)
+    arr = arr.reshape(-1)
+    if arr.dtype == np.float32 and not np.isfinite(arr).all():
+        arr = np.nan_to_num(arr, nan=0.0, posinf=1.0, neginf=-1.0)
+    return arr
 
 
 class VadManager:
