@@ -42,6 +42,27 @@ class SlidingWindowAsrConfig:
     def right_samples(self) -> int:
         return int(self.right_context_seconds * ASRConstants.SAMPLE_RATE)
 
+    @property
+    def window_samples(self) -> int:
+        """Assembled [left | chunk | right] window size."""
+        return self.left_samples + self.chunk_samples + self.right_samples
+
+    def validate(self) -> None:
+        """The assembled window feeds the fixed 240k-sample (15 s) encoder
+        input and must never exceed it (reference issue #686,
+        `SlidingWindowAsrManagerTests.swift:50-88`)."""
+        if self.chunk_seconds <= 0:
+            raise ValueError("chunk_seconds must be positive")
+        if self.left_context_seconds < 0 or self.right_context_seconds < 0:
+            raise ValueError("context durations must be non-negative")
+        if self.window_samples > ASRConstants.MAX_MODEL_SAMPLES:
+            raise ValueError(
+                f"window {self.window_samples} samples exceeds the model input "
+                f"cap {ASRConstants.MAX_MODEL_SAMPLES} "
+                f"({self.left_context_seconds}+{self.chunk_seconds}"
+                f"+{self.right_context_seconds} s > 15 s)"
+            )
+
 
 @dataclass
 class SlidingWindowUpdate:
@@ -69,9 +90,21 @@ class SlidingWindowAsrManager:
     def __init__(self, manager: AsrManager, config: SlidingWindowAsrConfig | None = None):
         self.manager = manager
         self.config = config or SlidingWindowAsrConfig()
+        self.config.validate()
 
     def make_session(self) -> _Session:
         return _Session(buffer=np.zeros(0, np.float32))
+
+    def reset(self, session: _Session) -> None:
+        """Discard all buffered audio and transcript state in place."""
+        session.buffer = np.zeros(0, np.float32)
+        session.base = 0
+        session.consumed = 0
+        session.confirmed = []
+        session.volatile = []
+        session.error_count = 0
+        session.pending_timings = []
+        session.volatile_timings = []
 
     def feed(self, samples: np.ndarray, session: _Session) -> list[SlidingWindowUpdate]:
         session.buffer = np.concatenate(
