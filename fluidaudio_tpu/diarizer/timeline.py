@@ -79,10 +79,15 @@ class DiarizerTimeline:
             active[i] = on
         return active
 
-    def _postprocess(self, active: np.ndarray) -> list[tuple[float, float]]:
+    def _postprocess(
+        self, active: np.ndarray, probs: np.ndarray | None = None
+    ) -> list[tuple[float, float, float]]:
+        """Spans with confidence = mean probability over the ACTIVE frames
+        only — padding frames and bridged-gap frames contribute nothing
+        (ref `SortformerTimelineTests.swift:139-199`)."""
         cfg = self.config
         fs = cfg.frame_seconds
-        spans: list[list[float]] = []
+        spans: list[list] = []  # [start_s, end_s, active frame indices]
         start = None
         for f in range(len(active) + 1):
             on = f < len(active) and active[f]
@@ -90,21 +95,27 @@ class DiarizerTimeline:
                 start = f
             elif not on and start is not None:
                 spans.append([start * fs - cfg.onset_padding,
-                              f * fs + cfg.offset_padding])
+                              f * fs + cfg.offset_padding,
+                              list(range(start, f))])
                 start = None
-        # merge gaps shorter than min_duration_off
-        merged: list[list[float]] = []
+        # merge gaps shorter than min_duration_off (gap frames NOT counted)
+        merged: list[list] = []
         for span in spans:
             if merged and span[0] - merged[-1][1] < cfg.min_duration_off:
                 merged[-1][1] = span[1]
+                merged[-1][2].extend(span[2])
             else:
                 merged.append(span)
         # drop segments shorter than min_duration_on; clamp to [0, duration]
         out = []
-        for a, b in merged:
+        for a, b, frames in merged:
             a, b = max(0.0, a), min(self.duration, b)
             if b - a >= cfg.min_duration_on:
-                out.append((a, b))
+                conf = (
+                    float(np.mean(probs[frames])) if probs is not None and frames
+                    else 1.0
+                )
+                out.append((a, b, conf))
         return out
 
     def segments(
@@ -118,22 +129,42 @@ class DiarizerTimeline:
         finalized: list[TimedSpeakerSegment] = []
         tentative: list[TimedSpeakerSegment] = []
         for slot in self._slots.values():
-            active = self._binarize(np.asarray(slot.probs, np.float32))
-            for a, b in self._postprocess(active):
+            probs = np.asarray(slot.probs, np.float32)
+            active = self._binarize(probs)
+            for a, b, conf in self._postprocess(active, probs):
                 if b <= final_cut:
-                    finalized.append(TimedSpeakerSegment(slot.name, a, b))
+                    finalized.append(TimedSpeakerSegment(slot.name, a, b, conf))
                 elif a < final_cut:
                     # straddles the horizon: the finalized part is emitted
                     # REGARDLESS of include_tentative (dropping it hid
                     # already-final speech for any span touching the horizon)
-                    finalized.append(TimedSpeakerSegment(slot.name, a, final_cut))
+                    finalized.append(
+                        TimedSpeakerSegment(slot.name, a, final_cut, conf)
+                    )
                     if include_tentative:
-                        tentative.append(TimedSpeakerSegment(slot.name, final_cut, b))
+                        tentative.append(
+                            TimedSpeakerSegment(slot.name, final_cut, b, conf)
+                        )
                 elif include_tentative:
-                    tentative.append(TimedSpeakerSegment(slot.name, a, b))
+                    tentative.append(TimedSpeakerSegment(slot.name, a, b, conf))
         finalized.sort(key=lambda s: s.start_time)
         tentative.sort(key=lambda s: s.start_time)
         return finalized, tentative
+
+    def finalize(self) -> list[TimedSpeakerSegment]:
+        """Move everything to finalized: emit all segments with no tentative
+        horizon (ref `DiarizerTimeline.finalize`,
+        `SortformerTimelineTests.swift:113-137`)."""
+        out: list[TimedSpeakerSegment] = []
+        for slot in self._slots.values():
+            probs = np.asarray(slot.probs, np.float32)
+            active = self._binarize(probs)
+            out.extend(
+                TimedSpeakerSegment(slot.name, a, b, conf)
+                for a, b, conf in self._postprocess(active, probs)
+            )
+        out.sort(key=lambda s: s.start_time)
+        return out
 
     # ------------------------------------------------------- slot management
 
@@ -169,6 +200,13 @@ class DiarizerTimeline:
         if probs is not None:
             entry.probs = [float(p) for p in np.asarray(probs).reshape(-1)]
 
-    def reset(self) -> None:
-        self._slots.clear()
+    def reset(self, keeping_speakers: bool = False) -> None:
+        """Clear accumulated frames. With `keeping_speakers`, slot names
+        survive (enrollment identity is preserved across resets — ref
+        `SortformerDiarizer.swift:287`); otherwise slots are dropped."""
+        if keeping_speakers:
+            for slot in self._slots.values():
+                slot.probs = []
+        else:
+            self._slots.clear()
         self._n_frames = 0
