@@ -14,6 +14,8 @@ import json
 import re
 from pathlib import Path
 
+from fluidaudio_tpu.tts.mandarin_numbers import mandarin_normalize_numbers
+
 # word -> space-separated pinyin with tone numbers (seed; full dict from assets)
 _SEED_LEXICON: dict[str, str] = {
     "你好": "ni3 hao3", "你": "ni3", "好": "hao3", "我": "wo3", "他": "ta1",
@@ -201,14 +203,22 @@ class MandarinG2P:
 
     @staticmethod
     def apply_erhua(syllables: list[str]) -> list[str]:
-        """Merge neutral-tone 儿 (er5) into the preceding syllable: huar."""
+        """Merge neutral-tone 儿 (er5) into the preceding syllable: huar.
+
+        Leading er is kept (儿子), and a back-to-back er+er5 is left alone —
+        no second-pass merge into a preceding er (ref
+        `MandarinErhua.swift`, `MandarinErhuaTests.swift:57-102`)."""
         out: list[str] = []
         for s in syllables:
             if s == "er5" and out:
-                prev = out.pop()
+                prev = out[-1]
                 tone_ch = prev[-1] if prev[-1].isdigit() else ""
                 core = prev[:-1] if tone_ch else prev
-                out.append(core + "r" + tone_ch)
+                if core.endswith("r"):
+                    # prev is an er or already r-coloured: do not merge
+                    out.append(s)
+                    continue
+                out[-1] = core + "r" + tone_ch
             else:
                 out.append(s)
         return out
@@ -223,7 +233,7 @@ class MandarinG2P:
         `MandarinG2P.swift:97-114`: dict path with per-target g2pW
         overrides; phrase matches keep their lexicon reading)."""
         # expand numbers first
-        text = re.sub(r"\d+", lambda m: number_to_mandarin(int(m.group(0))), text)
+        text = mandarin_normalize_numbers(text)
         segments = self.segment(text)
         overrides: dict[int, str] = {}
         if self.g2pw is not None:
@@ -257,7 +267,7 @@ class MandarinG2P:
         sandhi (so 3+3 promotion sees the r-coloured syllable as one
         tonal unit) -> bopomofo encode. Sandhi windows break at
         punctuation, literals, `@`-bopomofo tokens, and g2pW picks."""
-        text = re.sub(r"\d+", lambda m: number_to_mandarin(int(m.group(0))), text)
+        text = mandarin_normalize_numbers(text)
         segments = self._segment_typed(text)
 
         # g2pW polyphone picks: single-char dict segments in the catalog
