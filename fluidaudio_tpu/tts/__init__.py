@@ -9,7 +9,7 @@ from fluidaudio_tpu.tts.ssml import (
     TtsPhoneticOverride,
     process_ssml,
 )
-from fluidaudio_tpu.tts.text_normalizer import normalize_for_tts
+from fluidaudio_tpu.tts.text_normalizer import english_normalize, normalize_for_tts
 
 __all__ = [
     "KokoroManager",
@@ -19,5 +19,6 @@ __all__ = [
     "Supertonic3Manager",
     "tts_asr_roundtrip",
     "SSMLProcessor",
+    "english_normalize",
     "normalize_for_tts",
 ]

@@ -102,3 +102,82 @@ def _decimal_words(s: str) -> str:
     whole, frac = s.split(".")
     digits = " ".join(_ONES[int(d)] for d in frac)
     return f"{number_to_words(int(whole))} point {digits}"
+
+
+# ---------------------------------------------------------------------------
+# Conservative raw-text pass (reference TTS/Shared/EnglishTextNormalizer.swift,
+# issue #711): only STRICT STANDALONE numeric forms are rewritten; anything
+# ambiguous or structured (versions 1.2.3, grouped 1,234, embedded word26,
+# loose 1:49 without meridiem, invalid 1:99 PM, 24-hour 13:49) is left
+# untouched. Spelling reuses the SSML SayAsInterpreter with hyphens spaced.
+# ---------------------------------------------------------------------------
+
+# A standalone number must not be glued to a letter, digit, or a `. , :`
+# that binds it into a word/version/group/clock. The right edge still allows
+# a trailing sentence period: `.`/`,`/`:` only disqualifies when itself
+# followed by a digit.
+_LEAD = r"(?<![A-Za-z0-9.,:])"
+_TRAIL = r"(?![A-Za-z0-9])(?![.,:][0-9])"
+
+_MERIDIEM_RE = re.compile(
+    _LEAD + r"(1[0-2]|[1-9]):([0-5][0-9])\s*([AaPp])(?:\.[Mm]\.?|[Mm])(?![A-Za-z])"
+)
+_EN_DECIMAL_RE = re.compile(_LEAD + r"([0-9]+)\.([0-9]+)" + _TRAIL)
+_EN_ORDINAL_RE = re.compile(_LEAD + r"([0-9]+)(st|nd|rd|th)(?![A-Za-z])")
+_LEADING_ZERO_RE = re.compile(_LEAD + r"(0[0-9]+)" + _TRAIL)
+_EN_CARDINAL_RE = re.compile(_LEAD + r"([0-9]+)" + _TRAIL)
+
+
+def _spaced_say_as(content: str, kind: str) -> str:
+    from fluidaudio_tpu.tts.ssml import interpret_say_as
+
+    return interpret_say_as(content, kind).replace("-", " ")
+
+
+def _expected_ordinal_suffix(n: int) -> str:
+    if 11 <= n % 100 <= 13:
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
+
+def english_normalize(text: str) -> str:
+    """Rewrite strict standalone integers / valid ordinals / decimals /
+    leading-zero digit strings / 12-hour meridiem times to spoken words.
+    Passes run most-specific-first so a meridiem time is consumed before
+    its bare digits and a decimal before its integer part."""
+
+    def meridiem(m: re.Match) -> str:
+        spoken = _spaced_say_as(f"{m.group(1)}:{m.group(2)}", "time")
+        if any(c.isdigit() for c in spoken):
+            return m.group(0)
+        suffix = "p m" if m.group(3).lower() == "p" else "a m"
+        return f"{spoken} {suffix}"
+
+    def decimal(m: re.Match) -> str:
+        int_part = _spaced_say_as(m.group(1), "cardinal")
+        frac_part = _spaced_say_as(m.group(2), "digits")
+        if any(c.isdigit() for c in int_part + frac_part):
+            return m.group(0)
+        return f"{int_part} point {frac_part}"
+
+    def ordinal(m: re.Match) -> str:
+        n = int(m.group(1))
+        if _expected_ordinal_suffix(n) != m.group(2).lower():
+            return m.group(0)  # 1th / 13st: not a grammatical ordinal
+        spoken = _spaced_say_as(m.group(1), "ordinal")
+        return m.group(0) if any(c.isdigit() for c in spoken) else spoken
+
+    def leading_zero(m: re.Match) -> str:
+        spoken = _spaced_say_as(m.group(1), "digits")
+        return m.group(0) if any(c.isdigit() for c in spoken) else spoken
+
+    def cardinal(m: re.Match) -> str:
+        spoken = _spaced_say_as(m.group(1), "cardinal")
+        return m.group(0) if any(c.isdigit() for c in spoken) else spoken
+
+    text = _MERIDIEM_RE.sub(meridiem, text)
+    text = _EN_DECIMAL_RE.sub(decimal, text)
+    text = _EN_ORDINAL_RE.sub(ordinal, text)
+    text = _LEADING_ZERO_RE.sub(leading_zero, text)
+    text = _EN_CARDINAL_RE.sub(cardinal, text)
+    return text
