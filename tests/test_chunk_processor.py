@@ -266,3 +266,126 @@ def test_merge_prefix_before_first_match_kept():
     right = [TokenWindow(1, 181), TokenWindow(2, 183), TokenWindow(3, 185)]
     merged = cp.merge_chunks(left, right)
     assert [t.token for t in merged][:2] == [60, 61]
+
+
+class TestLayoutEdgeCases:
+    """Ported from `ChunkProcessorEdgeCaseTests.swift`: boundary/size
+    arithmetic for the 15 s window + 2 s overlap contract."""
+
+    def test_overlap_is_two_seconds_frame_aligned(self):
+        cp = make_cp()
+        layout = cp.chunk_layout()
+        overlap = layout.chunk_samples - layout.stride_samples
+        # 2.0 s = 32,000 samples; frame-aligned to 1280.
+        assert overlap == 32_000
+        assert overlap % 1280 == 0
+
+    def test_overlap_clamped_to_half_chunk(self):
+        cp = make_cp()
+        layout = cp.chunk_layout()
+        assert layout.chunk_samples // 2 > 100_000
+        assert layout.chunk_samples - layout.stride_samples <= layout.chunk_samples // 2
+
+    def test_window_fits_model_input(self):
+        cp = make_cp()
+        layout = cp.chunk_layout(mel_chunk_context=True)
+        assert layout.window_samples <= 240_000
+        assert layout.chunk_samples % 1280 == 0
+
+    def test_first_chunk_starts_at_zero(self):
+        cp = make_cp(n_samples=288_000)  # 18 s
+        layout = cp.chunk_layout()
+        starts = cp.chunk_starts(layout)
+        assert starts[0].start == 0
+
+    def test_single_chunk_for_short_audio(self):
+        cp = make_cp(n_samples=192_000)  # 12 s < chunk
+        layout = cp.chunk_layout()
+        starts = cp.chunk_starts(layout)
+        assert len(starts) == 1
+
+    def test_chunk_count_two_chunks(self):
+        cp = make_cp(n_samples=320_000)  # 20 s
+        layout = cp.chunk_layout()
+        starts = cp.chunk_starts(layout)
+        assert len(starts) == 2
+        assert starts[1].start == layout.stride_samples
+
+    def test_chunk_count_many_chunks(self):
+        total = 16_000 * 60  # 60 s
+        cp = make_cp(n_samples=total)
+        layout = cp.chunk_layout()
+        starts = cp.chunk_starts(layout)
+        # ceil((total - chunk) / stride) + 1 windows cover everything
+        import math
+
+        expected = 1 + max(0, math.ceil((total - layout.stride_samples)
+                                        / layout.stride_samples))
+        assert len(starts) == expected
+        last = starts[-1].start
+        assert last + layout.chunk_samples >= total
+
+    def test_global_frame_offset_calculation(self):
+        # frame_offset = read_start / samplesPerEncoderFrame, exactly
+        # divisible by design (starts and context are frame-aligned).
+        assert 0 // 1280 == 0
+        assert 207_360 // 1280 == 162
+        cp = make_cp(n_samples=1_000_000)
+        _, windows = cp.plan_windows()
+        for spec in windows:
+            assert spec.read_start % 1280 == 0
+            assert spec.frame_offset == spec.read_start // 1280
+
+    def test_exactly_chunk_boundary(self):
+        cp = make_cp(n_samples=0)
+        layout = cp.chunk_layout()
+        starts = cp.chunk_starts(layout)
+        assert [s.start for s in starts] == [0]
+
+    def test_stride_positive_and_frame_aligned(self):
+        cp = make_cp()
+        layout = cp.chunk_layout(mel_chunk_context=False, model_version="v3")
+        assert layout.stride_samples > 0
+        assert layout.stride_samples % 1280 == 0
+
+
+class TestMergeStructural:
+    """Structural merge edge cases from `ChunkProcessorEdgeCaseTests`."""
+
+    @staticmethod
+    def _fold(cp, chunks):
+        merged = []
+        for chunk in chunks:
+            merged = cp.merge_chunks(merged, chunk)
+        return merged
+
+    def test_merge_with_empty_sides(self):
+        cp = make_cp()
+        assert cp.merge_chunks([], []) == []
+        one = [TokenWindow(1, 0, 1.0), TokenWindow(2, 5, 1.0)]
+        assert [t.token for t in cp.merge_chunks(one, [])] == [1, 2]
+        assert [t.token for t in cp.merge_chunks([], one)] == [1, 2]
+
+    def test_empty_chunk_output_in_middle(self):
+        cp = make_cp()
+        merged = self._fold(cp, [
+            [TokenWindow(1, 0, 1.0), TokenWindow(2, 10, 1.0)],
+            [],
+            [TokenWindow(3, 400, 1.0)],
+        ])
+        assert [t.token for t in merged] == [1, 2, 3]
+
+    def test_token_sorting_after_merge(self):
+        cp = make_cp()
+        merged = self._fold(cp, [
+            [TokenWindow(1, 0, 1.0), TokenWindow(2, 50, 1.0)],
+            [TokenWindow(3, 300, 1.0), TokenWindow(4, 350, 1.0)],
+        ])
+        frames = [t.timestamp for t in merged]
+        assert frames == sorted(frames)
+
+    def test_merge_preserves_order_within_chunk(self):
+        cp = make_cp()
+        chunk = [TokenWindow(i, i * 3, 1.0) for i in range(10)]
+        merged = self._fold(cp, [chunk])
+        assert [t.token for t in merged] == list(range(10))
