@@ -39,6 +39,7 @@ from fluidaudio_tpu.models.pocket_tts import (
     init_kv,
 )
 from fluidaudio_tpu.registry import DownloadUtils, Repo
+from fluidaudio_tpu.tts.pocket_text import chunk_text_with_metadata, normalize_text
 from fluidaudio_tpu.utils.checkpoint import load_params
 from fluidaudio_tpu.utils.logging import get_logger
 
@@ -63,10 +64,12 @@ class PocketTtsManager:
         self,
         config: PocketTtsConfig | None = None,
         *,
+        language: str = "english",
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
     ):
         self.cfg = config or POCKET_BASE
+        self.language = language
         cfg = self.cfg
         self.flowlm = FlowLm(cfg)
         self.flow = FlowDecoder(cfg)
@@ -213,12 +216,47 @@ class PocketTtsManager:
         _, (audio, done_flags) = jax.lax.scan(step, init, noise)
         return audio, done_flags
 
+    def _count_tokens(self, text: str) -> int:
+        return int(self._tokenize(text).shape[1])
+
     def synthesize(
         self,
         text: str,
         voice: str = "default",
         max_frames: int | None = None,
         seed: int = 0,
+    ) -> PocketSynthesisResult:
+        """Normalize + chunk the text (sentence/clause/word boundaries with
+        mid-sentence prosody tags, ref PocketTtsSynthesizer.chunkText issue
+        #584), synthesize each chunk, and concatenate."""
+        chunks = chunk_text_with_metadata(
+            text, self._count_tokens, language=self.language
+        )
+        pieces: list[PocketSynthesisResult] = []
+        for i, chunk in enumerate(chunks):
+            norm, frames_after_eos = normalize_text(
+                chunk.text, chunk.is_mid_sentence, self.language
+            )
+            pieces.append(
+                self._synthesize_chunk(
+                    norm, voice, max_frames, seed + i, frames_after_eos
+                )
+            )
+        if len(pieces) == 1:
+            return pieces[0]
+        return PocketSynthesisResult(
+            samples=np.concatenate([p.samples for p in pieces]),
+            sample_rate=SAMPLE_RATE,
+            frames=sum(p.frames for p in pieces),
+        )
+
+    def _synthesize_chunk(
+        self,
+        text: str,
+        voice: str = "default",
+        max_frames: int | None = None,
+        seed: int = 0,
+        frames_after_eos: int = 0,
     ) -> PocketSynthesisResult:
         tokens = self._tokenize(text)
         prompt = self.voices.get(voice)
@@ -236,7 +274,12 @@ class PocketTtsManager:
         )
         audio = np.asarray(audio)
         done = np.asarray(done)
-        n_frames = int(np.argmax(done)) + 1 if done.any() else max_frames
+        # Keep a few frames past EOS detection for prosody tails (ref
+        # shortTextPadFrames / longTextExtraFrames, issue #584).
+        if done.any():
+            n_frames = min(int(np.argmax(done)) + 1 + frames_after_eos, max_frames)
+        else:
+            n_frames = max_frames
         samples = audio[:n_frames].reshape(-1)
         logger.debug("pocket generate: %d frames in %.2fs", n_frames, time.perf_counter() - t0)
         return PocketSynthesisResult(samples=samples, sample_rate=SAMPLE_RATE,
@@ -253,6 +296,7 @@ class PocketTtsManager:
         ~STREAM_BLOCK_FRAMES frames instead of after the whole utterance
         (the reference's `generatePipelined` contract,
         `PocketTtsSynthesizer.swift:590`)."""
+        text, _ = normalize_text(text, language=self.language)
         tokens = self._tokenize(text)
         prompt = self.voices.get(voice)
         if prompt is None:
