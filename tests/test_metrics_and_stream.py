@@ -190,3 +190,103 @@ class TestAudioStreamChunking:
         s.write(np.array([9.0, 10.0], np.float32))
         assert len(got) == 3  # unbound: pull mode again
         assert s.has_new_chunk
+
+
+class TestAudioStreamScenarios:
+    """Further `AudioStreamTests.swift` ports: negative timestamps,
+    oscillation, bound-read exclusivity, start-time offsets, backpressure."""
+
+    def test_negative_timestamp_drops_old_data_without_crash(self):
+        s = AudioStream(chunk_duration=0.02, sample_rate=1000.0,
+                        chunking_strategy="most_recent",
+                        startup_strategy="start_silent")
+        s.write(np.arange(20, dtype=np.float32))
+        s.write(np.arange(100, 105, dtype=np.float32), at_time=-0.05)
+        s.write(np.arange(200, 215, dtype=np.float32))
+        chunk, start = s.read_chunk_if_available()
+        assert start == pytest.approx(-0.055)
+        np.testing.assert_array_equal(
+            chunk, np.concatenate([np.arange(100, 105), np.arange(200, 215)])
+        )
+
+    def test_bound_prevents_manual_reads_until_unbound(self):
+        s = AudioStream(chunk_duration=0.01, sample_rate=1000.0,
+                        chunking_strategy="most_recent",
+                        startup_strategy="start_silent")
+        callbacks = []
+        s.bind(lambda chunk, ts: callbacks.append((chunk.copy(), ts)))
+        first = np.arange(s.chunk_size, dtype=np.float32)
+        s.write(first)
+        # the callback consumed the chunk during write
+        assert s.read_chunk_if_available() is None
+        assert len(callbacks) == 1
+        np.testing.assert_array_equal(callbacks[0][0], first)
+        s.unbind()
+        second = np.arange(s.chunk_size, dtype=np.float32) + s.chunk_size
+        s.write(second)
+        chunk, ts = s.read_chunk_if_available()
+        np.testing.assert_array_equal(chunk, second)
+        assert ts == pytest.approx(0.01)
+
+    def test_oscillating_timestamps_produce_ordered_chunks(self):
+        s = AudioStream(chunk_duration=0.01, sample_rate=1000.0,
+                        chunking_strategy="fixed_skip",
+                        startup_strategy="start_silent",
+                        buffer_capacity_seconds=1.0)
+        times = []
+        s.bind(lambda chunk, ts: times.append(ts))
+        # jitter end-timestamps forward and slightly backward
+        s.write(np.ones(10, np.float32), at_time=0.010)
+        s.write(np.ones(10, np.float32), at_time=0.019)  # 1 ms early
+        s.write(np.ones(10, np.float32), at_time=0.031)  # 2 ms late
+        s.write(np.ones(10, np.float32), at_time=0.040)
+        assert times == sorted(times)
+        assert len(times) >= 3
+
+    def test_start_time_offset_propagates_to_chunks(self):
+        s = AudioStream(chunk_duration=0.01, sample_rate=1000.0,
+                        stream_start_time=5.0,
+                        chunking_strategy="most_recent",
+                        startup_strategy="wait_full")
+        s.write(np.arange(10, dtype=np.float32))
+        chunk, ts = s.read_chunk_if_available()
+        assert ts == pytest.approx(5.0)
+
+    def test_backpressure_drops_oldest_and_advances_start(self):
+        # capacity 1.5 chunks: writing 4 chunks' worth keeps only the tail
+        s = AudioStream(chunk_duration=1.0, chunk_skip=1.0, sample_rate=8.0,
+                        startup_strategy="wait_full",
+                        buffer_capacity_seconds=1.5)
+        s.write(np.arange(32, dtype=np.float32))  # 4 s at sr 8
+        chunk, ts = s.read_chunk_if_available()
+        # only the newest samples survived; start time advanced past 0
+        assert ts > 0.0
+        assert chunk[-1] == 31.0
+
+    def test_append_zeros_gap_produces_padding_chunks(self):
+        s = AudioStream(chunk_duration=1.0, chunk_skip=1.0, sample_rate=8.0,
+                        chunking_strategy="fixed_skip",
+                        startup_strategy="wait_full")
+        got = []
+        s.bind(lambda chunk, ts: got.append(chunk.copy()))
+        s.write(np.ones(4, np.float32))
+        # end-of-gap timestamp 2.0 s => 12 zero samples inserted
+        s.write(np.full(4, 2.0, np.float32), at_time=2.0)
+        assert len(got) == 2
+        np.testing.assert_array_equal(got[0], [1, 1, 1, 1, 0, 0, 0, 0])
+        np.testing.assert_array_equal(got[1], [0, 0, 0, 0, 2, 2, 2, 2])
+
+    def test_fixed_hop_chunks_preserve_overlap(self):
+        s = AudioStream(chunk_duration=1.0, chunk_skip=0.25, sample_rate=8.0,
+                        chunking_strategy="fixed_skip",
+                        startup_strategy="wait_full",
+                        buffer_capacity_seconds=4.0)
+        s.write(np.arange(1, 17, dtype=np.float32))
+        chunks = []
+        while (out := s.read_chunk_if_available()) is not None:
+            chunks.append(out)
+        assert len(chunks) >= 2
+        for (c1, t1), (c2, t2) in zip(chunks, chunks[1:]):
+            assert t2 - t1 == pytest.approx(0.25)
+            # 6-sample overlap between consecutive chunks
+            np.testing.assert_array_equal(c1[2:], c2[:6])
