@@ -151,7 +151,21 @@ def ctc_beam_search(
         )
         beams = dict(scored[:beam_width])
 
-    best = max(beams.items(), key=lambda kv: logsumexp2(kv[1][0], kv[1][1]))
+    def final_score(prefix: tuple[int, ...], probs: tuple[float, float]) -> float:
+        """Total + LM score of the trailing (not-yet-boundary-closed) word
+        (ref `CtcDecoder.swift:230-238` finalize pass)."""
+        total = logsumexp2(*probs)
+        if lm is not None and vocabulary is not None and prefix:
+            words = _prefix_words(prefix, vocabulary)
+            if words:
+                total += (
+                    lm_weight
+                    * lm.score(tuple(words[:-1][-3:]), words[-1])
+                    * math.log(10)
+                )
+        return total
+
+    best = max(beams.items(), key=lambda kv: final_score(kv[0], kv[1]))
     return list(best[0])
 
 
