@@ -139,12 +139,45 @@ class CoherePipeline:
 
     @staticmethod
     def _merge_tokens(prev: list[int], new: list[int]) -> list[int]:
-        """Splice consecutive windows: drop the longest suffix of `prev` that
-        prefixes `new` (overlap re-decode), then append."""
-        if not prev:
-            return list(new)
-        from fluidaudio_tpu.asr.sequence_matcher import find_suffix_prefix_match
+        return merge_token_streams(prev, new)
 
-        m = find_suffix_prefix_match(prev, new, lambda a, b: a == b)
-        skip = m.length if m is not None else 0
-        return prev + list(new[skip:])
+
+def merge_token_streams(
+    prefix: list[int],
+    suffix: list[int],
+    window_tokens: int = 32,
+    min_match: int = 4,
+) -> list[int]:
+    """Merge adjacent chunk token streams by longest common substring.
+
+    Both chunks re-decode ~5 s of identical seam audio; search a bounded
+    window (last/first `window_tokens`) for the longest common run. On a hit
+    of length >= `min_match`, keep the prefix as-is and drop the suffix's
+    matched head; on a miss concatenate plainly — better to duplicate a few
+    tokens than to lose content (ref `CoherePipeline.swift:592-634`).
+    """
+    if not prefix:
+        return list(suffix)
+    if not suffix:
+        return list(prefix)
+    p_tail = prefix[-window_tokens:]
+    s_head = suffix[:window_tokens]
+    m, n = len(p_tail), len(s_head)
+    dp = [0] * (n + 1)
+    best_len = 0
+    best_s_end = 0  # exclusive end index in s_head
+    for i in range(1, m + 1):
+        prev_diag = 0
+        for j in range(1, n + 1):
+            temp = dp[j]
+            if p_tail[i - 1] == s_head[j - 1]:
+                dp[j] = prev_diag + 1
+                if dp[j] > best_len:
+                    best_len = dp[j]
+                    best_s_end = j
+            else:
+                dp[j] = 0
+            prev_diag = temp
+    if best_len < min_match:
+        return list(prefix) + list(suffix)
+    return list(prefix) + list(suffix[best_s_end:])

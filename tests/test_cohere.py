@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fluidaudio_tpu.asr.cohere_manager import CoherePipeline
+from fluidaudio_tpu.asr.cohere_manager import CoherePipeline, merge_token_streams
 from fluidaudio_tpu.models.cohere_asr import (
     COHERE_TEST,
     CohereConfig,
@@ -145,3 +145,54 @@ def test_cohere_converters_tree_match_and_run():
 
     res = cohere_greedy_decode(cfg, step, enc, mask)
     assert np.asarray(res.tokens).shape == (1, M)
+
+
+class TestLongFormMerge:
+    """Ported from `CohereLongFormTests.swift`: LCS-substring seam merge
+    with min-match 4 and a 32-token boundary window."""
+
+    def test_merge_prefix_empty(self):
+        assert merge_token_streams([], [1, 2, 3]) == [1, 2, 3]
+
+    def test_merge_suffix_empty(self):
+        assert merge_token_streams([1, 2, 3], []) == [1, 2, 3]
+
+    def test_no_common_run_falls_back_to_concat(self):
+        assert merge_token_streams([10, 11, 12, 13], [20, 21, 22, 23]) == [
+            10, 11, 12, 13, 20, 21, 22, 23
+        ]
+
+    def test_short_match_below_threshold_falls_back_to_concat(self):
+        # A common run of 3 tokens is below minMatch=4.
+        assert merge_token_streams([1, 2, 3, 7, 8, 9], [7, 8, 9, 100, 200]) == [
+            1, 2, 3, 7, 8, 9, 7, 8, 9, 100, 200
+        ]
+
+    def test_overlap_at_boundary(self):
+        prefix = [1, 2, 3, 4, 50, 51, 52, 53, 54]
+        suffix = [50, 51, 52, 53, 54, 60, 61, 62]
+        assert merge_token_streams(prefix, suffix) == [
+            1, 2, 3, 4, 50, 51, 52, 53, 54, 60, 61, 62
+        ]
+
+    def test_overlap_offset_within_window(self):
+        prefix = [1, 2, 3, 90, 91, 92, 93, 94, 95]
+        suffix = [91, 92, 93, 94, 95, 200, 201]
+        assert merge_token_streams(prefix, suffix) == [
+            1, 2, 3, 90, 91, 92, 93, 94, 95, 200, 201
+        ]
+
+    def test_prefers_longest_run(self):
+        prefix = [1, 2, 3, 4, 7, 8, 9, 10, 11]
+        suffix = [1, 2, 3, 4, 7, 8, 9, 10, 11, 99]
+        assert merge_token_streams(prefix, suffix) == [
+            1, 2, 3, 4, 7, 8, 9, 10, 11, 99
+        ]
+
+    def test_window_bounds_lcs_cost(self):
+        lead_in = list(range(200))
+        prefix = lead_in + [500, 501, 502, 503, 504]
+        suffix = [500, 501, 502, 503, 504, 700, 701]
+        assert merge_token_streams(prefix, suffix) == lead_in + [
+            500, 501, 502, 503, 504, 700, 701
+        ]
