@@ -28,9 +28,15 @@ _BACKOFF_BASE_S = 1.5
 
 
 def _looks_like_html(head: bytes) -> bool:
-    """HF serves an HTML error page on bad paths; never cache those as weights."""
+    """HF serves an HTML error page on bad paths (and some proxies an XML
+    envelope); never cache those as weights (ref `DownloadUtils.swift:103-143`,
+    `DownloadArtifactValidationTests.swift:64-86`)."""
     stripped = head.lstrip()[:32].lower()
-    return stripped.startswith(b"<!doctype html") or stripped.startswith(b"<html")
+    return (
+        stripped.startswith(b"<!doctype html")
+        or stripped.startswith(b"<html")
+        or stripped.startswith(b"<?xml")
+    )
 
 
 class DownloadUtils:
