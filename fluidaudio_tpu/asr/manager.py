@@ -81,14 +81,18 @@ class AsrManager:
             durations=tdt.durations,
             max_symbols_per_step=tdt.max_symbols_per_step,
             max_tokens=tdt.max_tokens_per_chunk,
+            consecutive_blank_limit=tdt.consecutive_blank_limit,
         )
 
     def build_pipeline(self, batch: int, language: str | None = None,
                        stateful: bool = False):
-        """Raw (unjitted) pipeline fn(params, audio [B,W], lengths [B]) —
-        with `stateful=True`, fn(params, audio, lengths, decoder_state) so a
-        caller-held carry continues across calls (reference
-        `AsrManager.transcribe(decoderState:)`).
+        """Raw (unjitted) pipeline fn(params, audio [B,W], lengths [B],
+        finalize=None) — with `stateful=True`, fn(params, audio, lengths,
+        decoder_state, finalize=None) so a caller-held carry continues
+        across calls (reference `AsrManager.transcribe(decoderState:)`).
+        `finalize` is an optional [B] bool mask of rows decoding their
+        utterance's LAST chunk; those run the reference's last-chunk
+        finalization flush (`TdtDecoderV3.swift:469-578`).
 
         `language` enables decode-time script filtering + English blocklist
         (reference `TdtDecoderV3.swift:33-78`): the vocab mask is baked into
@@ -101,7 +105,7 @@ class AsrManager:
             jnp.asarray(self._language_mask(language)) if language else None
         )
 
-        def run(params, audio, lengths, state):
+        def run(params, audio, lengths, state, finalize=None):
             if jnp.issubdtype(audio.dtype, jnp.integer):
                 # int16 PCM shipped raw; upcast on device (half the
                 # host->device bytes — same contract as VAD/sortformer)
@@ -117,16 +121,16 @@ class AsrManager:
 
             result = tdt_greedy_decode(
                 dcfg, predictor_step, joint_logits, enc_out, enc_len, state,
-                allowed_mask=allowed_mask,
+                allowed_mask=allowed_mask, finalize_mask=finalize,
             )
             return result, enc_len
 
         if stateful:
             return run
 
-        def pipeline(params, audio, lengths):
+        def pipeline(params, audio, lengths, finalize=None):
             state = make_initial_state(dcfg, pcfg.n_layers, pcfg.pred_hidden, batch)
-            return run(params, audio, lengths, state)
+            return run(params, audio, lengths, state, finalize)
 
         return pipeline
 
@@ -163,7 +167,7 @@ class AsrManager:
         fn = self._get_pipeline(b, w)
         audio = jnp.zeros((b, w), jnp.float32)
         lengths = jnp.full((b,), w, jnp.int32)
-        res, _ = fn(self.models.params, audio, lengths)
+        res, _ = fn(self.models.params, audio, lengths, jnp.zeros((b,), bool))
         jax.block_until_ready(res.tokens)
 
     # ------------------------------------------------------------ transcribe
@@ -175,8 +179,15 @@ class AsrManager:
         language: str | None = None,
         decoder_state=None,
         previous_tokens: list[int] | None = None,
+        finalize: bool = True,
     ) -> ASRResult:
         """Transcribe an array or file.
+
+        `finalize=True` (the default — reference single-chunk calls are
+        "always first and last", `AsrManager+Transcription.swift:23`) runs
+        the decoder's last-chunk flush; streaming callers decoding an
+        intermediate window pass False (reference
+        `SlidingWindowAsrManager.swift:409` `isLastChunk: isLastWindow`).
 
         `language` enables decode-time script filtering (reference
         `AsrManager.transcribe(..., language:)`); `decoder_state` lets the
@@ -213,7 +224,7 @@ class AsrManager:
 
         if n <= ASRConstants.MAX_MODEL_SAMPLES:
             tokens, final_state = self._transcribe_single(
-                source, language, decoder_state
+                source, language, decoder_state, finalize
             )
         else:
             if decoder_state is not None:
@@ -226,7 +237,7 @@ class AsrManager:
                     "long-form path (>%d samples); state continuity resets",
                     ASRConstants.MAX_MODEL_SAMPLES,
                 )
-            tokens, final_state = self._transcribe_chunked(source, language)
+            tokens, final_state = self._transcribe_chunked(source, language, finalize)
 
         if previous_tokens:
             _, removed = self.remove_duplicate_token_sequence(
@@ -242,7 +253,7 @@ class AsrManager:
 
     def _transcribe_single(
         self, source: AudioSampleSource, language: str | None = None,
-        decoder_state=None,
+        decoder_state=None, finalize: bool = True,
     ) -> tuple[list[TokenWindow], Any]:
         n = source.sample_count
         width = next((b for b in _BUCKETS if b >= n), ASRConstants.MAX_MODEL_SAMPLES)
@@ -253,10 +264,15 @@ class AsrManager:
             fn = self._get_stateful_pipeline(1, width, language)
         audio = jnp.asarray(_copy_raw(source, 0, width))[None, :]
         lengths = jnp.array([n], jnp.int32)
+        # single-chunk: always first and last (reference
+        # `AsrManager+Transcription.swift:23`) -> run the finalization flush
+        # unless a streaming caller marked this an intermediate window
+        finalize = jnp.array([finalize], bool)
         if decoder_state is None:
-            result, _ = fn(self.models.params, audio, lengths)
+            result, _ = fn(self.models.params, audio, lengths, finalize)
         else:
-            result, _ = fn(self.models.params, audio, lengths, decoder_state)
+            result, _ = fn(self.models.params, audio, lengths, decoder_state,
+                           finalize)
         return self._extract_tokens(result, row=0, frame_offset=0), result.state
 
     def _get_stateful_pipeline(self, batch: int, window_samples: int,
@@ -269,7 +285,8 @@ class AsrManager:
         return self._pipeline_cache[key]
 
     def _transcribe_chunked(
-        self, source: AudioSampleSource, language: str | None = None
+        self, source: AudioSampleSource, language: str | None = None,
+        finalize: bool = True,
     ) -> tuple[list[TokenWindow], Any]:
         cp = ChunkProcessor(source)
         layout, windows = cp.plan_windows(
@@ -288,10 +305,13 @@ class AsrManager:
             group = windows[i : i + B]
             audio = np.zeros((B, W), pack_dtype)
             lengths = np.zeros((B,), np.int32)
+            fin_row = np.zeros((B,), bool)
             for r, w in enumerate(group):
                 audio[r, : w.read_count] = _copy_raw(source, w.read_start, w.read_count)
                 lengths[r] = w.read_count
-            result, _ = fn(self.models.params, jnp.asarray(audio), jnp.asarray(lengths))
+                fin_row[r] = w.is_last and finalize  # last window runs the flush
+            result, _ = fn(self.models.params, jnp.asarray(audio),
+                           jnp.asarray(lengths), jnp.asarray(fin_row))
             for r, w in enumerate(group):
                 window_tokens = self._extract_tokens(result, row=r, frame_offset=w.frame_offset)
                 merged = cp.merge_chunks(

@@ -164,7 +164,9 @@ class SlidingWindowAsrManager:
         window = session.buffer[win_start - session.base : win_end - session.base]
 
         try:
-            result = self.manager.transcribe(window)
+            # only the stream's final window runs the decoder's last-chunk
+            # flush (reference `SlidingWindowAsrManager.swift:409`)
+            result = self.manager.transcribe(window, finalize=flush)
         except Exception as e:  # absorb per-window failures (reference behavior)
             session.error_count += 1
             logger.warning("sliding window failed (%d so far): %s", session.error_count, e)

@@ -34,6 +34,9 @@ class TdtDecodeConfig:
     max_symbols_per_step: int = 10
     max_tokens: int = 512  # per window (TdtConfig.maxTokensPerChunk)
     include_duration_confidence: bool = False
+    # last-chunk finalization flush: stop probing after this many consecutive
+    # blanks (reference `TdtConfig.consecutiveBlankLimit`)
+    consecutive_blank_limit: int = 5
     # end-of-utterance token (reference RnntDecoder.swift:31-32: eou 1024,
     # blank 1026 for the EOU 120M model). Treated as blank for decode state;
     # sets the per-row eou_detected flag. None disables.
@@ -114,6 +117,133 @@ def language_filter_rerank(
     return new_k.astype(jnp.int32), new_conf
 
 
+def _finalize_last_chunk(cfg, predictor_step, joint_logits, encoder_out,
+                         encoder_lengths, finalize_mask, final, durations,
+                         is_tdt):
+    """Reference last-chunk flush (`TdtDecoderV3.swift:469-578`), batched.
+
+    Probes up to `max_symbols_per_step` extra joint steps per finalized row,
+    cycling the frame between [current, eff-1, eff-2]; blanks accumulate and
+    `consecutive_blank_limit` of them in a row ends the row; non-blanks emit
+    (resetting the blank run) and advance by max(1, duration) clamped to eff.
+    `final` is the main loop's carry; the returned carry has the flushed
+    tokens appended and the predictor state advanced past them.
+    """
+    B, T, _ = encoder_out.shape
+    n_dur = len(cfg.durations)
+    eff = jnp.clip(encoder_lengths, 1, T)
+
+    class FinCarry(NamedTuple):
+        t: jax.Array
+        h: jax.Array
+        c: jax.Array
+        g: jax.Array
+        prev_h: jax.Array
+        prev_c: jax.Array
+        last_token: jax.Array
+        tokens: jax.Array
+        times: jax.Array
+        confs: jax.Array
+        count: jax.Array
+        steps: jax.Array  # [B] additional flush steps taken
+        blanks: jax.Array  # [B] consecutive blank run
+
+    def fin_active(carry: FinCarry) -> jax.Array:
+        return (
+            finalize_mask
+            & (carry.steps < cfg.max_symbols_per_step)
+            & (carry.blanks < cfg.consecutive_blank_limit)
+            & (carry.count < cfg.max_tokens)
+        )
+
+    def cond(carry: FinCarry) -> jax.Array:
+        return jnp.any(fin_active(carry))
+
+    def body(carry: FinCarry) -> FinCarry:
+        active = fin_active(carry)
+        # frame variations cycle: current position, last frame, second-to-last
+        # — all clamped to the row's REAL frame count (the reference's
+        # `encoderFrames.count` is the chunk's actual frames; our static [T]
+        # axis is bucket padding whose frames must never be probed)
+        v0 = jnp.clip(carry.t, 0, eff - 1)
+        v1 = jnp.clip(eff - 1, 0, T - 1)
+        v2 = jnp.clip(eff - 2, 0, T - 1)
+        variations = jnp.stack([v0, v1, v2], axis=-1)  # [B, 3]
+        frame = jnp.take_along_axis(
+            variations, (carry.steps % 3)[:, None], axis=-1
+        )[:, 0]
+        f = jnp.take_along_axis(
+            encoder_out, frame[:, None, None], axis=1
+        )[:, 0, :]
+
+        logits = joint_logits(f, carry.g)
+        if is_tdt:
+            token_logits = logits[:, : -n_dur]
+            dur = durations[jnp.argmax(logits[:, -n_dur:], axis=-1)]
+        else:
+            token_logits = logits
+            dur = jnp.zeros((B,), jnp.int32)
+        k = jnp.argmax(token_logits, axis=-1).astype(jnp.int32)
+        probs = jax.nn.softmax(token_logits.astype(jnp.float32), axis=-1)
+        conf = jnp.clip(jnp.take_along_axis(probs, k[:, None], axis=-1)[:, 0], 0.0, 1.0)
+
+        is_blank_tok = k == cfg.blank_id
+        if cfg.eou_id is not None:  # EOU never emits from the flush
+            is_blank_tok = is_blank_tok | (k == cfg.eou_id)
+        emit = active & ~is_blank_tok
+
+        pos = jnp.clip(carry.count, 0, cfg.max_tokens - 1)
+        row = jnp.arange(B)
+        stamp = jnp.minimum(carry.t, eff - 1)
+        tokens = carry.tokens.at[row, pos].set(
+            jnp.where(emit, k, carry.tokens[row, pos])
+        )
+        times = carry.times.at[row, pos].set(
+            jnp.where(emit, stamp, carry.times[row, pos])
+        )
+        confs = carry.confs.at[row, pos].set(
+            jnp.where(emit, conf, carry.confs[row, pos])
+        )
+        count = carry.count + emit.astype(jnp.int32)
+
+        new_token = jnp.where(emit, k, carry.last_token)
+        g_new, h_new, c_new = predictor_step(new_token, carry.h, carry.c)
+        sel = emit[:, None]
+        sel3 = sel[None, :, :] if h_new.ndim == 3 else sel
+        g = jnp.where(sel, g_new, carry.g)
+        prev_h = jnp.where(sel3, carry.h, carry.prev_h)
+        prev_c = jnp.where(sel3, carry.c, carry.prev_c)
+        h = jnp.where(sel3, h_new, carry.h)
+        c = jnp.where(sel3, c_new, carry.c)
+        last_token = jnp.where(emit, k, carry.last_token)
+
+        blanks = jnp.where(
+            emit, 0, carry.blanks + (active & is_blank_tok).astype(jnp.int32)
+        )
+        t = jnp.where(
+            active, jnp.minimum(carry.t + jnp.maximum(dur, 1), eff), carry.t
+        )
+        steps = carry.steps + active.astype(jnp.int32)
+        return FinCarry(t, h, c, g, prev_h, prev_c, last_token,
+                        tokens, times, confs, count, steps, blanks)
+
+    init = FinCarry(
+        t=final.t, h=final.h, c=final.c, g=final.g,
+        prev_h=final.prev_h, prev_c=final.prev_c,
+        last_token=final.last_token,
+        tokens=final.tokens, times=final.times, confs=final.confs,
+        count=final.count,
+        steps=jnp.zeros((B,), jnp.int32),
+        blanks=jnp.zeros((B,), jnp.int32),
+    )
+    fin = jax.lax.while_loop(cond, body, init)
+    return final._replace(
+        t=fin.t, h=fin.h, c=fin.c, g=fin.g,
+        prev_h=fin.prev_h, prev_c=fin.prev_c, last_token=fin.last_token,
+        tokens=fin.tokens, times=fin.times, confs=fin.confs, count=fin.count,
+    )
+
+
 def tdt_greedy_decode(
     cfg: TdtDecodeConfig,
     predictor_step: Callable[[jax.Array, jax.Array, jax.Array], tuple[jax.Array, jax.Array, jax.Array]],
@@ -122,6 +252,7 @@ def tdt_greedy_decode(
     encoder_lengths: jax.Array,  # [B] int32
     state: TdtDecodeState | None = None,
     allowed_mask: jax.Array | None = None,  # [V] bool language filter
+    finalize_mask: jax.Array | None = None,  # [B] bool: row is a last chunk
 ) -> TdtResult:
     """Greedy TDT decode over a batch of encoder outputs.
 
@@ -129,6 +260,16 @@ def tdt_greedy_decode(
     [B, vocab+1+n_dur]`. Both must be jit-traceable (e.g. bound flax applies).
     `allowed_mask` enables decode-time script filtering (see
     `language_filter_rerank`; reference `TdtDecoderV3.swift:33-78`).
+
+    `finalize_mask` marks rows decoding the LAST chunk of their utterance:
+    after the main loop those rows run the reference's last-chunk
+    finalization flush (`TdtDecoderV3.swift:469-578`) — probe frames cycling
+    [current, eff-1, eff-2] for up to `max_symbols_per_step` extra steps,
+    stopping after `consecutive_blank_limit` consecutive blanks, emitting any
+    pending trailing tokens with timestamp `min(t, eff-1)`. The language
+    filter deliberately does NOT run in the flush (reference note at
+    `TdtDecoderV3.swift:601-604`). Finalized rows return `time_jump == 0`
+    (the reference returns nil for last chunks).
     """
     B, T, _ = encoder_out.shape
     durations = jnp.asarray(cfg.durations, jnp.int32)
@@ -261,8 +402,16 @@ def tdt_greedy_decode(
 
     final = jax.lax.while_loop(cond, body, init)
 
+    if finalize_mask is not None:
+        final = _finalize_last_chunk(
+            cfg, predictor_step, joint_logits, encoder_out, encoder_lengths,
+            finalize_mask, final, durations, is_tdt,
+        )
+
     # frames the decode overshot past this window's end, carried to the next
     time_jump = jnp.maximum(final.t - encoder_lengths, 0)
+    if finalize_mask is not None:
+        time_jump = jnp.where(finalize_mask, 0, time_jump)
 
     return TdtResult(
         tokens=final.tokens,

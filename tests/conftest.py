@@ -43,7 +43,16 @@ try:
     )
 except OSError:
     _flags = platform.processor()
-_cpu_key = hashlib.sha256(_flags.encode()).hexdigest()[:12]
+# key on local cpuinfo AND the jax version. Note the remote-compile relay
+# (PALLAS_AXON_REMOTE_COMPILE) builds AOT artifacts on ITS host, so entries
+# cached in one round can mismatch the relay of a later round (cpu_aot_loader
+# warns about feature mismatches and numerics may differ per compile host) —
+# differential tests must therefore never compare results across *different*
+# compiled programs, only within one program (see
+# test_chunked_merge_invariant_to_completion_grouping).
+_cpu_key = hashlib.sha256(
+    (_flags + jax.__version__).encode()
+).hexdigest()[:12]
 jax.config.update(
     "jax_compilation_cache_dir",
     f"/root/.cache/fluidaudio/jax_cache_cpu_{_cpu_key}",

@@ -64,24 +64,75 @@ def test_deterministic(manager):
 
 
 def test_chunked_merge_invariant_to_completion_grouping():
-    """The final transcript must not depend on how windows were grouped into
-    device batches (parallel_chunk_batch 1/2/3) — the TPU analog of the
-    reference worker pool's out-of-order chunk-completion determinism
-    (`ChunkProcessorTests`/`ChunkMergeTests`): whatever order/grouping
-    decodes complete in, merging by window index yields one canonical
-    result, and bucket padding must not leak into real rows."""
+    """The final transcript must not depend on HOW windows were packed into
+    device-batch rows — the TPU analog of the reference worker pool's
+    out-of-order chunk-completion determinism
+    (`ChunkProcessorTests`/`ChunkMergeTests`): whatever order/row a window
+    decodes in, merging by window index yields one canonical result, and
+    bucket padding must not leak into real rows.
+
+    All packings run through the SAME compiled program (one batch size):
+    bitwise row stability across *different* XLA programs (different batch
+    sizes) is not a TPU contract — persistent-cache entries can even come
+    from a different compile host — so the reference contract is pinned at
+    constant program + varying packing/order, which IS deterministic."""
+    import jax.numpy as jnp
+
+    from fluidaudio_tpu.asr.chunk import ChunkProcessor
+    from fluidaudio_tpu.utils.audio_source import ArrayAudioSource
+
     rng = np.random.RandomState(7)
     # plain gaussian: seeded-random weights stay blank-dominated on
     # AM-modulated noise, which would make this check vacuous (0 tokens)
     audio = (rng.randn(700_000) * 0.1).astype(np.float32)  # ~43.75 s
 
-    outs = []
-    for bs in (1, 2, 3):
-        models = AsrModels.load("test-tiny", allow_random_init=True)
-        m = AsrManager(models, ASRConfig(parallel_chunk_batch=bs,
-                                         tdt=TdtConfig(max_tokens_per_chunk=128)))
-        r = m.transcribe(audio)
-        outs.append((r.text, [(tt.token_id, round(tt.start_time, 3))
-                              for tt in r.token_timings]))
-    assert outs[0] == outs[1] == outs[2]
-    assert outs[0][1], "0 tokens emitted — determinism check is vacuous"
+    models = AsrModels.load("test-tiny", allow_random_init=True)
+    B = 3
+    m = AsrManager(models, ASRConfig(parallel_chunk_batch=B,
+                                     tdt=TdtConfig(max_tokens_per_chunk=128)))
+    baseline = m.transcribe(audio)
+    base_tokens = [(tt.token_id, round(tt.start_time, 3))
+                   for tt in baseline.token_timings]
+    assert base_tokens, "0 tokens emitted — determinism check is vacuous"
+
+    source = ArrayAudioSource(audio)
+    cp = ChunkProcessor(source)
+    layout, windows = cp.plan_windows(
+        mel_chunk_context=m.config.mel_chunk_context,
+        model_version=models.spec.name,
+    )
+    assert len(windows) >= 3
+    W = layout.window_samples
+    fn = m._get_pipeline(B, W)
+
+    # simulate out-of-order completion: decode windows in a shuffled order
+    # and odd groupings, then merge by original window index
+    order = list(range(len(windows)))
+    rng.shuffle(order)
+    per_window: dict[int, list] = {}
+    for g in range(0, len(order), B):
+        group = order[g : g + B]
+        buf = np.zeros((B, W), np.float32)
+        lengths = np.zeros((B,), np.int32)
+        finalize = np.zeros((B,), bool)
+        for r, wi in enumerate(group):
+            w = windows[wi]
+            buf[r, : w.read_count] = source.copy_samples(w.read_start, w.read_count)
+            lengths[r] = w.read_count
+            finalize[r] = w.is_last
+        result, _ = fn(m.models.params, jnp.asarray(buf),
+                       jnp.asarray(lengths), jnp.asarray(finalize))
+        for r, wi in enumerate(group):
+            per_window[wi] = m._extract_tokens(
+                result, row=r, frame_offset=windows[wi].frame_offset
+            )
+
+    merged: list = []
+    for wi in range(len(windows)):
+        merged = cp.merge_chunks(merged, per_window[wi], m._splice_safe,
+                                 m._case_canon)
+    merged = cp.collapse_seam_word_duplicates(merged, models.tokenizer.vocabulary)
+    shuffled_tokens = [
+        (tw.token, round(tw.timestamp * 0.08, 3)) for tw in merged
+    ]
+    assert shuffled_tokens == base_tokens

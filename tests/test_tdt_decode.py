@@ -198,3 +198,113 @@ def test_carried_state_roundtrip_matches_single_decode(modules):
             np.asarray(r2.tokens[b][: int(r2.counts[b])])
         )
         assert got == want, (b, got, want)
+
+
+# --------------------------------------------------------------------------
+# Last-chunk finalization flush (TdtDecoderV3.swift:469-578,
+# TdtDecoderChunkTests.swift: testLastChunkFinalizationFrameVariations /
+# testConsecutiveBlankLimitInFinalization / testLastChunkTimestampCalculation)
+# --------------------------------------------------------------------------
+
+
+def _run(modules, cfg, enc, lengths, finalize=None, joint_override=None):
+    predictor, pparams, joint, jparams = modules
+
+    def predictor_step(tokens, h, c):
+        return predictor.apply(pparams, tokens, h, c)
+
+    def joint_logits(f, g):
+        logits = joint.apply(jparams, f, g)
+        return joint_override(logits) if joint_override else logits
+
+    state = make_initial_state(cfg, PCFG.n_layers, PCFG.pred_hidden, enc.shape[0])
+    return tdt_greedy_decode(
+        cfg, predictor_step, joint_logits, jnp.asarray(enc),
+        jnp.asarray(lengths), state,
+        finalize_mask=None if finalize is None else jnp.asarray(finalize),
+    )
+
+
+def test_finalize_flush_emits_pending_tokens(modules):
+    """A joint that keeps proposing non-blanks at the boundary frames emits
+    up to max_symbols_per_step extra tokens from the flush."""
+    B, T = 2, 6
+    rng = np.random.RandomState(3)
+    enc = rng.randn(B, T, PCFG.enc_hidden).astype(np.float32)
+    lengths = np.array([T, T], np.int32)
+
+    def never_blank(logits):
+        logits = logits.at[:, DCFG.blank_id].set(-1e9)
+        nd = len(DCFG.durations)
+        # duration bin -> 4 so the main loop exits in 2 steps/row
+        return logits.at[:, -nd:].set(jnp.array([0.0, 0, 0, 0, 10.0]))
+
+    base = _run(modules, DCFG, enc, lengths, joint_override=never_blank)
+    flushed = _run(modules, DCFG, enc, lengths,
+                   finalize=np.array([True, True]), joint_override=never_blank)
+    for b in range(B):
+        extra = int(flushed.counts[b]) - int(base.counts[b])
+        assert extra == DCFG.max_symbols_per_step, (b, extra)
+        # flush timestamps are clamped to the last valid frame
+        n = int(flushed.counts[b])
+        assert np.all(np.asarray(flushed.token_times[b][:n]) <= T - 1)
+    # finalized rows report no overshoot carry
+    assert np.all(np.asarray(flushed.state.time_jump) == 0)
+
+
+def test_finalize_flush_stops_on_consecutive_blanks(modules):
+    """All-blank joints terminate the flush after consecutive_blank_limit
+    probes with zero extra emissions."""
+    B, T = 1, 5
+    enc = np.zeros((B, T, PCFG.enc_hidden), np.float32)
+    lengths = np.array([T], np.int32)
+
+    def always_blank(logits):
+        return logits.at[:, DCFG.blank_id].set(1e9)
+
+    base = _run(modules, DCFG, enc, lengths, joint_override=always_blank)
+    flushed = _run(modules, DCFG, enc, lengths, finalize=np.array([True]),
+                   joint_override=always_blank)
+    assert int(base.counts[0]) == 0
+    assert int(flushed.counts[0]) == 0
+
+
+def test_finalize_mask_false_row_is_untouched(modules):
+    """Mixed batch: the non-finalized row must decode exactly as without any
+    flush (including its time_jump carry)."""
+    rng = np.random.RandomState(7)
+    B, T = 2, 16
+    enc = rng.randn(B, T, PCFG.enc_hidden).astype(np.float32) * 2.0
+    lengths = np.array([T, 12], np.int32)
+
+    base = _run(modules, DCFG, enc, lengths)
+    mixed = _run(modules, DCFG, enc, lengths, finalize=np.array([True, False]))
+
+    n = int(base.counts[1])
+    assert int(mixed.counts[1]) == n
+    assert list(np.asarray(mixed.tokens[1][:n])) == list(np.asarray(base.tokens[1][:n]))
+    assert int(mixed.state.time_jump[1]) == int(base.state.time_jump[1])
+    # ...while the finalized row's carry is zeroed (reference returns nil)
+    assert int(mixed.state.time_jump[0]) == 0
+
+
+def test_finalize_flush_advances_predictor_state(modules):
+    """Flushed emissions must update last_token/LSTM state like main-loop
+    emissions (reference updates hypothesis.decState in the flush)."""
+    B, T = 1, 4
+    rng = np.random.RandomState(9)
+    enc = rng.randn(B, T, PCFG.enc_hidden).astype(np.float32)
+    lengths = np.array([T], np.int32)
+
+    def never_blank(logits):
+        logits = logits.at[:, DCFG.blank_id].set(-1e9)
+        nd = len(DCFG.durations)
+        return logits.at[:, -nd:].set(jnp.array([0.0, 0, 0, 0, 10.0]))
+
+    base = _run(modules, DCFG, enc, lengths, joint_override=never_blank)
+    flushed = _run(modules, DCFG, enc, lengths, finalize=np.array([True]),
+                   joint_override=never_blank)
+    n = int(flushed.counts[0])
+    assert int(flushed.state.last_token[0]) == int(flushed.tokens[0][n - 1])
+    # flush emitted something beyond the main loop, so the carry differs
+    assert n > int(base.counts[0])
