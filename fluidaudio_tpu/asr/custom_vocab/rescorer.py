@@ -137,6 +137,20 @@ def normalize_for_similarity(text: str) -> str:
     return " ".join(_NORM_DROP.sub("", text.lower()).split())
 
 
+def is_word_boundary(token: str) -> bool:
+    """True if the piece starts a new word: leading `▁` (SentencePiece) or
+    space (reference `VocabularyRescorer+Utilities.swift:155-157`)."""
+    return token.startswith(ASRConstants.SENTENCEPIECE_WORD_BOUNDARY) or token.startswith(" ")
+
+
+def strip_word_boundary_prefix(token: str) -> str:
+    """Drop ONE leading `▁`/space if present; internal markers stay
+    (reference `VocabularyRescorer+Utilities.swift:165-170`)."""
+    if is_word_boundary(token):
+        return token[1:]
+    return token
+
+
 def string_similarity(a: str, b: str) -> float:
     from fluidaudio_tpu.asr.custom_vocab.bktree import _edit_distance
 

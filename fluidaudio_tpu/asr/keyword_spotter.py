@@ -31,6 +31,24 @@ logger = get_logger("asr.kws")
 CHUNK_SAMPLES = 240_000  # 15 s
 OVERLAP_SAMPLES = 32_000  # 2 s
 FRAME_SECONDS = 0.08
+OVERLAP_FRAMES = OVERLAP_SAMPLES // 1280  # 25 encoder frames
+
+
+def merge_overlap_frames(existing: np.ndarray, incoming: np.ndarray) -> np.ndarray:
+    """Probability-space mean of two log-prob blocks: `logmeanexp(a, b) =
+    logaddexp(a, b) - log 2` (reference
+    `CtcKeywordSpotter+Inference.swift:329-345`). Equal inputs return
+    themselves; both `-inf` propagates; one `-inf` defers to the other
+    minus log 2; max-shifted so -50-ish log-probs stay finite."""
+    existing = np.asarray(existing, np.float32)
+    incoming = np.asarray(incoming, np.float32)
+    v = min(len(existing), len(incoming))
+    if v == 0:
+        return existing
+    merged = np.logaddexp(existing[:v], incoming[:v]) - np.float32(np.log(2.0))
+    if len(existing) > v:
+        return np.concatenate([merged, existing[v:]])
+    return merged.astype(np.float32)
 
 
 @dataclass(frozen=True)
@@ -106,7 +124,11 @@ class CtcKeywordSpotter:
 
         stride = CHUNK_SAMPLES - OVERLAP_SAMPLES
         fn = self._log_probs_fn(CHUNK_SAMPLES)
-        spots: list[KeywordSpot] = []
+        # concatenate all chunks' log-probs into ONE buffer, merging the 2 s
+        # overlaps probability-space (logmeanexp), then spot once over the
+        # whole recording — keywords spanning chunk boundaries survive
+        # (reference `CtcKeywordSpotter+Inference.swift:106-139`)
+        canvas: np.ndarray | None = None
         for start in range(0, max(1, samples.size), stride):
             seg = samples[start : start + CHUNK_SAMPLES]
             if seg.size < 4000 and start > 0:
@@ -118,25 +140,26 @@ class CtcKeywordSpotter:
                 jnp.asarray(buf)[None, :], jnp.array([seg.size], jnp.int32),
             )
             n = int(enc_len[0])
-            chunk_spots = spot_keywords(
-                np.asarray(lp[0][:n]), keywords, self.cfg.blank_id,
-                min_score=self.cfg.min_score, temperature=self.cfg.temperature,
-                blank_bias=self.cfg.blank_bias,
-            )
-            frame_offset = start // 1280
-            for s in chunk_spots:
-                spots.append(
-                    KeywordSpot(
-                        keyword=s.keyword,
-                        start_frame=s.start_frame + frame_offset,
-                        end_frame=s.end_frame + frame_offset,
-                        score=s.score,
-                        raw_score=s.raw_score,
+            chunk_lp = np.asarray(lp[0][:n], np.float32)
+            if canvas is None or start == 0:
+                canvas = chunk_lp
+            else:
+                ov = min(OVERLAP_FRAMES, len(canvas), len(chunk_lp))
+                if ov > 0:
+                    canvas[len(canvas) - ov :] = merge_overlap_frames(
+                        canvas[len(canvas) - ov :], chunk_lp[:ov]
                     )
-                )
+                if ov < len(chunk_lp):
+                    canvas = np.concatenate([canvas, chunk_lp[ov:]])
             if start + CHUNK_SAMPLES >= samples.size:
                 break
-        return _dedupe_spots(spots)
+        if canvas is None or not len(canvas):
+            return []
+        return spot_keywords(
+            canvas, keywords, self.cfg.blank_id,
+            min_score=self.cfg.min_score, temperature=self.cfg.temperature,
+            blank_bias=self.cfg.blank_bias,
+        )
 
 
 def _dedupe_spots(spots: list[KeywordSpot]) -> list[KeywordSpot]:

@@ -79,17 +79,34 @@ class NemotronMultilingualMetadata:
 
     @classmethod
     def load(cls, path):
+        """Parse metadata.json. Unreadable/invalid JSON and a non-object
+        root RAISE (reference `testLoadInvalidJsonFormatThrows` /
+        `testLoadJsonArrayInsteadOfDictionaryThrows`); missing or
+        wrong-typed keys fall back to defaults
+        (`testLoadPartialJsonUsesDefaults` / `testLoadJsonWithWrongTypes`)."""
         import json as _json
 
-        try:
-            meta = _json.loads(Path(path).read_text())
-        except (OSError, ValueError):
-            return cls()
+        meta = _json.loads(Path(path).read_text())
+        if not isinstance(meta, dict):
+            raise ValueError(f"{path}: metadata root must be a JSON object")
+
+        def _int(key: str, default: int) -> int:
+            v = meta.get(key)
+            return v if isinstance(v, int) and not isinstance(v, bool) else default
+
+        pd = meta.get("prompt_dictionary")
+        tags = meta.get("lang_tag_token_ids")
         return cls(
-            num_prompts=int(meta.get("num_prompts", 128)),
-            default_prompt_id=int(meta.get("default_prompt_id", 101)),
-            prompt_dictionary=dict(meta.get("prompt_dictionary", {"auto": 101})),
-            lang_tag_token_ids=frozenset(meta.get("lang_tag_token_ids", [])),
+            num_prompts=_int("num_prompts", 128),
+            default_prompt_id=_int("default_prompt_id", 101),
+            prompt_dictionary=(
+                {k: v for k, v in pd.items() if isinstance(v, int)}
+                if isinstance(pd, dict) else {"auto": 101}
+            ),
+            lang_tag_token_ids=(
+                frozenset(t for t in tags if isinstance(t, int))
+                if isinstance(tags, list) else frozenset()
+            ),
         )
 
     def prompt_id(self, language: str | None) -> int:

@@ -24,6 +24,8 @@ def interpolate_weights(weights: np.ndarray, target_len: int) -> np.ndarray:
     src_len = weights.shape[0]
     if src_len == target_len:
         return weights.astype(np.float32)
+    if target_len <= 0 or src_len == 0:  # reference returns empty
+        return np.zeros(max(target_len, 0), np.float32)
     scale = src_len / target_len
     # half-pixel centers: out i samples src at (i + 0.5) * scale - 0.5
     pos = (np.arange(target_len) + 0.5) * scale - 0.5

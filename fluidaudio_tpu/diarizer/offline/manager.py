@@ -48,6 +48,7 @@ class OfflineDiarizerManager:
         rng_seed: int = 0,
     ):
         self.config = config or OfflineDiarizerConfig()
+        self.config.validate()  # fail fast on bad stage params (reference)
         seg_model = PyannoteSegmentation()
         embedder = WeSpeakerEmbedder()
         fbank = make_fbank_frontend()

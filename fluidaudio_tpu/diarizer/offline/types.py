@@ -56,3 +56,62 @@ class OfflineDiarizerConfig:
     clustering: ClusteringOptions = field(default_factory=ClusteringOptions)
     vbx: VBxOptions = field(default_factory=VBxOptions)
     post: PostProcessingOptions = field(default_factory=PostProcessingOptions)
+
+    def validate(self) -> None:
+        """Raise ValueError on out-of-range stage parameters (reference
+        `OfflineDiarizerConfig.validate()`, `OfflineDiarizerTypes.swift` —
+        messages name the offending stage.field like the reference's)."""
+        if not (0.0 < self.clustering.ahc_threshold <= 1.0):
+            raise ValueError(
+                f"clustering.threshold must be in (0, 1], got {self.clustering.ahc_threshold}"
+            )
+        if self.embedding.batch_size < 1:
+            raise ValueError(
+                f"embedding.batch_size must be >= 1, got {self.embedding.batch_size}"
+            )
+        if self.post.min_duration_on < 0 or self.post.min_duration_off < 0:
+            raise ValueError("post.min_duration_on/off must be >= 0")
+        if self.segmentation.window_seconds <= 0:
+            raise ValueError(
+                f"segmentation.window_seconds must be > 0, got {self.segmentation.window_seconds}"
+            )
+        if not (0.0 < self.segmentation.step_ratio <= 1.0):
+            raise ValueError(
+                f"segmentation.step_ratio must be in (0, 1], got {self.segmentation.step_ratio}"
+            )
+        if self.vbx.max_iterations < 1:
+            raise ValueError(
+                f"vbx.max_iterations must be >= 1, got {self.vbx.max_iterations}"
+            )
+        if self.clustering.num_speakers == -1:
+            if self.clustering.min_speakers > self.clustering.max_speakers:
+                raise ValueError("clustering.min_speakers > max_speakers")
+        elif self.clustering.num_speakers < 1:
+            raise ValueError(
+                f"clustering.num_speakers must be >= 1 (or -1 for auto), got {self.clustering.num_speakers}"
+            )
+
+    def with_speakers(
+        self,
+        min_speakers: int | None = None,
+        max_speakers: int | None = None,
+        exactly: int | None = None,
+    ) -> "OfflineDiarizerConfig":
+        """Convenience copy with speaker-count constraints (reference
+        `OfflineDiarizerConfig.withSpeakers(min:max:)`/`(exactly:)`).
+        `exactly` overrides min/max."""
+        import dataclasses
+
+        if exactly is not None:
+            clustering = dataclasses.replace(self.clustering, num_speakers=exactly)
+        else:
+            clustering = dataclasses.replace(
+                self.clustering,
+                min_speakers=(
+                    min_speakers if min_speakers is not None else self.clustering.min_speakers
+                ),
+                max_speakers=(
+                    max_speakers if max_speakers is not None else self.clustering.max_speakers
+                ),
+            )
+        return dataclasses.replace(self, clustering=clustering)

@@ -46,6 +46,18 @@ class SortformerConfig:
     update_period: int = 31
     dtype: str = "float32"
 
+    # reference constraint floors (`SortformerTypes.swift` init clamping):
+    # chunkLen >= 1; spkcacheLen >= (1 + silFramesPerSpk) * numSpeakers = 16;
+    # updatePeriod in [chunkLen, fifoLen + chunkLen]
+    def __post_init__(self):
+        object.__setattr__(self, "chunk_frames", max(1, self.chunk_frames))
+        object.__setattr__(self, "spkcache_len", max(16, self.spkcache_len))
+        clamped = max(
+            min(self.update_period, self.fifo_len + self.chunk_frames),
+            self.chunk_frames,
+        )
+        object.__setattr__(self, "update_period", clamped)
+
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
@@ -53,6 +65,20 @@ class SortformerConfig:
     @property
     def per_speaker_quota(self) -> int:
         return self.spkcache_len // NUM_SPEAKERS  # 47
+
+    @property
+    def frame_duration_seconds(self) -> float:
+        return FRAME_SECONDS
+
+    def is_compatible(self, other: "SortformerConfig") -> bool:
+        """Same state-tensor shapes => streaming states are interchangeable
+        (reference `SortformerConfig.isCompatible(with:)`)."""
+        return (
+            self.spkcache_len == other.spkcache_len
+            and self.fifo_len == other.fifo_len
+            and self.chunk_frames == other.chunk_frames
+            and self.d_model == other.d_model
+        )
 
 
 # presets (reference SortformerTypes.swift:9-180)

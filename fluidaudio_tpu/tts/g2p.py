@@ -217,8 +217,15 @@ class EnglishG2P:
 
     def phonemize(self, text: str) -> str:
         """Text -> Misaki-style IPA: words joined by single spaces, kept
-        punctuation attached to the preceding word."""
+        punctuation attached to the preceding word.
+
+        Raises ValueError on empty input and when no word resolves to any
+        phonemes (reference KokoroAneEnglishPhonemizer `.emptyInput` /
+        `.nothingResolved` throws)."""
+        if not text.strip():
+            raise ValueError("empty input: nothing to phonemize")
         parts: list[str] = []
+        had_word = False
         for token in split_words(text.strip()):
             if not token:
                 continue
@@ -230,9 +237,12 @@ class EnglishG2P:
                 else:
                     parts.append(token)
                 continue
+            had_word = True
             ipa = self.word_to_phonemes(token)
             if ipa:
                 parts.append(ipa)
+        if had_word and not parts:
+            raise ValueError(f"no word in {text!r} resolved to phonemes")
         return " ".join(parts)
 
 

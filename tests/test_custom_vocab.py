@@ -350,3 +350,188 @@ class TestRescorerUtilities:
         tokenizer = Tokenizer({0: "▁liv", 1: "marli", 2: "liv"})
         variants = encode_variants(tokenizer, "livmarli")
         assert [0, 1] in variants and [2, 1] in variants
+
+
+# --------------------------------------------------------------------------
+# Rescorer string utilities (VocabularyRescorerUtilsTests.swift:9-96)
+# --------------------------------------------------------------------------
+
+
+class TestStringSimilarity:
+    def test_identical_strings(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import string_similarity
+
+        assert string_similarity("hello", "hello") == pytest.approx(1.0)
+
+    def test_completely_different(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import string_similarity
+
+        assert string_similarity("abc", "xyz") == pytest.approx(0.0)
+
+    def test_case_insensitive(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import string_similarity
+
+        assert string_similarity("Hello", "hello") == pytest.approx(1.0)
+
+    def test_one_char_difference(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import string_similarity
+
+        assert string_similarity("hello", "hallo") == pytest.approx(0.8)
+
+    def test_both_empty(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import string_similarity
+
+        assert string_similarity("", "") == pytest.approx(1.0)
+
+    def test_one_empty(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import string_similarity
+
+        assert string_similarity("abc", "") == pytest.approx(0.0)
+
+    def test_length_penalty_equal_length_is_base(self):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+            length_penalized_similarity,
+            string_similarity,
+        )
+
+        a, b = "kubernetes", "kubernetes"
+        assert length_penalized_similarity(a, b) == pytest.approx(
+            string_similarity(a, b)
+        )
+
+    def test_length_penalty_shorter_compound(self):
+        import math
+
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+            length_penalized_similarity,
+            string_similarity,
+        )
+
+        base = string_similarity("kube", "kubernetes")
+        ratio = 4 / 10
+        assert length_penalized_similarity("kube", "kubernetes") == pytest.approx(
+            base * math.sqrt(ratio)
+        )
+
+
+class TestNormalizeForSimilarity:
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("Hello, World!", "hello world"),
+            ("don't", "don't"),
+            ("twenty-one", "twenty-one"),
+            ("a   b\tc\nd", "a b c d"),
+            ("", ""),
+            ("Model 123", "model 123"),
+        ],
+    )
+    def test_normalize_matrix(self, raw, expected):
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import normalize_for_similarity
+
+        assert normalize_for_similarity(raw) == expected
+
+
+# --------------------------------------------------------------------------
+# BK-tree edge scenarios (BKTreeTests.swift:15-113)
+# --------------------------------------------------------------------------
+
+
+class TestBKTreeEdges:
+    def _tree(self, words=()):
+        from fluidaudio_tpu.asr.custom_vocab.bktree import BKTree
+
+        t = BKTree()
+        for w in words:
+            t.insert(w)
+        return t
+
+    def test_empty_tree(self):
+        t = self._tree()
+        assert len(t) == 0
+        assert t.search("anything", 2) == []
+
+    def test_single_term(self):
+        t = self._tree(["hello"])
+        assert len(t) == 1
+        assert [m[0] for m in t.search("hello", 0)] == ["hello"]
+
+    def test_exact_match_distance_zero(self):
+        t = self._tree(["alpha", "beta", "gamma"])
+        hits = t.search("beta", 0)
+        assert [h[0] for h in hits] == ["beta"]
+        assert hits[0][1] == 0
+
+    def test_fuzzy_distance_1_and_2(self):
+        t = self._tree(["kubernetes"])
+        assert t.search("kubernete", 1)  # deletion
+        assert t.search("kubernetez", 1)  # substitution
+        assert t.search("kubernet", 2)
+        assert t.search("kubern", 2) == []  # distance 4
+
+    def test_max_distance_zero_miss(self):
+        t = self._tree(["hello"])
+        assert t.search("hallo", 0) == []
+
+    def test_multiple_matches_returned(self):
+        t = self._tree(["cat", "bat", "rat", "dog"])
+        hits = {h[0] for h in t.search("hat", 1)}
+        assert hits == {"cat", "bat", "rat"}
+
+    def test_single_character_terms(self):
+        t = self._tree(["a", "b", "c"])
+        assert {h[0] for h in t.search("a", 1)} >= {"a", "b", "c"}
+        assert {h[0] for h in t.search("a", 0)} == {"a"}
+
+
+# --------------------------------------------------------------------------
+# Size-aware threshold hierarchy (ContextBiasingConstantsTests.swift:19-102)
+# --------------------------------------------------------------------------
+
+
+def test_size_aware_threshold_hierarchy():
+    from fluidaudio_tpu.asr.custom_vocab.context import _size_aware_min_similarity
+
+    small = _size_aware_min_similarity(10)
+    medium = _size_aware_min_similarity(100)
+    large = _size_aware_min_similarity(500)
+    # larger vocabularies demand stricter matches
+    assert small <= medium <= large
+    for v in (small, medium, large):
+        assert 0.0 < v <= 1.0
+
+
+def test_size_aware_threshold_monotone_in_vocab_size():
+    from fluidaudio_tpu.asr.custom_vocab.context import _size_aware_min_similarity
+
+    values = [_size_aware_min_similarity(n) for n in (1, 50, 51, 200, 201, 1000)]
+    assert values == sorted(values)
+
+
+def test_per_term_threshold_respects_caller_when_stricter():
+    from fluidaudio_tpu.asr.custom_vocab.context import (
+        CustomVocabularyContext,
+        VocabularyTerm,
+    )
+
+    terms = [VocabularyTerm(text="kubernetes", min_similarity=0.95)]
+    ctx = CustomVocabularyContext(terms)
+    # caller threshold stricter than the size-aware default wins
+    assert ctx.min_similarity(terms[0]) == pytest.approx(0.95)
+
+
+def test_per_term_threshold_falls_back_to_size_aware_default():
+    from fluidaudio_tpu.asr.custom_vocab.context import (
+        CustomVocabularyContext,
+        VocabularyTerm,
+    )
+
+    terms = [VocabularyTerm(text="kubernetes")]
+    ctx = CustomVocabularyContext(terms)
+    assert ctx.min_similarity(terms[0]) == pytest.approx(ctx.default_min_similarity)
+
+
+def test_wildcard_token_id_constant():
+    from fluidaudio_tpu.asr.custom_vocab.context import WILDCARD_TOKEN_ID
+
+    assert WILDCARD_TOKEN_ID < 0  # can never collide with a real vocab id

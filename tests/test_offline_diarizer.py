@@ -145,3 +145,201 @@ def test_vbx_hmm_smooths_isolated_flips():
     assert labels[20] == labels[19] == labels[21]
     # and the two runs stay distinct
     assert labels[0] != labels[-1]
+
+
+# --------------------------------------------------------------------------
+# AHC clustering scenarios (AHCClusteringTests.swift:12-104)
+# --------------------------------------------------------------------------
+
+
+def test_ahc_empty_returns_empty():
+    from fluidaudio_tpu.diarizer.offline.ahc import ahc_cluster
+
+    assert ahc_cluster(np.zeros((0, 8)), 0.6).shape == (0,)
+
+
+def test_ahc_single_embedding_single_cluster():
+    from fluidaudio_tpu.diarizer.offline.ahc import ahc_cluster
+
+    labels = ahc_cluster(np.random.RandomState(0).randn(1, 8), 0.6)
+    assert list(labels) == [0]
+
+
+def test_ahc_identical_embeddings_cluster_together():
+    from fluidaudio_tpu.diarizer.offline.ahc import ahc_cluster
+
+    e = np.tile(np.random.RandomState(1).randn(1, 16), (6, 1))
+    labels = ahc_cluster(e, 0.3)
+    assert len(set(labels.tolist())) == 1
+
+
+def test_ahc_orthogonal_embeddings_separate_at_tight_threshold():
+    from fluidaudio_tpu.diarizer.offline.ahc import ahc_cluster
+
+    e = np.eye(4, 16)  # 4 mutually orthogonal rows
+    labels = ahc_cluster(e, 0.2)  # tight cosine-distance threshold
+    assert len(set(labels.tolist())) == 4
+
+
+def test_ahc_cluster_ids_contiguous_from_zero():
+    from fluidaudio_tpu.diarizer.offline.ahc import ahc_cluster
+
+    rng = np.random.RandomState(2)
+    a = rng.randn(1, 16)
+    b = rng.randn(1, 16)
+    e = np.concatenate([a + 0.01 * rng.randn(5, 16), b + 0.01 * rng.randn(5, 16)])
+    labels = ahc_cluster(e, 0.5)
+    uniq = sorted(set(labels.tolist()))
+    assert uniq == list(range(len(uniq)))
+
+
+def test_ahc_loose_threshold_merges_all():
+    from fluidaudio_tpu.diarizer.offline.ahc import ahc_cluster
+
+    rng = np.random.RandomState(3)
+    e = rng.randn(8, 16)
+    # cosine distance threshold ~ 2.0 == euclidean sqrt(2-2*(1-2)) covers all
+    labels = ahc_cluster(e, 2.0)
+    assert len(set(labels.tolist())) == 1
+
+
+# --------------------------------------------------------------------------
+# Weight interpolation matrix (WeightInterpolationTests.swift:10-136)
+# --------------------------------------------------------------------------
+
+
+def test_interp_identity_when_lengths_match():
+    from fluidaudio_tpu.diarizer.offline.embedding import interpolate_weights
+
+    w = np.array([0.1, 0.5, 0.9], np.float32)
+    np.testing.assert_array_equal(interpolate_weights(w, 3), w)
+
+
+def test_interp_upsampling_monotone_ramp():
+    from fluidaudio_tpu.diarizer.offline.embedding import interpolate_weights
+
+    w = np.array([0.0, 1.0], np.float32)
+    out = interpolate_weights(w, 8)
+    assert out.shape == (8,)
+    assert np.all(np.diff(out) >= 0)
+    assert out[0] == pytest.approx(0.0, abs=1e-6)  # clamped half-pixel edge
+    assert out[-1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_interp_downsampling_preserves_mean_roughly():
+    from fluidaudio_tpu.diarizer.offline.embedding import interpolate_weights
+
+    rng = np.random.RandomState(5)
+    w = rng.rand(100).astype(np.float32)
+    out = interpolate_weights(w, 25)
+    assert out.shape == (25,)
+    assert abs(out.mean() - w.mean()) < 0.05
+
+
+def test_interp_half_pixel_offset_mapping():
+    """out[i] samples src at (i + 0.5) * scale - 0.5 (scipy.ndimage.zoom
+    alignment) — for a 2x upsample of [0, 1] the quarter points appear."""
+    from fluidaudio_tpu.diarizer.offline.embedding import interpolate_weights
+
+    out = interpolate_weights(np.array([0.0, 1.0], np.float32), 4)
+    np.testing.assert_allclose(out, [0.0, 0.25, 0.75, 1.0], atol=1e-6)
+
+
+def test_interp_linear_coefficients_exact():
+    from fluidaudio_tpu.diarizer.offline.embedding import interpolate_weights
+
+    w = np.array([1.0, 3.0, 5.0, 7.0], np.float32)
+    out = interpolate_weights(w, 8)
+    # position formula: (i + 0.5) * 0.5 - 0.5
+    pos = (np.arange(8) + 0.5) * 0.5 - 0.5
+    pos = np.clip(pos, 0, 3)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, 3)
+    expect = w[lo] * (1 - (pos - lo)) + w[hi] * (pos - lo)
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+def test_interp_zero_output_length():
+    from fluidaudio_tpu.diarizer.offline.embedding import interpolate_weights
+
+    assert interpolate_weights(np.array([1.0, 2.0], np.float32), 0).shape == (0,)
+
+
+# --------------------------------------------------------------------------
+# Config validation + speaker-constraint conveniences
+# (OfflineModuleTests.swift:10-64, OfflineConfigTests.swift:7-62)
+# --------------------------------------------------------------------------
+
+
+def test_offline_config_defaults_validate():
+    from fluidaudio_tpu.diarizer.offline.types import OfflineDiarizerConfig
+
+    cfg = OfflineDiarizerConfig()
+    cfg.validate()
+    assert cfg.clustering.ahc_threshold == pytest.approx(0.6)
+    assert cfg.vbx.fa == pytest.approx(0.07)
+    assert cfg.vbx.fb == pytest.approx(0.8)
+    assert cfg.vbx.max_iterations == 20
+
+
+def test_offline_config_invalid_threshold_raises():
+    import dataclasses
+
+    from fluidaudio_tpu.diarizer.offline.types import (
+        ClusteringOptions,
+        OfflineDiarizerConfig,
+    )
+
+    cfg = OfflineDiarizerConfig(clustering=ClusteringOptions(ahc_threshold=1.5))
+    with pytest.raises(ValueError, match="clustering.threshold"):
+        cfg.validate()
+    cfg = dataclasses.replace(cfg, clustering=ClusteringOptions(ahc_threshold=0.0))
+    with pytest.raises(ValueError, match="clustering.threshold"):
+        cfg.validate()
+
+
+def test_offline_config_invalid_batch_size_raises():
+    from fluidaudio_tpu.diarizer.offline.types import (
+        EmbeddingOptions,
+        OfflineDiarizerConfig,
+    )
+
+    cfg = OfflineDiarizerConfig(embedding=EmbeddingOptions(batch_size=0))
+    with pytest.raises(ValueError, match="batch_size"):
+        cfg.validate()
+
+
+def test_offline_config_invalid_min_duration_raises():
+    from fluidaudio_tpu.diarizer.offline.types import (
+        OfflineDiarizerConfig,
+        PostProcessingOptions,
+    )
+
+    cfg = OfflineDiarizerConfig(post=PostProcessingOptions(min_duration_on=-1.0))
+    with pytest.raises(ValueError, match="min_duration"):
+        cfg.validate()
+
+
+def test_offline_config_with_speakers_min_max():
+    from fluidaudio_tpu.diarizer.offline.types import OfflineDiarizerConfig
+
+    cfg = OfflineDiarizerConfig().with_speakers(min_speakers=2, max_speakers=5)
+    assert cfg.clustering.min_speakers == 2
+    assert cfg.clustering.max_speakers == 5
+    assert cfg.clustering.num_speakers == -1  # still auto
+
+
+def test_offline_config_with_exact_speakers():
+    from fluidaudio_tpu.diarizer.offline.types import OfflineDiarizerConfig
+
+    cfg = OfflineDiarizerConfig().with_speakers(exactly=3)
+    assert cfg.clustering.num_speakers == 3
+    cfg.validate()
+
+
+def test_offline_config_min_gt_max_raises():
+    from fluidaudio_tpu.diarizer.offline.types import OfflineDiarizerConfig
+
+    cfg = OfflineDiarizerConfig().with_speakers(min_speakers=6, max_speakers=2)
+    with pytest.raises(ValueError, match="min_speakers"):
+        cfg.validate()

@@ -134,3 +134,130 @@ def test_offline_batched_windows_match_single(diarizer):
         )
     )
     np.testing.assert_allclose(batched16, batched, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Config constraints + computed properties (SortformerTypesTests.swift:11-67)
+# --------------------------------------------------------------------------
+
+
+def test_config_default_computed_properties():
+    from fluidaudio_tpu.models.sortformer import SORTFORMER_V2, FRAME_SECONDS
+
+    assert SORTFORMER_V2.per_speaker_quota == 47  # 188 // 4
+    assert SORTFORMER_V2.frame_duration_seconds == pytest.approx(0.08)
+    assert FRAME_SECONDS == pytest.approx(8 * 160 / 16000)
+
+
+def test_config_clamps_chunk_frames_to_one():
+    from fluidaudio_tpu.models.sortformer import SortformerConfig
+
+    assert SortformerConfig(chunk_frames=0).chunk_frames == 1
+    assert SortformerConfig(chunk_frames=-5).chunk_frames == 1
+
+
+def test_config_spkcache_len_floor():
+    from fluidaudio_tpu.models.sortformer import SortformerConfig
+
+    assert SortformerConfig(spkcache_len=1).spkcache_len >= 16
+
+
+def test_config_update_period_window():
+    from fluidaudio_tpu.models.sortformer import SortformerConfig
+
+    # defaults: max(min(31, 40 + 6), 6) = 31
+    assert SortformerConfig().update_period == 31
+    # below chunk length -> clamped up
+    cfg = SortformerConfig(chunk_frames=10, update_period=2)
+    assert cfg.update_period >= cfg.chunk_frames
+    # above fifo + chunk -> clamped down
+    cfg = SortformerConfig(fifo_len=8, chunk_frames=4, update_period=100)
+    assert cfg.update_period == 12
+
+
+def test_config_compatibility():
+    from fluidaudio_tpu.models.sortformer import SORTFORMER_TEST, SORTFORMER_V2
+
+    assert SORTFORMER_V2.is_compatible(SORTFORMER_V2)
+    assert not SORTFORMER_V2.is_compatible(SORTFORMER_TEST)
+
+
+# --------------------------------------------------------------------------
+# Stitcher scenarios (OfflineSortformerTests.swift:11-89)
+# --------------------------------------------------------------------------
+
+
+def test_stitcher_identity_when_aligned(diarizer):
+    rng = np.random.RandomState(11)
+    base = (rng.rand(16, NUM_SPEAKERS) > 0.5).astype(np.float32)
+    w1 = (0, base[:10])
+    w2 = (6, base[6:])  # same slot order in the overlap
+    stitched = diarizer._stitch([w1, w2])
+    np.testing.assert_allclose(stitched, base, atol=1e-6)
+
+
+def test_stitcher_soft_activity(diarizer):
+    """Continuous probabilities (not binarized) still align via correlation."""
+    rng = np.random.RandomState(12)
+    base = rng.rand(18, NUM_SPEAKERS).astype(np.float32)
+    perm = [1, 2, 3, 0]
+    w1 = (0, base[:12])
+    w2 = (6, base[6:, perm])
+    stitched = diarizer._stitch([w1, w2])
+    np.testing.assert_allclose(stitched[12:], base[12:], atol=1e-5)
+
+
+def test_stitcher_zero_frames_is_identity(diarizer):
+    out = diarizer._stitch([])
+    assert out.shape == (0, NUM_SPEAKERS)
+    single = np.random.RandomState(13).rand(5, NUM_SPEAKERS).astype(np.float32)
+    np.testing.assert_allclose(diarizer._stitch([(0, single)]), single, atol=1e-6)
+
+
+def test_stitcher_mapping_is_bijection(diarizer):
+    """Two slots with identical activity must still map to distinct outputs."""
+    T = 12
+    base = np.zeros((T, NUM_SPEAKERS), np.float32)
+    base[:, 0] = 1.0
+    base[:, 1] = 1.0  # identical twin activity
+    w1 = (0, base[:8])
+    w2 = (4, base[4:])
+    stitched = diarizer._stitch([w1, w2])
+    # both active slots survive (a non-bijective mapping would merge them)
+    active = (stitched >= 0.5).sum(axis=1)
+    assert np.all(active == 2)
+
+
+# --------------------------------------------------------------------------
+# Session continuity (SortformerStreamingIntegrationTests.swift:22-108)
+# --------------------------------------------------------------------------
+
+
+def test_process_stream_continues_frame_clock():
+    d = SortformerDiarizer(SORTFORMER_TEST, threshold=0.0)  # all frames active
+    chunk_s = d.cfg.chunk_frames * 1280
+    rng = np.random.RandomState(21)
+    a = (rng.randn(chunk_s) * 0.1).astype(np.float32)
+
+    r1 = d.process_stream(a)
+    r2 = d.process_stream(a)
+    # threshold 0 => whole-chunk segments; second call starts where first ended
+    end1 = max(s.end_time for s in r1.segments)
+    start2 = min(s.start_time for s in r2.segments)
+    assert start2 == pytest.approx(end1)
+
+    d.reset_session()
+    r3 = d.process_stream(a)
+    assert min(s.start_time for s in r3.segments) == pytest.approx(0.0)
+
+
+def test_process_is_one_shot_per_recording(diarizer):
+    """`process` must not leak state between recordings."""
+    rng = np.random.RandomState(22)
+    audio = (rng.randn(16000 * 2) * 0.1).astype(np.float32)
+    a = diarizer.process(audio)
+    b = diarizer.process(audio)
+    assert len(a.segments) == len(b.segments)
+    for x, y in zip(a.segments, b.segments):
+        assert x.start_time == pytest.approx(y.start_time)
+        assert x.end_time == pytest.approx(y.end_time)

@@ -161,3 +161,88 @@ def test_styletts2_long_input_chunks(styletts2):
     result = styletts2.synthesize(long_text)
     assert result.samples.size > short.samples.size
     assert result.sample_rate == short.sample_rate
+
+
+# --------------------------------------------------------------------------
+# StyleTTS2 glue-op scenarios (StyleTTS2GlueOpsTests.swift:10-161,
+# StyleTTS2DiffusionScheduleTests noise determinism is in scenario_parity)
+# --------------------------------------------------------------------------
+
+
+def test_round_durations_clamps_at_least_one():
+    from fluidaudio_tpu.models.styletts2 import round_durations
+
+    # large-negative logits -> sigmoid sums ~0 -> still 1 frame per token
+    out = round_durations(np.full((3, 8), -50.0, np.float32), 3)
+    assert list(out) == [1, 1, 1]
+
+
+def test_round_durations_sums_sigmoid_across_bins():
+    from fluidaudio_tpu.models.styletts2 import round_durations
+
+    # one token, 4 bins at logit 0 -> sum(sigmoid)=2.0 -> rounds to 2
+    out = round_durations(np.zeros((1, 4), np.float32), 1)
+    assert list(out) == [2]
+    # half-away-from-zero: sum = 2.5 -> 3
+    logits = np.full((1, 5), 0.0, np.float32)
+    assert list(round_durations(logits, 1)) == [3]
+
+
+def test_expand_durations_matches_alignment_matrix_semantics():
+    """frame_idx gather == the reference's one-hot alignment matmul
+    (`buildAlignmentMatrix([2,1,3])` -> frames [0,0,1,2,2,2])."""
+    from fluidaudio_tpu.models.kokoro import expand_durations
+
+    idx, total = expand_durations(np.array([2.0, 1.0, 3.0]), max_frames=8)
+    assert total == 6
+    assert list(idx[:6]) == [0, 0, 1, 2, 2, 2]
+    assert list(idx[6:]) == [0, 0]  # padding maps to token 0, masked later
+
+    # gather expands features exactly like matmulAligned
+    features = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])  # [C=2, K=3]
+    out = features[:, idx[:total]]
+    np.testing.assert_array_equal(out, [[1, 1, 2, 3, 3, 3], [4, 4, 5, 6, 6, 6]])
+
+
+def test_expand_durations_caps_total_at_max_frames():
+    from fluidaudio_tpu.models.kokoro import expand_durations
+
+    idx, total = expand_durations(np.full(10, 20.0), max_frames=50)
+    assert total <= 50
+    assert np.all(idx[:total] >= 0) and np.all(idx[:total] < 10)
+    # every token keeps at least one frame after rescaling
+    assert len(set(idx[:total].tolist())) == 10
+
+
+def test_blend_style_convex_combination():
+    from fluidaudio_tpu.models.styletts2 import blend_style
+
+    s_pred = np.concatenate([np.full((1, 128), 1.0), np.full((1, 128), 7.0)], axis=1)
+    ref_s = np.concatenate([np.full((1, 128), 3.0), np.full((1, 128), 9.0)], axis=1)
+    ref, s = blend_style(s_pred, ref_s, alpha=0.25, beta=0.75)
+    # ref = 0.25*1 + 0.75*3 = 2.5 ; s = 0.75*7 + 0.25*9 = 7.5
+    np.testing.assert_allclose(ref, 2.5)
+    np.testing.assert_allclose(s, 7.5)
+
+
+def test_blend_style_alpha_one_returns_pred_ref_half():
+    from fluidaudio_tpu.models.styletts2 import blend_style
+
+    rng = np.random.RandomState(0)
+    s_pred = rng.randn(1, 256).astype(np.float32)
+    ref_s = rng.randn(1, 256).astype(np.float32)
+    ref, s = blend_style(s_pred, ref_s, alpha=1.0, beta=0.0)
+    np.testing.assert_allclose(ref, s_pred[:, :128], atol=1e-7)
+    np.testing.assert_allclose(s, ref_s[:, 128:], atol=1e-7)
+
+
+def test_generator_output_length_matches_conv_arithmetic():
+    from fluidaudio_tpu.models.styletts2 import STYLETTS2_TEST, generator_output_length
+
+    cfg = STYLETTS2_TEST
+    L = 10
+    expect = L
+    for r, k in zip(cfg.upsample_rates, cfg.upsample_kernels):
+        p = (k - r) // 2
+        expect = (expect - 1) * r - 2 * p + k
+    assert generator_output_length(cfg, L) == expect + 1
