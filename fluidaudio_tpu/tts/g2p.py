@@ -317,8 +317,25 @@ G2P_LANGUAGES = {
         "pol", "rus", "ukr", "ces", "slk", "ron", "hun", "bul", "ell",
         "tur", "ara", "heb", "hin", "ben", "tam", "tha", "vie", "ind",
         "msa", "jpn", "kor", "cmn", "yue", "swe", "nor", "dan", "fin",
+        "por-bz",  # Brazilian Portuguese (kokoro pf_/pm_ voices)
     ])
 }
+
+# kokoro voice-name prefix -> charsiu language code (reference
+# `MultilingualG2PLanguage.fromKokoroVoice`, MultilingualG2PModel.swift)
+_KOKORO_VOICE_LANG = {
+    "a": "eng-us", "b": "eng-uk", "e": "spa", "f": "fra", "h": "hin",
+    "i": "ita", "j": "jpn", "p": "por-bz", "z": "cmn",
+}
+
+
+def kokoro_voice_to_language(voice: str) -> str | None:
+    """`af_heart` -> "eng-us", `zf_xiaobei` -> "cmn"; None for unknown
+    prefixes, empty, or too-short names. Voice format: `<lang><gender>_name`
+    with gender in {f, m}."""
+    if len(voice) < 2 or voice[1] not in ("f", "m"):
+        return None
+    return _KOKORO_VOICE_LANG.get(voice[0])
 
 
 class MultilingualG2P:

@@ -146,11 +146,16 @@ class KokoroManager:
                 logger.info("loaded Misaki lexicon cache (%d entries)",
                             len(self.g2p.misaki_lower))
         elif variant == "mandarin":
-            from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P, MandarinG2pw
+            from fluidaudio_tpu.tts.mandarin_g2p import (
+                MandarinG2P,
+                MandarinG2pw,
+                MandarinJiebaHmm,
+            )
 
             g2pw = MandarinG2pw.load(lex_base / "g2pw") or MandarinG2pw.load(lex_base)
             self.mandarin_g2p = MandarinG2P(
-                lexicon_path=lex_base / "mandarin_lexicon.json", g2pw=g2pw
+                lexicon_path=lex_base / "mandarin_lexicon.json", g2pw=g2pw,
+                jieba_hmm=MandarinJiebaHmm.load(lex_base / "jieba_hmm.json"),
             )
             self.vocab = self._load_vocab(lex_base) or _seed_zh_vocab()
         else:  # japanese: phoneme input only, IPA vocab like english

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import re
+from dataclasses import dataclass
 from pathlib import Path
 
 from fluidaudio_tpu.tts.mandarin_numbers import mandarin_normalize_numbers
@@ -82,7 +83,8 @@ def _group_to_mandarin(g: int, full: bool) -> str:
 
 
 class MandarinG2P:
-    def __init__(self, lexicon_path: str | Path | None = None, *, g2pw=None):
+    def __init__(self, lexicon_path: str | Path | None = None, *, g2pw=None,
+                 jieba_hmm: "MandarinJiebaHmm | None" = None):
         self.lexicon = dict(_SEED_LEXICON)
         if lexicon_path and Path(lexicon_path).exists():
             self.lexicon.update(json.loads(Path(lexicon_path).read_text()))
@@ -90,6 +92,10 @@ class MandarinG2P:
         # optional sentence-context polyphone disambiguator (MandarinG2pw);
         # None = pinyin-dict path only (reference g2pw == nil contract)
         self.g2pw = g2pw
+        # optional jieba BMES HMM: re-segments runs of chars the
+        # longest-match loop missed (OOV proper nouns like 特朗普);
+        # None = per-char fallback (reference jiebaHmm == nil contract)
+        self.jieba_hmm = jieba_hmm
         # user pronunciation overrides, matched longest-prefix BEFORE the
         # bundled lexicon (reference MandarinCustomLexicon.swift:17-43):
         # word -> list of tokens, each either pinyin-with-tone ("zi4",
@@ -140,17 +146,40 @@ class MandarinG2P:
 
     # -------------------------------------------------------------- segmenter
 
-    def segment(self, text: str) -> list[str]:
-        """Greedy longest-match segmentation over the lexicon (jieba-dict role)."""
+    def _flush_run(self, run: str) -> list[str]:
+        """Re-segment a run of FMM-missed single chars: jieba-HMM words are
+        retried against the phrase dict, then fall back per-char (reference
+        `MandarinG2P.swift:262-302` flushHanziRun)."""
+        if not run:
+            return []
+        words = self.jieba_hmm.segment(run) if self.jieba_hmm else list(run)
         out: list[str] = []
+        for w in words:
+            if len(w) >= 2 and w in self.lexicon:
+                out.append(w)
+            else:
+                out.extend(w)  # per-char fallback (polyphones flagged there)
+        return out
+
+    def segment(self, text: str) -> list[str]:
+        """Greedy longest-match segmentation over the lexicon (jieba-dict
+        role), with an HMM post-pass over runs the FMM missed."""
+        out: list[str] = []
+        run = ""
         i = 0
         while i < len(text):
-            for ln in range(min(self._max_word, len(text) - i), 0, -1):
+            for ln in range(min(self._max_word, len(text) - i), 1, -1):
                 cand = text[i : i + ln]
-                if cand in self.lexicon or ln == 1:
+                if cand in self.lexicon:
+                    out.extend(self._flush_run(run))
+                    run = ""
                     out.append(cand)
                     i += ln
                     break
+            else:
+                run += text[i]
+                i += 1
+        out.extend(self._flush_run(run))
         return out
 
     # ---------------------------------------------------------------- pinyin
@@ -325,6 +354,26 @@ class MandarinG2P:
         punct, literal}. Custom-lexicon entries win over equal-length
         dict entries (reference MandarinCustomLexicon front-of-cascade)."""
         segs: list[tuple[str, object, int]] = []
+        run: list[tuple[str, int]] = []  # buffered FMM-missed hanzi chars
+
+        def flush_run() -> None:
+            # HMM re-segmentation of the buffered run; dict hits become
+            # word segments, the rest per-char at their original positions
+            # (reference `MandarinG2P.swift:262-302`)
+            if not run:
+                return
+            chars = "".join(c for c, _ in run)
+            pos0 = 0
+            for w in (self.jieba_hmm.segment(chars) if self.jieba_hmm
+                      else list(chars)):
+                if len(w) >= 2 and w in self.lexicon:
+                    segs.append(("word", w, run[pos0][1]))
+                else:
+                    for k, ch in enumerate(w):
+                        segs.append(("char", ch, run[pos0 + k][1]))
+                pos0 += len(w)
+            run.clear()
+
         i = 0
         n = len(text)
         while i < n:
@@ -336,6 +385,7 @@ class MandarinG2P:
                     # longer dict word starts here (user wins ties only)
                     dict_ln = self._longest_dict_match(text, i)
                     if dict_ln <= ln:
+                        flush_run()
                         segs.append(("custom", self.custom_lexicon[cand], i))
                         i += ln
                         matched = True
@@ -344,20 +394,23 @@ class MandarinG2P:
                 continue
             ln = self._longest_dict_match(text, i)
             if ln > 1:
+                flush_run()
                 segs.append(("word", text[i : i + ln], i))
                 i += ln
                 continue
             ch = text[i]
-            if ch in self.lexicon:
-                segs.append(("char", ch, i))
+            if ch in self.lexicon or self.looks_like_hanzi(ch):
+                run.append((ch, i))  # single/OOV hanzi: HMM post-pass
             elif ch in ALLOWED_PUNCTUATION:
+                flush_run()
                 segs.append(("punct", ch, i))
             elif ch.isascii() and (ch.isalnum()):
+                flush_run()
                 segs.append(("literal", ch, i))
-            elif self.looks_like_hanzi(ch):
-                segs.append(("char", ch, i))  # OOV hanzi: dropped downstream
-            # anything else (unmapped unicode) drops here
+            else:
+                flush_run()  # unmapped unicode drops, but breaks the run
             i += 1
+        flush_run()
         return segs
 
     def _longest_dict_match(self, text: str, i: int) -> int:
@@ -365,6 +418,129 @@ class MandarinG2P:
             if text[i : i + ln] in self.lexicon:
                 return ln
         return 1
+
+
+# ---------------------------------------------------------------------------
+# jieba BMES HMM (reference MandarinJiebaHmm.swift — OOV word recovery)
+# ---------------------------------------------------------------------------
+
+# state order matches jieba.finalseg: B(egin) M(iddle) E(nd) S(ingle)
+_HMM_B, _HMM_M, _HMM_E, _HMM_S = 0, 1, 2, 3
+# valid predecessors per next state (jieba PrevStatus): a word must end
+# before another starts; M/E must be inside a started word
+_HMM_PREV = {
+    _HMM_B: (_HMM_E, _HMM_S),
+    _HMM_M: (_HMM_M, _HMM_B),
+    _HMM_E: (_HMM_B, _HMM_M),
+    _HMM_S: (_HMM_S, _HMM_E),
+}
+HMM_UNKNOWN_LOG_PROB = -3.14e38  # reference MandarinJiebaHmmTables:45
+
+
+@dataclass
+class JiebaHmmTables:
+    """start [4], trans [4][4], emit {char: [4]} log-probabilities."""
+
+    start: list[float]
+    trans: list[list[float]]
+    emit: dict[str, list[float]]
+
+    def __post_init__(self):
+        if len(self.start) != 4:
+            raise ValueError(f"start must have 4 states, got {len(self.start)}")
+        if len(self.trans) != 4 or any(len(r) != 4 for r in self.trans):
+            raise ValueError("trans must be 4x4")
+        for ch, row in self.emit.items():
+            if len(row) != 4:
+                raise ValueError(f"emit[{ch!r}] must have 4 states, got {len(row)}")
+
+
+class MandarinJiebaHmm:
+    """Jieba's character-position HMM as a standalone BMES Viterbi decoder
+    (reference `MandarinJiebaHmm.swift:19-168`).
+
+    Post-pass over runs of consecutive single-character lookups the
+    forward-maximum-match phrase loop missed (OOV proper nouns like
+    特朗普/比特币): scores argmax_path P(states | chars) and reads off
+    contiguous B..E / S spans as words. Deterministic and stateless."""
+
+    def __init__(self, tables: JiebaHmmTables):
+        self.tables = tables
+
+    @classmethod
+    def load(cls, path: str | Path) -> "MandarinJiebaHmm | None":
+        """Load tables from a JSON asset ({start, trans, emit}); None when
+        the asset is missing/unparsable (callers degrade to per-char)."""
+        p = Path(path)
+        if not p.exists():
+            return None
+        try:
+            raw = json.loads(p.read_text())
+            return cls(JiebaHmmTables(
+                start=list(raw["start"]),
+                trans=[list(r) for r in raw["trans"]],
+                emit={k: list(v) for k, v in raw["emit"].items()},
+            ))
+        except (ValueError, KeyError, TypeError):
+            return None
+
+    def _emission(self, ch: str) -> list[float]:
+        row = self.tables.emit.get(ch)
+        return row if row is not None else [HMM_UNKNOWN_LOG_PROB] * 4
+
+    def segment(self, text: str) -> list[str]:
+        """Viterbi-decode `text` into words. Empty -> []; single char
+        bypasses the decoder; output always concatenates back to input."""
+        chars = list(text)
+        if not chars:
+            return []
+        if len(chars) == 1:
+            return [text]
+
+        neg_inf = float("-inf")
+        n = len(chars)
+        emit0 = self._emission(chars[0])
+        # t = 0: only B and S may start (M/E need an in-word predecessor)
+        v_prev = [
+            self.tables.start[s] + emit0[s] if s in (_HMM_B, _HMM_S) else neg_inf
+            for s in range(4)
+        ]
+        back: list[list[int]] = []
+        for t in range(1, n):
+            emit = self._emission(chars[t])
+            v_cur = [neg_inf] * 4
+            b_cur = [0] * 4
+            for to in range(4):
+                best, best_from = neg_inf, _HMM_PREV[to][0]
+                for frm in _HMM_PREV[to]:
+                    cand = v_prev[frm] + self.tables.trans[frm][to] + emit[to]
+                    if cand > best:
+                        best, best_from = cand, frm
+                v_cur[to] = best
+                b_cur[to] = best_from
+            v_prev = v_cur
+            back.append(b_cur)
+
+        # only E and S are valid sentence-final states
+        cur = _HMM_E if v_prev[_HMM_E] >= v_prev[_HMM_S] else _HMM_S
+        states = [0] * n
+        states[-1] = cur
+        for t in range(n - 2, -1, -1):
+            cur = back[t][cur]
+            states[t] = cur
+
+        words: list[str] = []
+        word_start = 0
+        for i, s in enumerate(states):
+            if s == _HMM_S:
+                words.append(chars[i])
+                word_start = i + 1
+            elif s == _HMM_E:
+                words.append("".join(chars[word_start : i + 1]))
+                word_start = i + 1
+        if word_start < n:  # tail flush: path ended mid-word
+            words.append("".join(chars[word_start:]))
+        return words
 
 
 # ---------------------------------------------------------------------------

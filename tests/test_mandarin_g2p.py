@@ -241,3 +241,152 @@ def test_looks_like_hanzi():
     assert not MandarinG2P.looks_like_hanzi("ㄋㄧ3ㄏㄠ3")
     assert not MandarinG2P.looks_like_hanzi("hello!")
     assert not MandarinG2P.looks_like_hanzi("こんにちは")  # kana is not hanzi
+
+
+# --------------------------------------------------------------------------
+# Jieba BMES HMM (MandarinJiebaHmmTests.swift:73-236)
+# --------------------------------------------------------------------------
+
+HIGH, LOW, MED = 0.0, -100.0, -1.0
+
+
+def toy_tables(group_chars, singleton_chars):
+    """Synthetic 4-state tables: group_chars strongly prefer B/M/E (join
+    into one word when contiguous), singleton_chars prefer S — the same
+    fixture the reference tests build in-process."""
+    from fluidaudio_tpu.tts.mandarin_g2p import JiebaHmmTables
+
+    start = [HIGH, LOW, LOW, HIGH]  # B M E S
+    trans = [
+        [LOW, HIGH, MED, LOW],  # from B
+        [LOW, MED, HIGH, LOW],  # from M
+        [HIGH, LOW, LOW, MED],  # from E
+        [HIGH, LOW, LOW, HIGH],  # from S
+    ]
+    emit = {}
+    for ch in group_chars:
+        emit[ch] = [HIGH, HIGH, HIGH, LOW]
+    for ch in singleton_chars:
+        emit[ch] = [LOW, LOW, LOW, HIGH]
+    return JiebaHmmTables(start=start, trans=trans, emit=emit)
+
+
+@pytest.fixture
+def toy_hmm():
+    from fluidaudio_tpu.tts.mandarin_g2p import MandarinJiebaHmm
+
+    return MandarinJiebaHmm(toy_tables("特朗普", "他说了"))
+
+
+class TestJiebaHmm:
+    def test_empty_input_empty_output(self, toy_hmm):
+        assert toy_hmm.segment("") == []
+
+    def test_single_char_bypasses_viterbi(self, toy_hmm):
+        assert toy_hmm.segment("特") == ["特"]
+
+    def test_group_chars_collapse_into_word(self, toy_hmm):
+        assert toy_hmm.segment("特朗普") == ["特朗普"]
+
+    def test_singleton_chars_stay_separate(self, toy_hmm):
+        assert toy_hmm.segment("他说") == ["他", "说"]
+
+    def test_mixed_run_preserves_boundaries(self, toy_hmm):
+        assert toy_hmm.segment("他特朗普说") == ["他", "特朗普", "说"]
+
+    def test_output_always_concatenates_to_input(self, toy_hmm):
+        for text in ("特朗普", "他说特朗普了", "特他朗说普", "朗朗普普"):
+            assert "".join(toy_hmm.segment(text)) == text
+
+    def test_unknown_chars_still_produce_something(self, toy_hmm):
+        out = toy_hmm.segment("XY")
+        assert "".join(out) == "XY"
+        assert out  # no empty result on fully-OOV input
+
+    def test_tables_validation(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import JiebaHmmTables
+
+        with pytest.raises(ValueError, match="start"):
+            JiebaHmmTables(start=[0.0], trans=[[0.0] * 4] * 4, emit={})
+        with pytest.raises(ValueError, match="trans"):
+            JiebaHmmTables(start=[0.0] * 4, trans=[[0.0] * 3] * 4, emit={})
+        with pytest.raises(ValueError, match="emit"):
+            JiebaHmmTables(start=[0.0] * 4, trans=[[0.0] * 4] * 4,
+                           emit={"字": [0.0]})
+
+    def test_json_roundtrip(self, tmp_path, toy_hmm):
+        import json as _json
+
+        from fluidaudio_tpu.tts.mandarin_g2p import MandarinJiebaHmm
+
+        t = toy_hmm.tables
+        p = tmp_path / "jieba_hmm.json"
+        p.write_text(_json.dumps(
+            {"start": t.start, "trans": t.trans, "emit": t.emit}
+        ))
+        loaded = MandarinJiebaHmm.load(p)
+        assert loaded is not None
+        assert loaded.segment("他特朗普说") == ["他", "特朗普", "说"]
+
+    def test_load_missing_or_corrupt_returns_none(self, tmp_path):
+        from fluidaudio_tpu.tts.mandarin_g2p import MandarinJiebaHmm
+
+        assert MandarinJiebaHmm.load(tmp_path / "absent.json") is None
+        bad = tmp_path / "bad.json"
+        bad.write_text("{not json")
+        assert MandarinJiebaHmm.load(bad) is None
+        wrong = tmp_path / "wrong.json"
+        wrong.write_text('{"start": [0], "trans": [], "emit": {}}')
+        assert MandarinJiebaHmm.load(wrong) is None
+
+
+class TestJiebaHmmIntegration:
+    """MandarinG2P.segment with/without the HMM post-pass
+    (MandarinJiebaHmmTests.swift:200-236)."""
+
+    def _g2p(self, hmm=None, extra_lexicon=None):
+        import json as _json
+        import tempfile
+
+        from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P
+
+        if extra_lexicon:
+            f = tempfile.NamedTemporaryFile(
+                "w", suffix=".json", delete=False
+            )
+            _json.dump(extra_lexicon, f)
+            f.close()
+            return MandarinG2P(lexicon_path=f.name, jieba_hmm=hmm)
+        return MandarinG2P(jieba_hmm=hmm)
+
+    def test_without_hmm_keeps_per_char_fallback(self):
+        g2p = self._g2p(hmm=None)
+        # 特朗普 is not in the seed lexicon: per-char segments
+        segs = g2p.segment("特朗普")
+        assert segs == ["特", "朗", "普"]
+
+    def test_with_hmm_retries_phrase_dict(self, toy_hmm):
+        # phrase present in the dict but only reachable once the HMM
+        # groups the run (FMM misses phrases that start mid-run)
+        g2p = self._g2p(hmm=toy_hmm,
+                        extra_lexicon={"特朗普": "te4 lang3 pu3"})
+        assert "特朗普" in g2p.segment("他特朗普说")
+        assert g2p.word_to_pinyin("特朗普") == ["te4", "lang3", "pu3"]
+
+    def test_with_hmm_oov_word_falls_back_per_char(self, toy_hmm):
+        g2p = self._g2p(hmm=toy_hmm)
+        # HMM groups 特朗普 but it's not in the lexicon: per-char again
+        segs = g2p.segment("特朗普")
+        assert segs == ["特", "朗", "普"]
+
+    def test_typed_segmentation_flushes_run_on_punctuation(self, toy_hmm):
+        g2p = self._g2p(hmm=toy_hmm,
+                        extra_lexicon={"特朗普": "te4 lang3 pu3"})
+        segs = g2p._segment_typed("特朗,普")
+        # the comma breaks the run: 特朗 and 普 can never regroup
+        kinds = [k for k, _, _ in segs]
+        assert "punct" in kinds
+        assert ("word", "特朗普") not in [(k, v) for k, v, _ in segs]
+        # without the punctuation the HMM joins the word across the run
+        joined = g2p._segment_typed("特朗普")
+        assert ("word", "特朗普") in [(k, v) for k, v, _ in joined]

@@ -133,3 +133,70 @@ class TestTokensAndProxies:
         assert ModelRegistry.proxies() == {}
         monkeypatch.setenv("https_proxy", "http://proxy:8080")
         assert ModelRegistry.proxies() == {"https": "http://proxy:8080"}
+
+
+# --------------------------------------------------------------------------
+# Model catalog surface (ModelNamesTests.swift:10-308, AsrModelsTests.swift)
+# --------------------------------------------------------------------------
+
+
+class TestModelCatalog:
+    def test_repo_remote_path_contains_owner(self):
+        from fluidaudio_tpu.registry.model_names import Repo
+
+        for repo in Repo:
+            assert repo.spec.name.startswith("FluidInference/"), repo
+
+    def test_repo_names_non_empty_and_unique(self):
+        from fluidaudio_tpu.registry.model_names import Repo
+
+        names = [r.spec.name for r in Repo]
+        folders = [r.folder_name for r in Repo]
+        assert all(names) and all(folders)
+        assert len(set(names)) == len(names)
+        assert len(set(folders)) == len(folders)
+
+    def test_folder_names_are_fs_safe(self):
+        from fluidaudio_tpu.registry.model_names import Repo
+
+        for r in Repo:
+            assert "/" not in r.folder_name and " " not in r.folder_name
+
+    def test_required_models_non_empty_for_core_families(self):
+        from fluidaudio_tpu.registry.model_names import Repo, required_models
+
+        for repo in (Repo.VAD, Repo.PARAKEET_V3, Repo.PARAKEET_V2,
+                     Repo.DIARIZER, Repo.OFFLINE_DIARIZER, Repo.SORTFORMER,
+                     Repo.KOKORO_ANE, Repo.POCKET_TTS):
+            assert required_models(repo), repo
+
+    def test_parakeet_required_models_structure(self):
+        from fluidaudio_tpu.registry.model_names import Repo, required_models
+
+        v3 = required_models(Repo.PARAKEET_V3)
+        assert {"preprocessor", "encoder", "decoder", "joint", "vocab"} <= set(v3)
+        # EOU uses a fused frontend: no separate preprocessor
+        assert "preprocessor" not in required_models(Repo.PARAKEET_EOU)
+
+    def test_offline_diarizer_required_models(self):
+        from fluidaudio_tpu.registry.model_names import Repo, required_models
+
+        assert set(required_models(Repo.OFFLINE_DIARIZER)) == {
+            "segmentation", "fbank", "embedding", "plda_rho", "plda_parameters",
+        }
+
+    def test_kokoro_variant_repos_exist(self):
+        from fluidaudio_tpu.registry.model_names import Repo
+
+        assert Repo.KOKORO_ANE_ZH.folder_name == "kokoro-ane-zh"
+        assert Repo.KOKORO_ANE_JA.folder_name == "kokoro-ane-ja"
+
+    def test_catalog_covers_every_workload_family(self):
+        from fluidaudio_tpu.registry.model_names import Repo
+
+        folders = {r.folder_name for r in Repo}
+        for needle in ("silero-vad", "parakeet-v3", "nemotron-en",
+                       "sensevoice", "paraformer", "cohere-asr", "diarizer",
+                       "sortformer", "ls-eend", "kokoro", "pocket-tts",
+                       "styletts2", "supertonic3", "charsiu-g2p"):
+            assert needle in folders, needle
