@@ -29,6 +29,7 @@ from fluidaudio_tpu.models.lseend import (
 from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
 from fluidaudio_tpu.registry import DownloadUtils, Repo
 from fluidaudio_tpu.utils.checkpoint import load_params
+from fluidaudio_tpu.utils.chunk_queue import StreamingChunkQueue
 from fluidaudio_tpu.utils.converter import resample
 from fluidaudio_tpu.utils.logging import get_logger
 
@@ -87,6 +88,9 @@ class LSEENDDiarizer:
         # exercised by SpeakerEnrollmentTests.swift:366-556)
         self._session_state = init_state(self.cfg, 1)
         self._session_frames = 0
+        self._session_queue = StreamingChunkQueue(
+            self.step_frames * LSEEND_SAMPLE_RATE // 10
+        )
         self._slot_names: dict[int, str] = {}
 
     def make_state(self) -> LsEendState:
@@ -102,6 +106,7 @@ class LSEENDDiarizer:
         self._session_state = init_state(self.cfg, 1)
         self._session_frames = 0
         self._slot_names = {}
+        self._session_queue.reset()
 
     def enroll_speaker(
         self,
@@ -149,24 +154,52 @@ class LSEENDDiarizer:
         self, samples: np.ndarray, sample_rate: int = 16_000
     ) -> DiarizationResult:
         """Streaming pass continuing the persistent session (state + names +
-        frame clock)."""
+        frame clock). Partial trailing steps are QUEUED, not zero-padded:
+        they complete on the next call (or `finish_stream`) — reference
+        `StreamingChunkQueue` semantics (`LSEENDQueueTests.swift`)."""
         t0 = time.perf_counter()
         samples = np.asarray(samples, np.float32).reshape(-1)
         audio8k = resample(samples, sample_rate, LSEEND_SAMPLE_RATE)
+        self._session_queue.append(audio8k)
         step_samples = self.step_frames * LSEEND_SAMPLE_RATE // 10
         preds = []
-        for start in range(0, max(1, audio8k.size), step_samples):
+        while self._session_queue.has_chunk:
             acts, self._session_state = self.process_step(
-                audio8k[start : start + step_samples], self._session_state
+                self._session_queue.pop_next_chunk(), self._session_state
             )
             preds.append(acts)
-            if start + step_samples >= audio8k.size:
-                break
         activities = np.concatenate(preds) if preds else np.zeros((0, MAX_SPEAKERS))
-        n_frames = min(len(activities), int(audio8k.size / (LSEEND_SAMPLE_RATE // 10)))
+        n_frames = len(activities)
         segments = self._to_segments(
             activities[:n_frames],
             names=self._slot_names,
+            frame_offset=self._session_frames,
+        )
+        self._session_frames += n_frames
+        return DiarizationResult(
+            segments=segments,
+            speaker_count=len({s.speaker_id for s in segments}),
+            timings=PipelineTimings(total_seconds=time.perf_counter() - t0),
+        )
+
+    def finish_stream(self) -> DiarizationResult:
+        """Finalize the session: drain the queued partial tail (zero-padded
+        to one full step — the ONLY place padding is allowed) and emit its
+        segments. Idempotent once drained (reference
+        `testFinalizeSessionDrainsUnprocessedAudioAndMelFeatures` /
+        `testFinalizeSessionIsIdempotent`)."""
+        t0 = time.perf_counter()
+        tail = self._session_queue.pop_tail()
+        frame_samples = LSEEND_SAMPLE_RATE // 10
+        if tail.size == 0:
+            return DiarizationResult(
+                segments=[], speaker_count=0,
+                timings=PipelineTimings(total_seconds=time.perf_counter() - t0),
+            )
+        acts, self._session_state = self.process_step(tail, self._session_state)
+        n_frames = min(len(acts), -(-tail.size // frame_samples))
+        segments = self._to_segments(
+            acts[:n_frames], names=self._slot_names,
             frame_offset=self._session_frames,
         )
         self._session_frames += n_frames

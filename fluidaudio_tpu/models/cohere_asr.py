@@ -59,6 +59,15 @@ class CohereConfig:
         return self.d_model // self.n_heads
 
 
+# the 14 supported locales (reference `CohereAsrConfig.Language`,
+# ISO-639-1 code -> English name)
+COHERE_LANGUAGES = {
+    "en": "English", "fr": "French", "de": "German", "es": "Spanish",
+    "it": "Italian", "pt": "Portuguese", "nl": "Dutch", "pl": "Polish",
+    "el": "Greek", "ar": "Arabic", "ja": "Japanese", "zh": "Chinese",
+    "vi": "Vietnamese", "ko": "Korean",
+}
+
 COHERE_BASE = CohereConfig()
 COHERE_TEST = CohereConfig(
     vocab_size=64, enc_hidden=32, n_encoder_layers=2, n_enc_heads=4,

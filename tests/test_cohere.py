@@ -196,3 +196,61 @@ class TestLongFormMerge:
         assert merge_token_streams(prefix, suffix) == lead_in + [
             500, 501, 502, 503, 504, 700, 701
         ]
+
+
+# --------------------------------------------------------------------------
+# Config surface (CohereAsrConfigTests.swift:10-160)
+# --------------------------------------------------------------------------
+
+
+class TestCohereConfig:
+    def test_base_dimensions(self):
+        from fluidaudio_tpu.models.cohere_asr import COHERE_BASE
+
+        assert COHERE_BASE.vocab_size == 16_384
+        assert COHERE_BASE.max_decode_tokens == 108
+        assert COHERE_BASE.max_audio_frames == 3500  # 35 s at 10 ms hop
+        assert COHERE_BASE.enc_hidden == 1280
+        assert COHERE_BASE.n_encoder_layers == 48
+        assert COHERE_BASE.d_model == 1024
+        assert COHERE_BASE.n_decoder_layers == 8
+
+    def test_head_dim_matches_decoder_dimension(self):
+        from fluidaudio_tpu.models.cohere_asr import COHERE_BASE
+
+        assert COHERE_BASE.head_dim * COHERE_BASE.n_heads == COHERE_BASE.d_model
+        assert COHERE_BASE.head_dim == 128
+
+    def test_special_token_ids_in_range_and_unique(self):
+        from fluidaudio_tpu.models.cohere_asr import COHERE_BASE
+
+        ids = [COHERE_BASE.no_speech_id, COHERE_BASE.pad_id,
+               COHERE_BASE.eos_id, COHERE_BASE.bos_id]
+        assert all(0 <= t < COHERE_BASE.vocab_size for t in ids)
+        assert len(set(ids)) == len(ids)
+        assert COHERE_BASE.eos_id == 3
+        assert COHERE_BASE.bos_id == 4
+
+    def test_max_call_seconds(self):
+        from fluidaudio_tpu.asr.cohere_manager import MAX_CALL_SECONDS
+
+        assert MAX_CALL_SECONDS == 35.0
+        # max samples at 16 kHz
+        assert int(MAX_CALL_SECONDS * 16_000) == 560_000
+
+    def test_language_catalog(self):
+        from fluidaudio_tpu.models.cohere_asr import COHERE_LANGUAGES
+
+        assert len(COHERE_LANGUAGES) == 14
+        for code, name in COHERE_LANGUAGES.items():
+            assert len(code) == 2 and code.islower()
+            assert name and name[0].isupper()
+        assert COHERE_LANGUAGES["en"] == "English"
+        assert COHERE_LANGUAGES["ja"] == "Japanese"
+        assert COHERE_LANGUAGES["zh"] == "Chinese"
+
+    def test_decode_knobs(self):
+        from fluidaudio_tpu.models.cohere_asr import COHERE_BASE
+
+        assert COHERE_BASE.repetition_penalty == 1.3
+        assert COHERE_BASE.no_repeat_ngram == 3

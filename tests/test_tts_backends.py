@@ -246,3 +246,27 @@ def test_generator_output_length_matches_conv_arithmetic():
         p = (k - r) // 2
         expect = (expect - 1) * r - 2 * p + k
     assert generator_output_length(cfg, L) == expect + 1
+
+
+def test_supertonic_latent_sampler_edge_scenarios():
+    """Supertonic3LatentSamplerTests.swift:18-87 — clamping, determinism,
+    empty input."""
+    # length clamped at the bucket
+    z, mask, true_len = sample_noisy_latent(
+        np.array([1000.0]), 16, np.random.RandomState(1)
+    )
+    assert true_len == 16
+    assert mask[0, 0].all()
+
+    # same seed -> identical tensors; different seed diverges
+    a = sample_noisy_latent(np.array([0.7]), 32, np.random.RandomState(7))
+    b = sample_noisy_latent(np.array([0.7]), 32, np.random.RandomState(7))
+    c = sample_noisy_latent(np.array([0.7]), 32, np.random.RandomState(8))
+    np.testing.assert_array_equal(a[0], b[0])
+    assert not np.array_equal(a[0], c[0])
+
+    # empty durations -> empty batch
+    z, mask, true_len = sample_noisy_latent(
+        np.array([]), 32, np.random.RandomState(0)
+    )
+    assert z.shape[0] == 0 and mask.shape[0] == 0 and true_len == 0
