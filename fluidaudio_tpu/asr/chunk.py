@@ -39,6 +39,7 @@ class TokenWindow:
     token: int
     timestamp: int  # global encoder frame index
     confidence: float = 1.0
+    duration: int = 0  # predicted TDT duration (encoder frames; 0 = unknown)
 
 
 @dataclass(frozen=True)

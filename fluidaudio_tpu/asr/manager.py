@@ -14,6 +14,7 @@ buckets so jit caches stay warm; per-row valid lengths mask the padding.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -340,9 +341,14 @@ class AsrManager:
         ids = np.asarray(result.tokens[row][:count])
         times = np.asarray(result.token_times[row][:count])
         confs = np.asarray(result.confidences[row][:count])
+        durs = (
+            np.asarray(result.durations[row][:count])
+            if result.durations is not None
+            else np.zeros(count, np.int32)
+        )
         return [
-            TokenWindow(int(t), int(ts) + frame_offset, float(c))
-            for t, ts, c in zip(ids, times, confs)
+            TokenWindow(int(t), int(ts) + frame_offset, float(c), int(d))
+            for t, ts, c, d in zip(ids, times, confs, durs)
         ]
 
     def _assemble_result(
@@ -352,16 +358,33 @@ class AsrManager:
         text = tok.decode([t.token for t in tokens])
         confidence = float(np.mean([t.confidence for t in tokens])) if tokens else 0.0
         spf = ASRConstants.SECONDS_PER_ENCODER_FRAME
-        timings = [
-            TokenTiming(
-                token=tok.piece(t.token),
-                token_id=t.token,
-                start_time=t.timestamp * spf,
-                end_time=(t.timestamp + 1) * spf,
-                confidence=t.confidence,
+        # TDT emission-delay correction: tokens surface ~1 encoder frame
+        # after the acoustic event (reference
+        # `AsrManager+TokenProcessing.swift:55-70`, median +1 frame on
+        # earnings22); TDT_EMISSION_DELAY_FRAMES overrides for sweeps
+        delay = int(os.environ.get("TDT_EMISSION_DELAY_FRAMES", "1"))
+        ordered = sorted(tokens, key=lambda t: t.timestamp)
+        timings = []
+        for i, t in enumerate(ordered):
+            start = max(0, t.timestamp - delay) * spf
+            if t.duration > 0:
+                end = start + max(t.duration * spf, spf)
+            elif i < len(ordered) - 1:
+                nxt = max(0, ordered[i + 1].timestamp - delay) * spf
+                end = max(nxt, start + spf)
+            else:
+                end = start + spf
+            timings.append(
+                TokenTiming(
+                    token=tok.piece(t.token).replace(
+                        ASRConstants.SENTENCEPIECE_WORD_BOUNDARY, " "
+                    ),
+                    token_id=t.token,
+                    start_time=start,
+                    end_time=max(end, start + 0.001),
+                    confidence=t.confidence,
+                )
             )
-            for t in tokens
-        ]
         return ASRResult(
             text=text,
             confidence=confidence,

@@ -67,6 +67,7 @@ class TdtResult(NamedTuple):
     confidences: jax.Array  # [B, max_tokens] f32 token prob
     eou_detected: jax.Array = None  # [B] bool (when cfg.eou_id is set)
     eou_frame: jax.Array = None  # [B] int32 frame of first EOU (-1 if none)
+    durations: jax.Array = None  # [B, max_tokens] int32 predicted frames
 
 
 def make_initial_state(cfg: TdtDecodeConfig, n_layers: int, hidden: int, batch: int,
@@ -144,6 +145,7 @@ def _finalize_last_chunk(cfg, predictor_step, joint_logits, encoder_out,
         tokens: jax.Array
         times: jax.Array
         confs: jax.Array
+        durs: jax.Array
         count: jax.Array
         steps: jax.Array  # [B] additional flush steps taken
         blanks: jax.Array  # [B] consecutive blank run
@@ -204,6 +206,9 @@ def _finalize_last_chunk(cfg, predictor_step, joint_logits, encoder_out,
         confs = carry.confs.at[row, pos].set(
             jnp.where(emit, conf, carry.confs[row, pos])
         )
+        durs = carry.durs.at[row, pos].set(
+            jnp.where(emit, dur, carry.durs[row, pos])
+        )
         count = carry.count + emit.astype(jnp.int32)
 
         new_token = jnp.where(emit, k, carry.last_token)
@@ -225,14 +230,14 @@ def _finalize_last_chunk(cfg, predictor_step, joint_logits, encoder_out,
         )
         steps = carry.steps + active.astype(jnp.int32)
         return FinCarry(t, h, c, g, prev_h, prev_c, last_token,
-                        tokens, times, confs, count, steps, blanks)
+                        tokens, times, confs, durs, count, steps, blanks)
 
     init = FinCarry(
         t=final.t, h=final.h, c=final.c, g=final.g,
         prev_h=final.prev_h, prev_c=final.prev_c,
         last_token=final.last_token,
         tokens=final.tokens, times=final.times, confs=final.confs,
-        count=final.count,
+        durs=final.durs, count=final.count,
         steps=jnp.zeros((B,), jnp.int32),
         blanks=jnp.zeros((B,), jnp.int32),
     )
@@ -240,7 +245,8 @@ def _finalize_last_chunk(cfg, predictor_step, joint_logits, encoder_out,
     return final._replace(
         t=fin.t, h=fin.h, c=fin.c, g=fin.g,
         prev_h=fin.prev_h, prev_c=fin.prev_c, last_token=fin.last_token,
-        tokens=fin.tokens, times=fin.times, confs=fin.confs, count=fin.count,
+        tokens=fin.tokens, times=fin.times, confs=fin.confs, durs=fin.durs,
+        count=fin.count,
     )
 
 
@@ -294,6 +300,7 @@ def tdt_greedy_decode(
         tokens: jax.Array  # [B, max_tokens]
         times: jax.Array
         confs: jax.Array
+        durs: jax.Array  # [B, max_tokens] predicted duration (frames)
         count: jax.Array  # [B]
         eou: jax.Array  # [B] bool
         eou_frame: jax.Array  # [B] int32
@@ -312,6 +319,7 @@ def tdt_greedy_decode(
         tokens=jnp.full((B, cfg.max_tokens), cfg.blank_id, jnp.int32),
         times=jnp.zeros((B, cfg.max_tokens), jnp.int32),
         confs=jnp.zeros((B, cfg.max_tokens), jnp.float32),
+        durs=jnp.zeros((B, cfg.max_tokens), jnp.int32),
         count=jnp.zeros((B,), jnp.int32),
         eou=jnp.zeros((B,), bool),
         eou_frame=jnp.full((B,), -1, jnp.int32),
@@ -366,6 +374,9 @@ def tdt_greedy_decode(
         confs = carry.confs.at[row, pos].set(
             jnp.where(emit, conf, carry.confs[row, pos])
         )
+        durs = carry.durs.at[row, pos].set(
+            jnp.where(emit, dur, carry.durs[row, pos])
+        )
         count = carry.count + emit.astype(jnp.int32)
 
         # --- predictor update (only where a token was emitted) ---
@@ -398,7 +409,7 @@ def tdt_greedy_decode(
         eou_frame = jnp.where(is_eou & (carry.eou_frame < 0), carry.t, carry.eou_frame)
 
         return Carry(t, h, c, g, prev_h, prev_c, last_token, sym_count,
-                     tokens, times, confs, count, eou, eou_frame)
+                     tokens, times, confs, durs, count, eou, eou_frame)
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -421,4 +432,5 @@ def tdt_greedy_decode(
         confidences=final.confs,
         eou_detected=final.eou,
         eou_frame=final.eou_frame,
+        durations=final.durs,
     )

@@ -27,6 +27,32 @@ _MAX_RETRIES = 4
 _BACKOFF_BASE_S = 1.5
 
 
+def validate_artifact(path, expected_size: int | None = None,
+                      content_type: str | None = None) -> None:
+    """Validate a downloaded artifact like the reference
+    (`DownloadUtils.swift:103-143`): reject HTML content-types, empty
+    bodies, HTML bodies served as binary, and size mismatches against the
+    server's Content-Length (truncated OR oversized). `expected_size=None`
+    (unknown length) skips the size check. Raises RegistryError."""
+    from pathlib import Path as _Path
+
+    p = _Path(path)
+    if content_type and "text/html" in content_type.lower():
+        raise RegistryError(f"{p.name}: server returned text/html (bad path or auth)")
+    size = p.stat().st_size
+    if size == 0:
+        raise RegistryError(f"{p.name}: empty response body")
+    with p.open("rb") as f:
+        head = f.read(64)
+    if _looks_like_html(head):
+        raise RegistryError(f"{p.name}: HTML body served as binary (bad path or auth)")
+    if expected_size is not None and expected_size >= 0 and size != expected_size:
+        kind = "truncated" if size < expected_size else "oversized"
+        raise RegistryError(
+            f"{p.name}: {kind} body ({size} bytes, expected {expected_size})"
+        )
+
+
 def _looks_like_html(head: bytes) -> bool:
     """HF serves an HTML error page on bad paths (and some proxies an XML
     envelope); never cache those as weights (ref `DownloadUtils.swift:103-143`,
@@ -77,9 +103,18 @@ class DownloadUtils:
                 if offset:
                     req_headers["Range"] = f"bytes={offset}-"
                 req = urllib.request.Request(url, headers=req_headers)
+                expected_size: int | None = None
+                content_type: str | None = None
                 try:
                     with urllib.request.urlopen(req, timeout=60) as resp:
                         mode = "ab" if offset and resp.status == 206 else "wb"
+                        content_type = resp.headers.get("Content-Type")
+                        clen = resp.headers.get("Content-Length")
+                        if clen is not None:
+                            # 206 reports the REMAINING bytes; 200 the total
+                            expected_size = int(clen) + (
+                                offset if mode == "ab" else 0
+                            )
                         with open(tmp, mode) as f:
                             shutil.copyfileobj(resp, f, length=1 << 20)
                 except urllib.error.HTTPError as e:
@@ -89,10 +124,11 @@ class DownloadUtils:
                     # (a previous run crashed between write and rename) —
                     # without this, every later attempt re-sends the same
                     # Range and wedges on 416 forever
-                head = tmp.open("rb").read(64)
-                if _looks_like_html(head):
+                try:
+                    validate_artifact(tmp, expected_size, content_type)
+                except RegistryError:
                     tmp.unlink(missing_ok=True)
-                    raise RegistryError(f"HTML response cached for {url} (bad path or auth)")
+                    raise
                 tmp.rename(dest)
                 return dest
             except (urllib.error.URLError, TimeoutError, OSError, RegistryError,

@@ -132,7 +132,8 @@ def test_chunked_merge_invariant_to_completion_grouping():
         merged = cp.merge_chunks(merged, per_window[wi], m._splice_safe,
                                  m._case_canon)
     merged = cp.collapse_seam_word_duplicates(merged, models.tokenizer.vocabulary)
+    # same emission-delay correction _assemble_result applies
     shuffled_tokens = [
-        (tw.token, round(tw.timestamp * 0.08, 3)) for tw in merged
+        (tw.token, round(max(0, tw.timestamp - 1) * 0.08, 3)) for tw in merged
     ]
     assert shuffled_tokens == base_tokens

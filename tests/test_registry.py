@@ -200,3 +200,69 @@ class TestModelCatalog:
                        "sortformer", "ls-eend", "kokoro", "pocket-tts",
                        "styletts2", "supertonic3", "charsiu-g2p"):
             assert needle in folders, needle
+
+
+# --------------------------------------------------------------------------
+# Artifact validation matrix (DownloadArtifactValidationTests.swift:88-150)
+# --------------------------------------------------------------------------
+
+
+class TestArtifactValidation:
+    def _file(self, tmp_path, data: bytes):
+        p = tmp_path / "artifact.bin"
+        p.write_bytes(data)
+        return p
+
+    def test_valid_artifact_passes(self, tmp_path):
+        from fluidaudio_tpu.registry.download import validate_artifact
+
+        p = self._file(tmp_path, b"\x00\x01weights")
+        validate_artifact(p, expected_size=9, content_type="application/octet-stream")
+
+    def test_unknown_size_skips_size_check(self, tmp_path):
+        from fluidaudio_tpu.registry.download import validate_artifact
+
+        p = self._file(tmp_path, b"\x00\x01weights")
+        validate_artifact(p, expected_size=None)
+
+    def test_rejects_html_content_type(self, tmp_path):
+        from fluidaudio_tpu.registry.download import RegistryError, validate_artifact
+
+        p = self._file(tmp_path, b"\x00\x01weights")
+        with pytest.raises(RegistryError, match="text/html"):
+            validate_artifact(p, content_type="text/html; charset=utf-8")
+
+    def test_rejects_empty_body(self, tmp_path):
+        from fluidaudio_tpu.registry.download import RegistryError, validate_artifact
+
+        p = self._file(tmp_path, b"")
+        with pytest.raises(RegistryError, match="empty"):
+            validate_artifact(p)
+
+    def test_rejects_html_body_served_as_binary(self, tmp_path):
+        from fluidaudio_tpu.registry.download import RegistryError, validate_artifact
+
+        p = self._file(tmp_path, b"<!DOCTYPE html><html>login</html>")
+        with pytest.raises(RegistryError, match="HTML body"):
+            validate_artifact(p, content_type="application/octet-stream")
+
+    def test_rejects_truncated_body(self, tmp_path):
+        from fluidaudio_tpu.registry.download import RegistryError, validate_artifact
+
+        p = self._file(tmp_path, b"\x00\x01short")
+        with pytest.raises(RegistryError, match="truncated"):
+            validate_artifact(p, expected_size=100)
+
+    def test_rejects_oversized_body(self, tmp_path):
+        from fluidaudio_tpu.registry.download import RegistryError, validate_artifact
+
+        p = self._file(tmp_path, b"\x00\x01waytoolongbody")
+        with pytest.raises(RegistryError, match="oversized"):
+            validate_artifact(p, expected_size=3)
+
+    def test_error_messages_name_the_file(self, tmp_path):
+        from fluidaudio_tpu.registry.download import RegistryError, validate_artifact
+
+        p = self._file(tmp_path, b"")
+        with pytest.raises(RegistryError, match="artifact.bin"):
+            validate_artifact(p)

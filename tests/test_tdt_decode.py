@@ -308,3 +308,36 @@ def test_finalize_flush_advances_predictor_state(modules):
     assert int(flushed.state.last_token[0]) == int(flushed.tokens[0][n - 1])
     # flush emitted something beyond the main loop, so the carry differs
     assert n > int(base.counts[0])
+
+
+def test_decode_records_predicted_durations(modules):
+    """result.durations[b, i] = the duration bin value predicted at emission
+    (reference hypothesis.tokenDurations)."""
+    predictor, pparams, joint, jparams = modules
+    rng = np.random.RandomState(21)
+    B, T = 2, 16
+    enc = rng.randn(B, T, PCFG.enc_hidden).astype(np.float32) * 2.0
+    lengths = np.array([T, 12], np.int32)
+
+    def predictor_step(tokens, h, c):
+        return predictor.apply(pparams, tokens, h, c)
+
+    def joint_logits(f, g):
+        return joint.apply(jparams, f, g)
+
+    state = make_initial_state(DCFG, PCFG.n_layers, PCFG.pred_hidden, B)
+    result = tdt_greedy_decode(
+        DCFG, predictor_step, joint_logits, jnp.asarray(enc),
+        jnp.asarray(lengths), state,
+    )
+    assert result.durations is not None
+    for b in range(B):
+        n = int(result.counts[b])
+        durs = np.asarray(result.durations[b][:n])
+        times = np.asarray(result.token_times[b][:n])
+        assert np.all((durs >= 0) & (durs <= max(DCFG.durations)))
+        # time advance equals the recorded durations between emissions on
+        # different frames (same-frame repeats have dur 0)
+        for i in range(n - 1):
+            if times[i + 1] != times[i]:
+                assert times[i + 1] >= times[i] + durs[i] or durs[i] == 0

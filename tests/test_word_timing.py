@@ -131,3 +131,69 @@ def test_consume_word_timings_groups_drained_tokens(unified):
         assert w.word.strip() == w.word != ""
     # the same buffer is shared: token drain after word drain is empty
     assert unified.consume_token_timings(session) == []
+
+
+# --------------------------------------------------------------------------
+# Token-timing assembly: emission-delay correction + duration-aware ends
+# (AsrManager+TokenProcessing.swift:30-105 createTokenTimings)
+# --------------------------------------------------------------------------
+
+
+class TestTimingAssembly:
+    @pytest.fixture(scope="class")
+    def manager(self):
+        from fluidaudio_tpu.asr.manager import AsrManager
+        from fluidaudio_tpu.models.zoo import AsrModels
+
+        return AsrManager(AsrModels.load("test-tiny", allow_random_init=True),
+                          ASRConfig())
+
+    def _assemble(self, manager, tokens):
+        from fluidaudio_tpu.asr.chunk import TokenWindow
+
+        tws = [TokenWindow(t, ts, c, d) for t, ts, c, d in tokens]
+        return manager._assemble_result(tws, duration=10.0, t_start=0.0)
+
+    def test_emission_delay_shifts_one_frame(self, manager):
+        r = self._assemble(manager, [(1, 5, 0.9, 0)])
+        assert r.token_timings[0].start_time == pytest.approx(4 * 0.08)
+
+    def test_delay_clamps_at_zero(self, manager):
+        r = self._assemble(manager, [(1, 0, 0.9, 0)])
+        assert r.token_timings[0].start_time == pytest.approx(0.0)
+
+    def test_duration_sets_end_time(self, manager):
+        r = self._assemble(manager, [(1, 5, 0.9, 3)])
+        t = r.token_timings[0]
+        assert t.end_time == pytest.approx(t.start_time + 3 * 0.08)
+
+    def test_zero_duration_uses_next_token_start(self, manager):
+        r = self._assemble(manager, [(1, 5, 0.9, 0), (2, 10, 0.8, 0)])
+        a, b = r.token_timings
+        assert a.end_time == pytest.approx(b.start_time)
+        # last token falls back to one frame
+        assert b.end_time == pytest.approx(b.start_time + 0.08)
+
+    def test_duration_floor_is_one_frame(self, manager):
+        # duration 0 on the LAST token -> one-frame end; a token with
+        # explicit short duration still gets >= one frame
+        r = self._assemble(manager, [(1, 5, 0.9, 1)])
+        t = r.token_timings[0]
+        assert t.end_time - t.start_time >= 0.08 - 1e-9
+
+    def test_env_override_disables_delay(self, manager, monkeypatch):
+        monkeypatch.setenv("TDT_EMISSION_DELAY_FRAMES", "0")
+        r = self._assemble(manager, [(1, 5, 0.9, 0)])
+        assert r.token_timings[0].start_time == pytest.approx(5 * 0.08)
+
+    def test_tokens_sorted_by_timestamp(self, manager):
+        r = self._assemble(manager, [(2, 10, 0.8, 0), (1, 5, 0.9, 0)])
+        starts = [t.start_time for t in r.token_timings]
+        assert starts == sorted(starts)
+
+    def test_boundary_marker_replaced_with_space(self, manager):
+        vocab = manager.models.tokenizer.vocabulary
+        tid = next(i for i, p in vocab.items() if p.startswith("▁"))
+        r = self._assemble(manager, [(tid, 5, 0.9, 0)])
+        assert "▁" not in r.token_timings[0].token
+        assert r.token_timings[0].token.startswith(" ")
