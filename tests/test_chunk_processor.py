@@ -389,3 +389,162 @@ class TestMergeStructural:
         chunk = [TokenWindow(i, i * 3, 1.0) for i in range(10)]
         merged = self._fold(cp, [chunk])
         assert [t.token for t in merged] == list(range(10))
+
+
+class TestGapResolutionScenarios:
+    """Exact numeric fixtures from ChunkProcessorTests.swift:502-615: when a
+    gap between (or before) matched anchors has equal-length candidates on
+    both sides, the merge keeps the OLDER (left) chunk's tokens."""
+
+    def _merge(self, left, right, safe_ids=None):
+        cp = make_cp()
+        return [t.token for t in cp.merge_chunks(left, right, splice_safe_ids=safe_ids)]
+
+    def test_gap_between_matches_keeps_older_when_same_length(self):
+        # ChunkProcessorTests.swift:502-521
+        left = [
+            TokenWindow(100, 120, 0.98), TokenWindow(200, 130, 0.97),
+            TokenWindow(901, 131, 0.30), TokenWindow(300, 132, 0.97),
+        ]
+        right = [
+            TokenWindow(200, 130, 0.97), TokenWindow(902, 131, 0.95),
+            TokenWindow(300, 132, 0.97), TokenWindow(400, 133, 0.98),
+        ]
+        assert self._merge(left, right) == [100, 200, 901, 300, 400]
+
+    def test_leading_overlap_gap_keeps_older_when_same_length(self):
+        # ChunkProcessorTests.swift:523-541
+        left = [
+            TokenWindow(100, 120, 0.98), TokenWindow(110, 130, 0.98),
+            TokenWindow(901, 131, 0.30), TokenWindow(300, 132, 0.97),
+        ]
+        right = [
+            TokenWindow(902, 131, 0.95), TokenWindow(300, 132, 0.97),
+            TokenWindow(400, 133, 0.98),
+        ]
+        assert self._merge(left, right) == [100, 110, 901, 300, 400]
+
+    def test_leading_overlap_keeps_older_when_newer_confidence_much_lower(self):
+        # ChunkProcessorTests.swift:543-564
+        left = [
+            TokenWindow(100, 120, 0.98), TokenWindow(901, 131, 0.94),
+            TokenWindow(902, 132, 0.91), TokenWindow(903, 133, 0.92),
+            TokenWindow(300, 134, 0.97),
+        ]
+        right = [
+            TokenWindow(801, 131, 0.49), TokenWindow(802, 132, 0.65),
+            TokenWindow(803, 133, 0.94), TokenWindow(300, 134, 0.97),
+            TokenWindow(400, 135, 0.98),
+        ]
+        assert self._merge(left, right) == [100, 901, 902, 903, 300, 400]
+
+    def test_leading_overlap_keeps_older_for_contested_prefix(self):
+        # ChunkProcessorTests.swift:566-583
+        left = [
+            TokenWindow(100, 120, 0.98), TokenWindow(901, 130, 0.84, 3),
+            TokenWindow(300, 133, 0.97),
+        ]
+        right = [
+            TokenWindow(902, 131, 0.75), TokenWindow(300, 133, 0.97),
+            TokenWindow(400, 134, 0.98),
+        ]
+        assert self._merge(left, right) == [100, 901, 300, 400]
+
+
+class TestWordBoundarySpliceScenarios:
+    """Issue #683 splice fixtures, ChunkProcessorTests.swift:587-770: the
+    post-match tail and midpoint cutoff must never glue a left word prefix
+    onto a right word suffix (or vice versa)."""
+
+    VOCAB = {
+        10: "▁hello", 20: "▁wor", 21: "ld", 22: "ldo",
+        24: "▁Gre", 25: "nl", 26: "and", 27: "▁Green",
+        28: "andia", 30: "▁there", 40: "▁friend",
+        50: "ne", 60: "▁o",
+    }
+
+    @property
+    def safe_ids(self):
+        ids = splice_safe_token_ids(self.VOCAB)
+        assert ids is not None
+        return ids
+
+    def _merge(self, left, right, with_vocab=True):
+        cp = make_cp()
+        safe = self.safe_ids if with_vocab else None
+        return [t.token for t in cp.merge_chunks(left, right, splice_safe_ids=safe)]
+
+    def test_post_match_tail_adopts_right_segmentation_of_seam_word(self):
+        # ChunkProcessorTests.swift:618-646 — right heard the word from its
+        # start, so right's segmentation of the whole seam word wins.
+        left = [
+            TokenWindow(10, 120, 0.98), TokenWindow(24, 130, 0.97),
+            TokenWindow(25, 131, 0.96), TokenWindow(26, 132, 0.95),
+        ]
+        right = [
+            TokenWindow(27, 130, 0.97), TokenWindow(25, 131, 0.96),
+            TokenWindow(28, 132, 0.95), TokenWindow(30, 134, 0.97),
+        ]
+        assert self._merge(left, right) == [10, 27, 25, 28, 30]
+
+    def test_post_match_tail_keeps_left_word_when_right_cut_mid_word(self):
+        # ChunkProcessorTests.swift:648-676 — right's stream starts mid-word:
+        # left owns the seam word; right resumes at its next word start.
+        left = [
+            TokenWindow(10, 120, 0.98), TokenWindow(24, 130, 0.97),
+            TokenWindow(25, 131, 0.96), TokenWindow(26, 132, 0.95),
+        ]
+        right = [
+            TokenWindow(25, 131, 0.96), TokenWindow(28, 132, 0.95),
+            TokenWindow(30, 134, 0.97),
+        ]
+        assert self._merge(left, right) == [10, 24, 25, 26, 30]
+
+    def test_post_match_tail_legacy_behavior_without_vocabulary(self):
+        # ChunkProcessorTests.swift:678-698
+        left = [
+            TokenWindow(10, 120, 0.98), TokenWindow(20, 130, 0.97),
+            TokenWindow(21, 131, 0.96),
+        ]
+        right = [
+            TokenWindow(20, 130, 0.97), TokenWindow(22, 131, 0.95),
+            TokenWindow(30, 133, 0.97), TokenWindow(40, 134, 0.98),
+        ]
+        assert self._merge(left, right, with_vocab=False) == [10, 20, 22, 30, 40]
+
+    def test_post_match_tail_keeps_word_initial_tail_verbatim(self):
+        # ChunkProcessorTests.swift:700-721
+        left = [
+            TokenWindow(10, 120, 0.98), TokenWindow(20, 130, 0.97),
+            TokenWindow(21, 131, 0.96),
+        ]
+        right = [
+            TokenWindow(21, 131, 0.97), TokenWindow(30, 133, 0.97),
+            TokenWindow(40, 134, 0.98),
+        ]
+        assert self._merge(left, right) == [10, 20, 21, 30, 40]
+
+    def test_midpoint_merge_does_not_cut_words(self):
+        # ChunkProcessorTests.swift:723-748 — disjoint IDs force the midpoint
+        # fallback; both sides adjust to word boundaries.
+        left = [
+            TokenWindow(10, 120, 0.98), TokenWindow(20, 133, 0.97),
+            TokenWindow(21, 135, 0.96),
+        ]
+        right = [
+            TokenWindow(60, 134, 0.90), TokenWindow(50, 136, 0.91),
+            TokenWindow(30, 138, 0.97),
+        ]
+        assert self._merge(left, right) == [10, 20, 21, 30]
+
+    def test_midpoint_merge_legacy_behavior_without_vocabulary(self):
+        # ChunkProcessorTests.swift:750-768 — pure time cutoff glues "ne".
+        left = [
+            TokenWindow(10, 120, 0.98), TokenWindow(20, 133, 0.97),
+            TokenWindow(21, 135, 0.96),
+        ]
+        right = [
+            TokenWindow(60, 134, 0.90), TokenWindow(50, 136, 0.91),
+            TokenWindow(30, 138, 0.97),
+        ]
+        assert self._merge(left, right, with_vocab=False) == [10, 20, 50, 30]
