@@ -107,6 +107,13 @@ def cmd_diarization_benchmark(args: argparse.Namespace) -> int:
 
     if args.audio and args.rttm:
         pairs = [(Path(args.audio), Path(args.rttm))]
+    elif args.dataset_dir and getattr(args, "ami_annotations", None):
+        # NXT-annotation references (reference AMIParser path): pair every
+        # <meeting>.wav in the dataset dir with the annotation corpus.
+        pairs = [
+            (wav, Path(args.ami_annotations))
+            for wav in sorted(Path(args.dataset_dir).rglob("*.wav"))
+        ]
     elif args.dataset_dir:
         pairs = list(_pair_rttm(Path(args.dataset_dir)))
     else:
@@ -115,6 +122,18 @@ def cmd_diarization_benchmark(args: argparse.Namespace) -> int:
     if not pairs:
         print("no (wav, rttm) pairs found")
         return 1
+
+    def load_reference(wav: Path, ref: Path):
+        if getattr(args, "ami_annotations", None) and not args.rttm:
+            from fluidaudio_tpu.metrics import ami_corpus
+
+            meeting = wav.stem.split(".")[0]
+            if args.ami_reference == "word":
+                return ami_corpus.load_word_aligned_der_reference(meeting, ref)
+            if args.ami_reference == "frame":
+                return ami_corpus.load_frame_aligned_der_reference(meeting, ref)
+            return ami_corpus.load_official_ground_truth(meeting, ref)
+        return parse_rttm(ref)
 
     if args.mode == "offline":
         from fluidaudio_tpu.diarizer.offline import OfflineDiarizerManager
@@ -131,7 +150,7 @@ def cmd_diarization_benchmark(args: argparse.Namespace) -> int:
     total_wall = 0.0
     for wav, rttm in pairs:
         samples = conv.resample_file(wav)
-        reference = parse_rttm(rttm)
+        reference = load_reference(wav, rttm)
         t0 = time.perf_counter()
         result = manager.process(samples)
         wall = time.perf_counter() - t0
@@ -781,6 +800,18 @@ def register(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--audio", help="single wav file")
     p.add_argument("--rttm", help="reference RTTM for --audio")
     p.add_argument("--dataset-dir", help="dir with <name>.wav/<name>.rttm pairs")
+    p.add_argument(
+        "--ami-annotations",
+        help="AMI NXT annotation root (segments/ + corpusResources/meetings.xml); "
+        "replaces RTTM pairing with parsed ground truth",
+    )
+    p.add_argument(
+        "--ami-reference",
+        choices=["word", "official", "frame"],
+        default="word",
+        help="NXT reference flavor: word-aligned (default), official segments, "
+        "or 10ms frame-quantized",
+    )
     p.add_argument("--mode", choices=["online", "offline"], default="offline")
     p.add_argument("--collar", type=float, default=0.25)
     p.add_argument("--verbose", action="store_true")
