@@ -84,7 +84,8 @@ def _group_to_mandarin(g: int, full: bool) -> str:
 
 class MandarinG2P:
     def __init__(self, lexicon_path: str | Path | None = None, *, g2pw=None,
-                 jieba_hmm: "MandarinJiebaHmm | None" = None):
+                 jieba_hmm: "MandarinJiebaHmm | None" = None,
+                 pos_lookup=None):
         self.lexicon = dict(_SEED_LEXICON)
         if lexicon_path and Path(lexicon_path).exists():
             self.lexicon.update(json.loads(Path(lexicon_path).read_text()))
@@ -103,6 +104,10 @@ class MandarinG2P:
         # emitted verbatim, bypasses sandhi)
         self.custom_lexicon: dict[str, list[str]] = {}
         self._max_custom = 0
+        # optional POS tagger `word -> jieba tag`; when set, phonemize()
+        # routes through the POS-aware sandhi (MandarinToneSandhiPOS.swift
+        # contract: callers without a tagger keep the baseline rules)
+        self.pos_lookup = pos_lookup
 
     @staticmethod
     def looks_like_hanzi(text: str) -> bool:
@@ -228,6 +233,94 @@ class MandarinG2P:
                 out[i] = "yi2" if nxt == 4 else ("yi4" if nxt in (1, 2, 3) else s)
         return out
 
+    @staticmethod
+    def apply_tone_sandhi_pos(
+        syllables: list[str],
+        words: list[tuple[int, int]],
+        tags: list[str],
+    ) -> list[str]:
+        """POS-aware tone sandhi (reference `MandarinToneSandhiPOS.swift`).
+
+        Replaces `apply_tone_sandhi` for callers with a POS tagger. Adds the
+        carve-outs the baseline deliberately misses:
+        - ordinal 一 (solo one-syllable word tagged `m`) keeps tone 1
+        - 不 reduplication ([X, 不, X]) keeps tone 4
+        - 3+3 is scoped per prosodic word, with a one-step cross-word
+          boundary promotion (no cascading runs across words)
+
+        `words` partitions the syllable indices as (start, end) half-open
+        ranges; `tags` is the per-word jieba POS tag. Both must align.
+        """
+        if len(words) != len(tags):
+            raise ValueError(
+                f"words ({len(words)}) and tags ({len(tags)}) must align"
+            )
+        out = list(syllables)
+        if len(out) < 2:
+            return out
+
+        def tone(s: str) -> int:
+            return int(s[-1]) if s and s[-1].isdigit() else 5
+
+        def base(s: str) -> str:
+            return s[:-1] if s and s[-1].isdigit() else s
+
+        def retone(s: str, t: int) -> str:
+            return base(s) + str(t)
+
+        word_of = [-1] * len(out)
+        for w_idx, (lo, hi) in enumerate(words):
+            for s_idx in range(lo, hi):
+                if 0 <= s_idx < len(out):
+                    word_of[s_idx] = w_idx
+
+        # Pass 1: 不 / 一 contextual sandhi with POS carve-outs.
+        for i in range(len(out) - 1):
+            cur, nxt = out[i], out[i + 1]
+            if base(cur) == "bu" and tone(cur) == 4 and tone(nxt) == 4:
+                # 好不好/要不要: [X, 不, X] keeps tone 4
+                redup = i >= 1 and base(out[i - 1]) == base(nxt)
+                if not redup:
+                    out[i] = retone(cur, 2)
+            elif base(cur) == "yi" and tone(cur) == 1:
+                w_idx = word_of[i]
+                if 0 <= w_idx < len(tags):
+                    lo, hi = words[w_idx]
+                    if hi - lo == 1 and tags[w_idx] == "m":
+                        continue  # ordinal 第一/一月: keep tone 1
+                nt = tone(nxt)
+                if nt == 4:
+                    out[i] = retone(cur, 2)
+                elif nt in (1, 2, 3):
+                    out[i] = retone(cur, 4)
+
+        # Pass 2a: in-word 3+3 runs promote every syllable but the last.
+        for lo, hi in words:
+            i = lo
+            while i < hi:
+                if tone(out[i]) != 3:
+                    i += 1
+                    continue
+                j = i
+                while j < hi and tone(out[j]) == 3:
+                    j += 1
+                if j - i >= 2:
+                    for k in range(i, j - 1):
+                        out[k] = retone(out[k], 2)
+                i = j
+
+        # Pass 2b: cross-word boundary (3, 3) promotes only the word-final
+        # syllable of the left word; no further cascading.
+        for k in range(len(words) - 1):
+            llo, lhi = words[k]
+            rlo, rhi = words[k + 1]
+            if lhi <= llo or rhi <= rlo:
+                continue
+            if tone(out[lhi - 1]) == 3 and tone(out[rlo]) == 3:
+                out[lhi - 1] = retone(out[lhi - 1], 2)
+
+        return out
+
     # ---------------------------------------------------------------- erhua
 
     @staticmethod
@@ -274,14 +367,23 @@ class MandarinG2P:
                 pos += len(seg)
             overrides = self.g2pw.disambiguate(text, targets)
         syllables: list[str] = []
+        word_ranges: list[tuple[int, int]] = []
+        word_tags: list[str] = []
         pos = 0
         for word in segments:
+            start = len(syllables)
             if pos in overrides and len(word) == 1:
                 syllables.append(overrides[pos])
             else:
                 syllables.extend(self.word_to_pinyin(word))
+            if self.pos_lookup is not None and len(syllables) > start:
+                word_ranges.append((start, len(syllables)))
+                word_tags.append(self.pos_lookup(word) or "x")
             pos += len(word)
-        syllables = self.apply_tone_sandhi(syllables)
+        if self.pos_lookup is not None:
+            syllables = self.apply_tone_sandhi_pos(syllables, word_ranges, word_tags)
+        else:
+            syllables = self.apply_tone_sandhi(syllables)
         syllables = self.apply_erhua(syllables)
         return " ".join(syllables)
 

@@ -390,3 +390,100 @@ class TestJiebaHmmIntegration:
         # without the punctuation the HMM joins the word across the run
         joined = g2p._segment_typed("特朗普")
         assert ("word", "特朗普") in [(k, v) for k, v, _ in joined]
+
+
+class TestToneSandhiPOS:
+    """MandarinToneSandhiPOSTests.swift:19-195 — POS-aware sandhi carve-outs
+    on the tone-numbered pinyin representation."""
+
+    @staticmethod
+    def _apply(syllables, words, tags):
+        from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P
+
+        return MandarinG2P.apply_tone_sandhi_pos(syllables, words, tags)
+
+    @staticmethod
+    def _tones(syllables):
+        return [int(s[-1]) for s in syllables]
+
+    def test_yi_ordinal_keeps_tone_one_in_solo_numeral_word(self):
+        out = self._apply(["di4", "yi1"], [(0, 1), (1, 2)], ["m", "m"])
+        assert self._tones(out) == [4, 1]
+
+    def test_yi_in_ordinal_before_tone1_word_keeps_tone_one(self):
+        out = self._apply(["yi1", "yue1"], [(0, 1), (1, 2)], ["m", "m"])
+        assert self._tones(out) == [1, 1]
+
+    def test_yi_contextual_sandhi_still_fires_in_verb_context(self):
+        out = self._apply(["yi1", "qi3"], [(0, 2)], ["d"])
+        assert self._tones(out) == [4, 3]
+
+    def test_yi_before_fourth_tone_verb_still_promotes_to_two(self):
+        out = self._apply(["yi1", "ding4"], [(0, 2)], ["d"])
+        assert self._tones(out) == [2, 4]
+
+    def test_bu_reduplication_keeps_tone_four(self):
+        out = self._apply(
+            ["yao4", "bu4", "yao4"], [(0, 1), (1, 2), (2, 3)], ["v", "d", "v"]
+        )
+        assert self._tones(out) == [4, 4, 4]
+
+    def test_bu_promotion_still_fires_for_non_reduplication(self):
+        out = self._apply(["bu4", "yao4"], [(0, 2)], ["d"])
+        assert self._tones(out) == [2, 4]
+
+    def test_bu_reduplication_distinct_bases_triggers_promotion(self):
+        out = self._apply(
+            ["yao4", "bu4", "qu4"], [(0, 1), (1, 2), (2, 3)], ["v", "d", "v"]
+        )
+        assert self._tones(out) == [4, 2, 4]
+
+    def test_in_word_run_promotes_all_but_last(self):
+        out = self._apply(["wo3", "ye3", "xiang3"], [(0, 3)], ["v"])
+        assert self._tones(out) == [2, 2, 3]
+
+    def test_cross_word_pair_only_promotes_boundary(self):
+        out = self._apply(
+            ["wo3", "ye3", "xiang3", "qu4"],
+            [(0, 1), (1, 2), (2, 4)],
+            ["r", "d", "v"],
+        )
+        assert self._tones(out) == [2, 2, 3, 4]
+
+    def test_cross_word_chain_stops_at_non_three(self):
+        out = self._apply(
+            ["wo3", "shi4", "ni3", "de5"],
+            [(0, 1), (1, 2), (2, 3), (3, 4)],
+            ["r", "v", "r", "u"],
+        )
+        assert self._tones(out) == [3, 4, 3, 5]
+
+    def test_word_grouped_sandhi_beats_naive_run_rule(self):
+        out = self._apply(
+            ["ni3", "xiang3", "ma5"], [(0, 1), (1, 2), (2, 3)], ["r", "v", "y"]
+        )
+        assert self._tones(out) == [2, 3, 5]
+
+    def test_single_word_range_matches_baseline_for_flat_run(self):
+        out = self._apply(["ni3", "hao3"], [(0, 2)], ["a"])
+        assert self._tones(out) == [2, 3]
+
+    def test_empty_and_single_syllable_buffers_are_noops(self):
+        assert self._apply([], [], []) == []
+        assert self._apply(["ni3"], [(0, 1)], ["r"]) == ["ni3"]
+
+    def test_mismatched_tags_count_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="must align"):
+            self._apply(["ni3", "hao3"], [(0, 2)], [])
+
+    def test_phonemize_routes_through_pos_sandhi_when_tagger_set(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P
+
+        # 一天 with a numeral tagger: solo 一 tagged `m` keeps tone 1;
+        # the baseline promotes yi1 -> yi4 before the tone-1 successor.
+        tagger = MandarinG2P(pos_lookup=lambda w: "m")
+        baseline = MandarinG2P()
+        assert tagger.phonemize("一天") == "yi1 tian1"
+        assert baseline.phonemize("一天") == "yi4 tian1"
