@@ -69,6 +69,80 @@ def text_cleaner_encode(phonemes: str, prepend_pad: bool = True) -> list[int]:
 
 
 # --------------------------------------------------------------------------
+# Phonemizer: shared English cascade + Misaki -> espeak shorthand expansion
+# --------------------------------------------------------------------------
+
+# Misaki/Kokoro single-char diphthong shorthand -> espeak two-char IPA
+# (StyleTTS2Phonemizer.swift:172-189). StyleTTS2 was trained on espeak
+# transcriptions; without expansion the TextCleaner reads `O` as the Latin
+# letter and the audio is gibberish. Lowercase a/o/i/y/w are real IPA or
+# grapheme passthrough and stay untouched.
+MISAKI_SHORTHAND = {"A": "eɪ", "O": "oʊ", "I": "aɪ", "Y": "ɔɪ", "W": "aʊ"}
+
+_PUNCT_SET = set(_PUNCTUATION)
+
+
+def expand_misaki_shorthand(ipa: str) -> str:
+    """Expand A/O/I/Y/W diphthong shorthand
+    (`StyleTTS2Phonemizer.expandMisakiShorthand`)."""
+    return "".join(MISAKI_SHORTHAND.get(c, c) for c in ipa)
+
+
+class StyleTts2Phonemizer:
+    """Text -> espeak-IPA string for the StyleTTS2 TextCleaner.
+
+    Reference `StyleTTS2Phonemizer.swift:58-170`: conservative raw-text
+    normalization, word split, TextCleaner-punctuation passthrough, the
+    shared English lexicon/initialism cascade (via `EnglishG2P`), Misaki
+    shorthand expansion on every resolved word, grapheme passthrough on a
+    degraded G2P miss (never drop a word — that would shift alignment),
+    and a hard error when nothing at all resolves.
+    """
+
+    def __init__(self, g2p: EnglishG2P | None = None):
+        self.g2p = g2p or EnglishG2P()
+
+    def phonemize(self, text: str) -> str:
+        from fluidaudio_tpu.tts.g2p import split_words
+        from fluidaudio_tpu.tts.text_normalizer import english_normalize
+
+        trimmed = text.strip()
+        if not trimmed:
+            return ""
+        normalized = english_normalize(trimmed)
+        parts: list[str] = []
+        any_resolved = False
+        for word in split_words(normalized):
+            if not word:
+                continue
+            if all(c in _PUNCT_SET for c in word):
+                # TextCleaner has direct entries for these; counts as
+                # resolved so punctuation-only input doesn't raise
+                parts.append(word)
+                any_resolved = True
+                continue
+            ipa = self.g2p.word_to_phonemes(word)
+            if ipa:
+                parts.append(expand_misaki_shorthand(ipa))
+                any_resolved = True
+            else:
+                # degraded path: the symbol table has ASCII letters, so
+                # graphemes still produce something alignment-preserving
+                logger.info("G2P unresolved for %r; passing graphemes", word)
+                parts.append(word)
+        if not any_resolved:
+            raise ValueError(
+                f"phonemization failed: no words resolved (input={trimmed[:40]!r})"
+            )
+        return " ".join(parts)
+
+    def encode(self, text: str) -> list[int]:
+        """Text -> TextCleaner ids with the leading pad
+        (`StyleTTS2Phonemizer.encode`)."""
+        return text_cleaner_encode(self.phonemize(text))
+
+
+# --------------------------------------------------------------------------
 # reference-audio mel (torchaudio parity incl. the 16 kHz filterbank quirk)
 # --------------------------------------------------------------------------
 
@@ -158,6 +232,7 @@ class StyleTTS2Manager:
         self.predict_prog = StyleTts2PredictProgram(cfg)
         self.acoustic_prog = StyleTts2AcousticProgram(cfg, deterministic=True)
         self.g2p = EnglishG2P()
+        self.phonemizer = StyleTts2Phonemizer(self.g2p)
 
         tb = min(cfg.max_tokens, _TOKEN_BUCKETS[0])
         fb = min(cfg.max_frames, 64)
@@ -211,12 +286,14 @@ class StyleTTS2Manager:
         style against the reference style (`StyleTTS2Synthesizer.swift:33-40`;
         defaults 0.3/0.7)."""
         cfg = self.cfg
-        phonemes = self.g2p.phonemize(text)
+        phonemes = self.phonemizer.phonemize(text)
         # long input: shared PhonemeChunker semantics (reference
         # TTS/Shared/PhonemeChunker.swift via issue #712 follow-up)
         from fluidaudio_tpu.tts.phoneme_chunker import chunk_phonemes
 
-        pieces = chunk_phonemes(phonemes, cfg.max_tokens)
+        # chunk at max_tokens - 1 chars so pad + per-char tokens always fit
+        # the largest bucket (StyleTTS2Constants.maxPhonemeChunkChars)
+        pieces = chunk_phonemes(phonemes, cfg.max_tokens - 1)
         if len(pieces) > 1:
             outs = [
                 self._synthesize_phonemes(
