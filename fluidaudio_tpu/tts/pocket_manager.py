@@ -47,6 +47,35 @@ logger = get_logger("tts.pocket")
 
 MAX_TEXT_TOKENS = 256
 
+# Voice-cloning window contract (PocketTtsVoiceCloner.swift:21-33): the Mimi
+# encoder always consumes exactly 10 s @ 24 kHz and emits 125 frames.
+ENCODER_INPUT_SAMPLES = 240_000
+MIN_CLONE_SECONDS = 1.0
+
+
+def make_encoder_input_buffer(samples: np.ndarray) -> np.ndarray:
+    """Zero-pad or truncate to the fixed encoder window
+    (`PocketTtsVoiceCloner.makeEncoderInputBuffer`)."""
+    x = np.asarray(samples, np.float32).reshape(-1)
+    buf = np.zeros(ENCODER_INPUT_SAMPLES, np.float32)
+    n = min(x.size, ENCODER_INPUT_SAMPLES)
+    buf[:n] = x[:n]
+    return buf
+
+
+def usable_frame_count(
+    real_sample_count: int,
+    available_frames: int,
+    *,
+    frame_size: int = 1920,
+    max_voice_frames: int = VOICE_PROMPT_FRAMES,
+) -> int:
+    """Leading encoder frames covered by real (non-padding) audio:
+    ceil(real/frame), capped at the KV budget and the encoder output
+    (`PocketTtsVoiceCloner.usableFrameCount`)."""
+    covered = -(-real_sample_count // frame_size)
+    return max(1, min(covered, max_voice_frames, available_frames))
+
 
 @dataclass
 class PocketSynthesisResult:
@@ -122,17 +151,33 @@ class PocketTtsManager:
 
     def clone_voice(self, samples_24k: np.ndarray, name: str,
                     voices_dir: str | Path | None = None) -> None:
-        """Mimi-encode a 1-30 s sample into a 125-frame voice prompt; persist."""
+        """Mimi-encode a reference sample into a 125-frame voice prompt.
+
+        Reference `PocketTtsVoiceCloner.swift:21-75`: the encoder always sees
+        a fixed 10 s window (pad short audio with zeros, truncate longer),
+        then only `ceil(real_samples / frame)` leading frames are trusted as
+        conditioning. The fixed window is also the jit-friendly shape: every
+        clone shares one compiled encoder program. Because the prefill scan
+        carries a static 125-slot prompt, short clones tile their usable
+        frames to fill the buffer (repeats of the voice rather than zeros).
+        """
         x = np.asarray(samples_24k, np.float32).reshape(-1)
-        assert SAMPLE_RATE <= x.size <= 30 * SAMPLE_RATE, "voice sample must be 1-30 s"
+        if x.size < int(MIN_CLONE_SECONDS * SAMPLE_RATE):
+            raise ValueError(
+                f"voice sample too short: {x.size / SAMPLE_RATE:.2f}s "
+                f"(minimum {MIN_CLONE_SECONDS}s required)"
+            )
+        real = min(x.size, ENCODER_INPUT_SAMPLES)
+        buf = make_encoder_input_buffer(x)
         latents = np.asarray(
-            jax.jit(self.mimi_enc.apply)(self.params["mimi_enc"], jnp.asarray(x)[None])
+            jax.jit(self.mimi_enc.apply)(self.params["mimi_enc"], jnp.asarray(buf)[None])
         )[0]
-        if latents.shape[0] >= VOICE_PROMPT_FRAMES:
-            prompt = latents[:VOICE_PROMPT_FRAMES]
-        else:
-            reps = -(-VOICE_PROMPT_FRAMES // latents.shape[0])
-            prompt = np.tile(latents, (reps, 1))[:VOICE_PROMPT_FRAMES]
+        usable = usable_frame_count(
+            real, latents.shape[0], frame_size=self.frame_samples
+        )
+        kept = latents[:usable]
+        reps = -(-VOICE_PROMPT_FRAMES // usable)
+        prompt = np.tile(kept, (reps, 1))[:VOICE_PROMPT_FRAMES]
         self.voices[name] = prompt.astype(np.float32)
         if voices_dir:
             out = Path(voices_dir)

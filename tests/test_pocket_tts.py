@@ -59,7 +59,7 @@ def test_unknown_voice_raises(manager):
 
 
 def test_too_short_clone_rejected(manager):
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="too short"):
         manager.clone_voice(np.zeros(100, np.float32), "bad")
 
 
@@ -230,3 +230,87 @@ def test_flowlm_kv_step_matches_full_attention():
 
     ref = np.asarray(full_ref())
     np.testing.assert_allclose(got[:, :, :], ref, atol=3e-5, rtol=1e-4)
+
+
+class TestVoiceClonerHelpers:
+    """PocketTtsVoiceClonerTests.swift:16-108 — fixed-window pad/truncate
+    and ceil-trimmed usable frame count (pure host logic)."""
+
+    def test_encoder_input_buffer_pads_shorter_audio(self):
+        from fluidaudio_tpu.tts.pocket_manager import (
+            ENCODER_INPUT_SAMPLES,
+            make_encoder_input_buffer,
+        )
+
+        real = 180_000
+        x = (np.arange(real) % 17 - 8).astype(np.float32)
+        buf = make_encoder_input_buffer(x)
+        assert buf.shape == (ENCODER_INPUT_SAMPLES,)
+        np.testing.assert_array_equal(buf[:real], x)
+        assert not buf[real:].any()
+
+    def test_encoder_input_buffer_truncates_longer_audio(self):
+        from fluidaudio_tpu.tts.pocket_manager import (
+            ENCODER_INPUT_SAMPLES,
+            make_encoder_input_buffer,
+        )
+
+        x = (np.arange(ENCODER_INPUT_SAMPLES + 120_000) % 23 - 11).astype(np.float32)
+        buf = make_encoder_input_buffer(x)
+        assert buf.shape == (ENCODER_INPUT_SAMPLES,)
+        np.testing.assert_array_equal(buf, x[:ENCODER_INPUT_SAMPLES])
+
+    def test_encoder_input_buffer_handles_exact_length(self):
+        from fluidaudio_tpu.tts.pocket_manager import (
+            ENCODER_INPUT_SAMPLES,
+            make_encoder_input_buffer,
+        )
+
+        x = (np.arange(ENCODER_INPUT_SAMPLES) * 1e-6).astype(np.float32)
+        np.testing.assert_array_equal(make_encoder_input_buffer(x), x)
+
+    def test_encoder_input_buffer_handles_empty_input(self):
+        from fluidaudio_tpu.tts.pocket_manager import (
+            ENCODER_INPUT_SAMPLES,
+            make_encoder_input_buffer,
+        )
+
+        buf = make_encoder_input_buffer(np.zeros(0, np.float32))
+        assert buf.shape == (ENCODER_INPUT_SAMPLES,)
+        assert not buf.any()
+
+    def test_usable_frame_count_rounds_partial_frame_up(self):
+        from fluidaudio_tpu.tts.pocket_manager import usable_frame_count
+
+        assert usable_frame_count(180_000, 125) == 94
+
+    def test_usable_frame_count_caps_at_max_voice_frames(self):
+        from fluidaudio_tpu.models.pocket_tts import VOICE_PROMPT_FRAMES
+        from fluidaudio_tpu.tts.pocket_manager import (
+            ENCODER_INPUT_SAMPLES,
+            usable_frame_count,
+        )
+
+        assert usable_frame_count(ENCODER_INPUT_SAMPLES, 200) == VOICE_PROMPT_FRAMES
+
+    def test_usable_frame_count_caps_at_available_frames(self):
+        from fluidaudio_tpu.tts.pocket_manager import (
+            ENCODER_INPUT_SAMPLES,
+            usable_frame_count,
+        )
+
+        assert usable_frame_count(ENCODER_INPUT_SAMPLES, 80) == 80
+
+    def test_usable_frame_count_handles_exact_frame_boundary(self):
+        from fluidaudio_tpu.tts.pocket_manager import usable_frame_count
+
+        assert usable_frame_count(95 * 1920, 125) == 95
+
+    def test_usable_frame_count_handles_sub_frame_audio(self):
+        from fluidaudio_tpu.tts.pocket_manager import usable_frame_count
+
+        assert usable_frame_count(100, 125) == 1
+
+    def test_clone_voice_rejects_below_minimum_duration(self, manager):
+        with pytest.raises(ValueError, match="too short"):
+            manager.clone_voice(np.zeros(12_000, np.float32), "x")
