@@ -115,3 +115,56 @@ class OfflineDiarizerConfig:
                 ),
             )
         return dataclasses.replace(self, clustering=clustering)
+
+
+@dataclass(frozen=True)
+class SpeakerCountConstraints:
+    """Resolved clustering speaker-count bounds
+    (reference `SpeakerCountConstraints.swift:6-79`).
+
+    `resolve` clamps everything into [1, num_embeddings]; an exact
+    `num_speakers` overrides min/max; min > max silently clamps min down
+    (prevents crashes, may not reflect user intent — reference note).
+    """
+
+    num_speakers: int | None
+    min_speakers: int
+    max_speakers: int
+
+    @classmethod
+    def resolve(
+        cls,
+        num_embeddings: int,
+        num_speakers: int | None = None,
+        min_speakers: int | None = None,
+        max_speakers: int | None = None,
+    ) -> "SpeakerCountConstraints":
+        resolved_min = num_speakers if num_speakers is not None else (
+            min_speakers if min_speakers is not None else 1
+        )
+        resolved_min = max(1, min(num_embeddings, resolved_min))
+
+        resolved_max = num_speakers if num_speakers is not None else (
+            max_speakers if max_speakers is not None else num_embeddings
+        )
+        resolved_max = max(1, min(num_embeddings, resolved_max))
+
+        if resolved_min > resolved_max:
+            resolved_min = resolved_max
+
+        resolved_num = resolved_min if resolved_min == resolved_max else num_speakers
+        return cls(
+            num_speakers=resolved_num,
+            min_speakers=resolved_min,
+            max_speakers=resolved_max,
+        )
+
+    def needs_adjustment(self, detected_count: int) -> bool:
+        return detected_count < self.min_speakers or detected_count > self.max_speakers
+
+    def target_count(self, detected_count: int) -> int:
+        if detected_count < self.min_speakers:
+            return self.min_speakers
+        if detected_count > self.max_speakers:
+            return self.max_speakers
+        return detected_count

@@ -33,6 +33,10 @@ class VBxResult:
     gamma: np.ndarray  # [N, S]
     pi: np.ndarray  # [S]
     elbo_trace: list[float]
+    # VBxConstraintTests contract: whether speaker-count constraints changed
+    # the clustering, and how many clusters VBx found before adjustment
+    adjusted: bool = False
+    original_cluster_count: int | None = None
 
 
 def _hmm_forward_backward(log_p, log_pi, loop_prob):
@@ -165,10 +169,20 @@ class VBxClustering:
         max_speakers: int = 20,
     ) -> VBxResult:
         """VBx + SpeakerCountConstraints (reference VBxClustering.swift:685)."""
+        from fluidaudio_tpu.diarizer.offline.types import SpeakerCountConstraints
+
         result = self.refine(rho, psi, initial_labels)
         labels = result.labels
         k = len(np.unique(labels))
-        target = num_speakers if num_speakers > 0 else None
+        constraints = SpeakerCountConstraints.resolve(
+            num_embeddings=rho.shape[0],
+            num_speakers=num_speakers if num_speakers > 0 else None,
+            min_speakers=min_speakers,
+            max_speakers=max_speakers,
+        )
+        target = constraints.num_speakers
+        min_speakers = constraints.min_speakers
+        max_speakers = constraints.max_speakers
 
         def merge_closest(labels: np.ndarray) -> np.ndarray:
             uniq = np.unique(labels)
@@ -223,5 +237,8 @@ class VBxClustering:
             gamma[np.arange(labels.size), inverse] = 1.0
             pi = gamma.mean(axis=0)
             result = VBxResult(labels=inverse, gamma=gamma, pi=pi,
-                               elbo_trace=result.elbo_trace)
+                               elbo_trace=result.elbo_trace,
+                               adjusted=True, original_cluster_count=k)
+        else:
+            result.original_cluster_count = k
         return result

@@ -343,3 +343,86 @@ def test_offline_config_min_gt_max_raises():
     cfg = OfflineDiarizerConfig().with_speakers(min_speakers=6, max_speakers=2)
     with pytest.raises(ValueError, match="min_speakers"):
         cfg.validate()
+
+
+class TestSpeakerCountConstraints:
+    """SpeakerCountConstraintsTests.swift:10-135 — resolve clamping,
+    adjustment detection, and target count."""
+
+    @staticmethod
+    def _resolve(**kw):
+        from fluidaudio_tpu.diarizer.offline import SpeakerCountConstraints
+
+        return SpeakerCountConstraints.resolve(**kw)
+
+    def test_no_constraints_returns_defaults(self):
+        r = self._resolve(num_embeddings=100)
+        assert r.num_speakers is None
+        assert r.min_speakers == 1
+        assert r.max_speakers == 100
+
+    def test_num_speakers_overrides_min_max(self):
+        r = self._resolve(num_embeddings=100, num_speakers=3,
+                          min_speakers=1, max_speakers=10)
+        assert (r.num_speakers, r.min_speakers, r.max_speakers) == (3, 3, 3)
+
+    def test_clamps_to_embeddings(self):
+        r = self._resolve(num_embeddings=5, min_speakers=2, max_speakers=20)
+        assert (r.min_speakers, r.max_speakers) == (2, 5)
+
+    def test_min_not_greater_than_max(self):
+        r = self._resolve(num_embeddings=100, min_speakers=10, max_speakers=5)
+        assert (r.min_speakers, r.max_speakers) == (5, 5)
+
+    def test_zero_num_speakers_clamps_to_one(self):
+        r = self._resolve(num_embeddings=100, num_speakers=0)
+        assert (r.min_speakers, r.max_speakers) == (1, 1)
+
+    def test_negative_num_speakers_clamps_to_one(self):
+        r = self._resolve(num_embeddings=100, num_speakers=-5)
+        assert (r.min_speakers, r.max_speakers) == (1, 1)
+
+    def test_zero_min_speakers_clamps_to_one(self):
+        r = self._resolve(num_embeddings=100, min_speakers=0, max_speakers=5)
+        assert r.min_speakers == 1
+
+    def test_negative_min_speakers_clamps_to_one(self):
+        r = self._resolve(num_embeddings=100, min_speakers=-3, max_speakers=5)
+        assert r.min_speakers == 1
+
+    def test_needs_adjustment_when_below_min(self):
+        r = self._resolve(num_embeddings=100, min_speakers=5, max_speakers=10)
+        assert r.needs_adjustment(3)
+        assert r.target_count(3) == 5
+
+    def test_needs_adjustment_when_above_max(self):
+        r = self._resolve(num_embeddings=100, min_speakers=2, max_speakers=5)
+        assert r.needs_adjustment(8)
+        assert r.target_count(8) == 5
+
+    def test_no_adjustment_when_within_bounds(self):
+        r = self._resolve(num_embeddings=100, min_speakers=2, max_speakers=5)
+        assert not r.needs_adjustment(3)
+        assert r.target_count(3) == 3
+
+
+def test_vbx_result_reports_adjusted_flag():
+    """VBxConstraintTests.swift:8-49 — functional: constraints that change
+    the clustering set adjusted + original_cluster_count; an untouched run
+    keeps adjusted False but still records the pre-adjustment count."""
+    centers = [np.zeros(128), np.zeros(128)]
+    centers[0][0] = 4.0
+    centers[1][1] = 4.0
+    X, y = make_blobs(20, centers, seed=3)
+    psi = np.full(128, 4.0, np.float32)
+    vbx = VBxClustering()
+
+    forced = vbx.refine_with_constraints(X, psi, y, num_speakers=1)
+    assert forced.adjusted
+    assert forced.original_cluster_count == 2
+    assert len(np.unique(forced.labels)) == 1
+
+    free = vbx.refine_with_constraints(X, psi, y, num_speakers=-1,
+                                       min_speakers=1, max_speakers=20)
+    assert not free.adjusted
+    assert free.original_cluster_count == 2
