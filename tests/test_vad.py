@@ -257,3 +257,85 @@ def test_int16_transfer_path_matches_f32():
     n16 = m.process(pcm[:CHUNK_SIZE], st)
     n32 = m.process(f32[:CHUNK_SIZE], r32[-1].output_state)
     np.testing.assert_allclose(n16[0].probability, n32[0].probability, atol=1e-6)
+
+
+def test_streaming_start_event_at_sample_zero(logic_manager):
+    """VadStreamingTests.swift:7-50: an immediate high-probability chunk
+    emits speech_start clamped to sample 0 and sets triggered."""
+    cfg = VadSegmentationConfig()
+    state = VadStreamState.initial()
+    r = logic_manager.streaming_state_machine(
+        0.9, CHUNK_SIZE, VadState.initial(), state, cfg
+    )
+    assert r.event is not None and r.event.kind == "speech_start"
+    assert r.event.sample_index == 0
+    assert r.state.triggered
+
+    # silence until min_silence elapses -> speech_end with positive index
+    end = None
+    for _ in range(60):
+        r = logic_manager.streaming_state_machine(
+            0.05, CHUNK_SIZE, VadState.initial(), r.state, cfg
+        )
+        if r.event:
+            end = r.event
+            break
+    assert end is not None and end.kind == "speech_end"
+    assert end.sample_index > 0
+    assert not r.state.triggered
+
+
+def test_streaming_returns_seconds_rounded_to_resolution(logic_manager):
+    """VadStreamingTests.swift:53-92: with return_seconds, event.time is
+    sample_index/rate rounded at the requested decimal resolution."""
+    cfg = VadSegmentationConfig()
+    state = VadStreamState.initial()
+    r = logic_manager.streaming_state_machine(
+        0.9, CHUNK_SIZE, VadState.initial(), state, cfg,
+        return_seconds=True, time_resolution=2,
+    )
+    end = None
+    for _ in range(60):
+        r = logic_manager.streaming_state_machine(
+            0.05, CHUNK_SIZE, VadState.initial(), r.state, cfg,
+            return_seconds=True, time_resolution=2,
+        )
+        if r.event:
+            end = r.event
+            break
+    assert end is not None
+    expected = end.sample_index / SAMPLE_RATE
+    assert end.time == round(expected * 100) / 100
+
+
+def test_streaming_respects_threshold_override():
+    """VadStreamingTests.swift:94-125: negative_threshold + offset derive
+    the entry threshold (0.2 + 0.05 = 0.25)."""
+    vad = VadManager(VadConfig(default_threshold=0.8), skip_model_loading=True)
+    cfg = VadSegmentationConfig(negative_threshold=0.2, negative_threshold_offset=0.05)
+    state = VadStreamState.initial()
+
+    below = vad.streaming_state_machine(0.24, CHUNK_SIZE, VadState.initial(), state, cfg)
+    assert below.event is None
+
+    trig = vad.streaming_state_machine(
+        0.3, CHUNK_SIZE, VadState.initial(), below.state, cfg
+    )
+    assert trig.event is not None and trig.event.kind == "speech_start"
+    pad = int(cfg.speech_padding * SAMPLE_RATE)
+    assert trig.event.sample_index == max(0, CHUNK_SIZE - pad)
+
+
+def test_streaming_uses_default_threshold_without_override():
+    """VadStreamingTests.swift:127+: without an override the manager's
+    default_threshold gates entry."""
+    vad = VadManager(VadConfig(default_threshold=0.6), skip_model_loading=True)
+    cfg = VadSegmentationConfig()
+    state = VadStreamState.initial()
+
+    below = vad.streaming_state_machine(0.59, CHUNK_SIZE, VadState.initial(), state, cfg)
+    assert below.event is None
+    above = vad.streaming_state_machine(
+        0.61, CHUNK_SIZE, VadState.initial(), below.state, cfg
+    )
+    assert above.event is not None and above.event.kind == "speech_start"
