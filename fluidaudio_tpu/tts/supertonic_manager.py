@@ -64,6 +64,51 @@ MAX_CHUNK_CJK = 57
 DEFAULT_SPEED = 1.05
 DEFAULT_SILENCE_S = 0.05
 
+# The 10 built-in voice styles published at
+# FluidInference/supertonic-3-coreml/voice_styles/ (Supertonic3Types.swift:
+# 120-150): female F1-F5, male M1-M5; M1 shipped first and is the default.
+SUPERTONIC3_VOICES = ("F1", "F2", "F3", "F4", "F5", "M1", "M2", "M3", "M4", "M5")
+DEFAULT_VOICE = "M1"
+
+
+def parse_voice(name: str) -> str | None:
+    """Case-insensitive voice-name parse; None for unknown names so callers
+    (e.g. a CLI passing a Kokoro-style voice id) can fall back to the
+    default (`Supertonic3Voice.init?(name:)`)."""
+    up = name.upper()
+    return up if up in SUPERTONIC3_VOICES else None
+
+
+def voice_style_filename(name: str) -> str:
+    """Repo-relative style JSON path, e.g. `voice_styles/F3.json`."""
+    return f"voice_styles/{name}.json"
+
+
+def load_voice_style(path: str | Path) -> dict[str, np.ndarray]:
+    """Decode a voice style JSON (`Supertonic3VoiceStyle.load`):
+    {"style_ttl": {data, dims, type}, "style_dp": {...}} with dims validated
+    against the model contract; returns {"ttl": [50,256], "dp": [8,16]}."""
+    path = Path(path)
+    try:
+        raw = json.loads(path.read_text())
+    except (OSError, ValueError) as e:
+        raise ValueError(f"voice style load failed: {path}: {e}") from e
+    out = {}
+    for key, short, dims in (
+        ("style_ttl", "ttl", [1, TTL_STYLE_TOKENS, TTL_STYLE_DIM]),
+        ("style_dp", "dp", [1, DP_STYLE_TOKENS, DP_STYLE_DIM]),
+    ):
+        comp = raw.get(key)
+        if comp is None:
+            raise ValueError(f"voice style {path.name} missing {key}")
+        if list(comp.get("dims", [])) != dims:
+            raise ValueError(
+                f"voice style shape mismatch for {key}: "
+                f"expected {dims}, got {comp.get('dims')}"
+            )
+        out[short] = np.asarray(comp["data"], np.float32).reshape(dims[1], dims[2])
+    return out
+
 _SYMBOL_REPLACEMENTS = [
     ("–", "-"), ("‑", "-"), ("—", "-"), ("_", " "),
     ("“", '"'), ("”", '"'), ("‘", "'"), ("’", "'"),
@@ -313,7 +358,22 @@ class Supertonic3Manager:
         return UnicodeIndexer(None, self.cfg.vocab_size)
 
     def _load_voices(self, base: Path) -> dict[str, dict[str, np.ndarray]]:
-        """Voice style files: {name: {"ttl": [50,256], "dp": [8,16]}}."""
+        """Voice styles keyed by canonical name.
+
+        Preference order: the real release layout `voice_styles/{NAME}.json`
+        (Supertonic3Voice.fileName), then a legacy combined `voices.json`,
+        then a seeded random catalog over the full 10-voice set so every
+        published voice name resolves pre-assets.
+        """
+        styles_dir = base / "voice_styles"
+        if styles_dir.is_dir():
+            loaded = {}
+            for name in SUPERTONIC3_VOICES:
+                f = styles_dir / f"{name}.json"
+                if f.exists():
+                    loaded[name] = load_voice_style(f)
+            if loaded:
+                return loaded
         f = base / "voices.json"
         if f.exists():
             raw = json.loads(f.read_text())
@@ -328,7 +388,7 @@ class Supertonic3Manager:
         return {
             name: {"ttl": rng.randn(TTL_STYLE_TOKENS, TTL_STYLE_DIM).astype(np.float32) * 0.1,
                    "dp": rng.randn(DP_STYLE_TOKENS, DP_STYLE_DIM).astype(np.float32) * 0.1}
-            for name in ("sara", "marcus")
+            for name in SUPERTONIC3_VOICES
         }
 
     @property
@@ -340,7 +400,7 @@ class Supertonic3Manager:
     def synthesize(
         self,
         text: str,
-        voice: str = "sara",
+        voice: str = DEFAULT_VOICE,
         language: str = "en",
         *,
         speed: float = DEFAULT_SPEED,
@@ -350,7 +410,13 @@ class Supertonic3Manager:
     ) -> Supertonic3Result:
         if language not in AVAILABLE_LANGUAGES:
             raise ValueError(f"unsupported language {language!r}")
+        # exact key first (custom styles keep their case), then the
+        # case-insensitive built-in parse (Supertonic3Voice.init?(name:))
         style = self.voices.get(voice)
+        if style is None:
+            canonical = parse_voice(voice)
+            if canonical is not None:
+                style = self.voices.get(canonical)
         if style is None:
             raise KeyError(f"unknown voice {voice!r}; available {self.available_voices}")
         max_len = MAX_CHUNK_CJK if language in CJK_LANGUAGES else MAX_CHUNK_LATIN

@@ -60,7 +60,7 @@ def test_styletts2_text_cleaner_table():
 
 
 def test_supertonic_synthesize(supertonic):
-    r = supertonic.synthesize("forty four kilohertz output", voice="sara")
+    r = supertonic.synthesize("forty four kilohertz output", voice="m1")
     assert r.sample_rate == 44_100
     assert r.samples.size > 0 and np.abs(r.samples).max() <= 1.0
     assert r.duration > 0
@@ -136,7 +136,7 @@ def test_roundtrip_harness(supertonic):
         AsrModels.load("test-tiny", allow_random_init=True),
         ASRConfig(tdt=TdtConfig(max_tokens_per_chunk=64)),
     )
-    result = tts_asr_roundtrip(supertonic, asr, "testing round trip", voice="sara")
+    result = tts_asr_roundtrip(supertonic, asr, "testing round trip", voice="m1")
     assert 0.0 <= result.wer <= 2.0
     assert result.audio_seconds > 0
     assert isinstance(result.transcript, str)
@@ -270,3 +270,89 @@ def test_supertonic_latent_sampler_edge_scenarios():
         np.array([]), 32, np.random.RandomState(0)
     )
     assert z.shape[0] == 0 and mask.shape[0] == 0 and true_len == 0
+
+
+class TestSupertonic3VoiceCatalog:
+    """Supertonic3VoiceTests.swift:10-52 + voice-style JSON decoding
+    (Supertonic3Types.swift:161-250)."""
+
+    def test_has_ten_voices(self):
+        from fluidaudio_tpu.tts.supertonic_manager import SUPERTONIC3_VOICES
+
+        assert SUPERTONIC3_VOICES == (
+            "F1", "F2", "F3", "F4", "F5", "M1", "M2", "M3", "M4", "M5"
+        )
+
+    def test_default_is_m1(self):
+        from fluidaudio_tpu.tts.supertonic_manager import DEFAULT_VOICE
+
+        assert DEFAULT_VOICE == "M1"
+
+    def test_file_name_mapping(self):
+        from fluidaudio_tpu.tts.supertonic_manager import (
+            SUPERTONIC3_VOICES,
+            voice_style_filename,
+        )
+
+        assert voice_style_filename("F3") == "voice_styles/F3.json"
+        for v in SUPERTONIC3_VOICES:
+            assert voice_style_filename(v) == f"voice_styles/{v}.json"
+
+    def test_name_parsing_is_case_insensitive(self):
+        from fluidaudio_tpu.tts.supertonic_manager import parse_voice
+
+        assert parse_voice("F3") == "F3"
+        assert parse_voice("f3") == "F3"
+        assert parse_voice("m1") == "M1"
+        assert parse_voice("M5") == "M5"
+
+    def test_name_parsing_rejects_unknown(self):
+        from fluidaudio_tpu.tts.supertonic_manager import parse_voice
+
+        assert parse_voice("xyz") is None
+        assert parse_voice("") is None
+        assert parse_voice("F6") is None
+        # Kokoro-style default must not parse, so callers can fall back
+        assert parse_voice("af_heart") is None
+
+    def test_manager_catalog_covers_all_builtin_voices(self, supertonic):
+        from fluidaudio_tpu.tts.supertonic_manager import SUPERTONIC3_VOICES
+
+        assert set(SUPERTONIC3_VOICES) <= set(supertonic.available_voices)
+
+    def test_load_voice_style_validates_dims(self, tmp_path):
+        import json as _json
+
+        from fluidaudio_tpu.models.supertonic3 import (
+            DP_STYLE_DIM,
+            DP_STYLE_TOKENS,
+            TTL_STYLE_DIM,
+            TTL_STYLE_TOKENS,
+        )
+        from fluidaudio_tpu.tts.supertonic_manager import load_voice_style
+
+        good = {
+            "style_ttl": {
+                "data": [[[0.5] * TTL_STYLE_DIM] * TTL_STYLE_TOKENS],
+                "dims": [1, TTL_STYLE_TOKENS, TTL_STYLE_DIM],
+                "type": "float32",
+            },
+            "style_dp": {
+                "data": [[[0.25] * DP_STYLE_DIM] * DP_STYLE_TOKENS],
+                "dims": [1, DP_STYLE_TOKENS, DP_STYLE_DIM],
+                "type": "float32",
+            },
+        }
+        p = tmp_path / "M1.json"
+        p.write_text(_json.dumps(good))
+        style = load_voice_style(p)
+        assert style["ttl"].shape == (TTL_STYLE_TOKENS, TTL_STYLE_DIM)
+        assert style["dp"].shape == (DP_STYLE_TOKENS, DP_STYLE_DIM)
+        assert float(style["ttl"][0, 0]) == 0.5
+
+        bad = dict(good)
+        bad["style_dp"] = {**good["style_dp"], "dims": [1, 4, 4]}
+        q = tmp_path / "bad.json"
+        q.write_text(_json.dumps(bad))
+        with pytest.raises(ValueError, match="shape mismatch"):
+            load_voice_style(q)
