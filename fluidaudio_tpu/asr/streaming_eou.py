@@ -57,6 +57,14 @@ EOU_DEBOUNCE_MS = 1280.0
 CHUNK_TIERS_MS = (160, 320, 1280)
 
 
+def compute_token_timestamps_ms(
+    base_frame: int, token_frames: list[int], frame_duration_ms: float = 80.0
+) -> list[float]:
+    """Per-token emission timestamps: (stream base frame + in-window frame)
+    x 80 ms encoder frame (`StreamingEouAsrManager.computeTokenTimestampsMs`)."""
+    return [(base_frame + f) * frame_duration_ms for f in token_frames]
+
+
 @dataclass
 class EouPartialResult:
     text: str
@@ -229,8 +237,9 @@ class StreamingEouAsrManager:
         count = int(counts_h[0])
         ids = [int(t) for t in tokens_h[0][:count]]
         frames = times_h[0][:count]
-        base_frame = state.enc_frames_emitted
-        ts_ms = [(base_frame + int(f)) * 80.0 for f in frames]
+        ts_ms = compute_token_timestamps_ms(
+            state.enc_frames_emitted, [int(f) for f in frames]
+        )
         state.tokens.extend(ids)
         state.timestamps_ms.extend(ts_ms)
         state.enc_frames_emitted += self.mel_frames // 8

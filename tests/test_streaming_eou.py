@@ -67,3 +67,44 @@ def test_eou_debounce():
     from fluidaudio_tpu.asr.streaming_eou import EOU_DEBOUNCE_MS
 
     assert EOU_DEBOUNCE_MS == 1280.0
+
+
+def test_token_timestamp_calculation_ms():
+    """StreamingEouAsrManagerTimestampTests.swift:7-19."""
+    from fluidaudio_tpu.asr.streaming_eou import compute_token_timestamps_ms
+
+    assert compute_token_timestamps_ms(4, [0, 1, 3]) == [320, 400, 560]
+
+
+def test_token_timestamp_calculation_empty():
+    from fluidaudio_tpu.asr.streaming_eou import compute_token_timestamps_ms
+
+    assert compute_token_timestamps_ms(10, []) == []
+
+
+def test_chunk_tier_mel_frame_counts():
+    """EouChunkSizeFrameCountTests.swift (issue #441): every tier's chunk
+    consumes a whole number of hops and yields chunk_samples/hop frames,
+    8-frame-divisible so the encoder's 8x subsampling stays aligned."""
+    from fluidaudio_tpu.asr.streaming_eou import CHUNK_TIERS_MS, MEL_HOP
+
+    expected = {160: 16, 320: 32, 1280: 128}
+    for ms in CHUNK_TIERS_MS:
+        samples = ms * 16000 // 1000
+        assert samples % MEL_HOP == 0
+        frames = samples // MEL_HOP
+        assert frames == expected[ms]
+        assert frames % 8 == 0
+
+
+def test_mel_frame_formula_positive_for_varied_lengths():
+    """EouChunkSizeFrameCountTests.swift:44-61 adapted: the non-center
+    frame formula stays positive/stable over arbitrary lengths."""
+    from fluidaudio_tpu.ops.mel import MelConfig
+
+    cfg = MelConfig(n_mels=128, n_fft=512, hop_length=160, win_length=400,
+                    center=False)
+    for n in (1000, 2000, 5000, 8000, 10080, 12000, 15000, 20000, 25000, 30000):
+        frames = cfg.num_frames(n)
+        assert frames == 1 + (n - 400) // 160
+        assert frames > 0
