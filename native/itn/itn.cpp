@@ -1026,6 +1026,112 @@ const LangGrammar kSpanish = {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Custom spoken->written rules (reference ITN/TextNormalizer.swift:289-330:
+// nemo_add_rule / nemo_remove_rule / nemo_clear_rules / nemo_rule_count).
+// Highest priority: applied on the token stream before every built-in
+// tagger; spoken forms match case-insensitively on whole-word spans and
+// longer phrases win over shorter ones.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct CustomRule {
+  std::vector<std::string> spoken;  // lowercased words
+  std::string written;
+};
+
+std::vector<CustomRule>& custom_rules() {
+  static std::vector<CustomRule> rules;
+  return rules;
+}
+
+std::vector<std::string> split_lower_words(const std::string& s) {
+  std::vector<std::string> out;
+  std::istringstream ss(s);
+  std::string w;
+  while (ss >> w) {
+    for (auto& c : w) c = std::tolower(static_cast<unsigned char>(c));
+    out.push_back(std::move(w));
+  }
+  return out;
+}
+
+// Replace rule matches in the token stream with their written form,
+// preserving the boundary tokens' leading/trailing punctuation.
+std::vector<Token> apply_custom_rules(std::vector<Token> toks) {
+  const auto& rules = custom_rules();
+  if (rules.empty()) return toks;
+  std::vector<Token> out;
+  out.reserve(toks.size());
+  size_t i = 0;
+  while (i < toks.size()) {
+    const CustomRule* best = nullptr;
+    for (const auto& r : rules) {
+      if (r.spoken.empty() || i + r.spoken.size() > toks.size()) continue;
+      bool match = true;
+      for (size_t k = 0; k < r.spoken.size(); ++k) {
+        if (toks[i + k].word != r.spoken[k] ||
+            (k + 1 < r.spoken.size() && !toks[i + k].suffix.empty())) {
+          match = false;
+          break;
+        }
+      }
+      if (match && (best == nullptr || r.spoken.size() > best->spoken.size()))
+        best = &r;
+    }
+    if (best != nullptr) {
+      size_t last = i + best->spoken.size() - 1;
+      Token t;
+      t.prefix = toks[i].prefix;
+      t.suffix = toks[last].suffix;
+      t.word = best->written;
+      t.raw = t.prefix + t.word + t.suffix;
+      out.push_back(std::move(t));
+      i = last + 1;
+    } else {
+      out.push_back(toks[i]);
+      ++i;
+    }
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" void nemo_add_rule(const char* spoken, const char* written) {
+  if (spoken == nullptr || written == nullptr) return;
+  std::vector<std::string> words = split_lower_words(spoken);
+  if (words.empty()) return;
+  for (auto& r : custom_rules()) {
+    if (r.spoken == words) {  // replace an existing rule for the same form
+      r.written = written;
+      return;
+    }
+  }
+  custom_rules().push_back(CustomRule{std::move(words), written});
+}
+
+extern "C" int nemo_remove_rule(const char* spoken) {
+  if (spoken == nullptr) return 0;
+  std::vector<std::string> words = split_lower_words(spoken);
+  auto& rules = custom_rules();
+  for (auto it = rules.begin(); it != rules.end(); ++it) {
+    if (it->spoken == words) {
+      rules.erase(it);
+      return 1;
+    }
+  }
+  return 0;
+}
+
+extern "C" void nemo_clear_rules() { custom_rules().clear(); }
+
+extern "C" unsigned nemo_rule_count() {
+  return static_cast<unsigned>(custom_rules().size());
+}
+
+extern "C" const char* nemo_version() { return "fluidaudio-itn 1.1.0"; }
+
 extern "C" char* nemo_normalize(const char* text, const char* lang) {
   if (text == nullptr) return nullptr;
   std::string language = lang ? lang : "en";
@@ -1038,18 +1144,30 @@ extern "C" char* nemo_normalize(const char* text, const char* lang) {
     else if (code == "pt") g = &kPortuguese;
     else if (code == "it") g = &kItalian;
     else if (code == "ru") g = &kRussian;
-    if (g == nullptr) {  // unsupported: identity (graceful degradation)
+    if (g == nullptr) {  // unsupported: identity (graceful degradation),
+      // except user rules, which apply in every language
+      if (!custom_rules().empty()) {
+        std::vector<Token> toks = apply_custom_rules(tokenize(text));
+        std::string joined;
+        for (size_t k = 0; k < toks.size(); ++k) {
+          if (k) joined += " ";
+          joined += toks[k].raw;
+        }
+        char* res = static_cast<char*>(std::malloc(joined.size() + 1));
+        if (res) std::memcpy(res, joined.c_str(), joined.size() + 1);
+        return res;
+      }
       char* out = static_cast<char*>(std::malloc(std::strlen(text) + 1));
       if (out) std::strcpy(out, text);
       return out;
     }
-    std::string joined = normalize_generic(tokenize(text), *g);
+    std::string joined = normalize_generic(apply_custom_rules(tokenize(text)), *g);
     char* result = static_cast<char*>(std::malloc(joined.size() + 1));
     if (result) std::memcpy(result, joined.c_str(), joined.size() + 1);
     return result;
   }
 
-  std::vector<Token> toks = tokenize(text);
+  std::vector<Token> toks = apply_custom_rules(tokenize(text));
   std::vector<std::string> out;
   out.reserve(toks.size());
 

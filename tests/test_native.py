@@ -246,3 +246,76 @@ class TestItnReviewRegressions:
         from fluidaudio_tpu.itn import TextNormalizer
 
         assert "3.05" in TextNormalizer("es").normalize("tres coma cero cinco")
+
+
+class TestCustomRules:
+    """TextNormalizerTests.swift custom-rule surface
+    (ITN/TextNormalizer.swift:289-330) against the native engine."""
+
+    @pytest.fixture()
+    def tn(self):
+        from fluidaudio_tpu.itn import TextNormalizer
+
+        t = TextNormalizer("en")
+        if not t.is_native_available:
+            pytest.skip("native ITN library not built")
+        t.clear_rules()
+        yield t
+        t.clear_rules()
+
+    def test_add_rule_applies_before_builtins(self, tn):
+        tn.add_rule("gee pee tee", "GPT")
+        assert tn.rule_count == 1
+        assert tn.normalize("ask gee pee tee something") == "ask GPT something"
+
+    def test_rule_matching_is_case_insensitive(self, tn):
+        tn.add_rule("Gee Pee Tee", "GPT")
+        assert tn.normalize("Gee pee TEE rocks") == "GPT rocks"
+
+    def test_longer_phrase_wins(self, tn):
+        tn.add_rule("open ai", "OpenAI")
+        tn.add_rule("open ai whisper", "Whisper")
+        assert tn.normalize("use open ai whisper now") == "use Whisper now"
+        assert tn.normalize("use open ai now") == "use OpenAI now"
+
+    def test_punctuation_preserved_around_match(self, tn):
+        tn.add_rule("gee pee tee", "GPT")
+        assert tn.normalize("(gee pee tee),") == "(GPT),"
+
+    def test_remove_and_clear(self, tn):
+        tn.add_rule("a b", "AB")
+        tn.add_rule("c d", "CD")
+        assert tn.rule_count == 2
+        assert tn.remove_rule("a b") is True
+        assert tn.remove_rule("a b") is False
+        assert tn.rule_count == 1
+        tn.clear_rules()
+        assert tn.rule_count == 0
+        assert tn.normalize("c d") == "c d"
+
+    def test_readding_same_spoken_replaces(self, tn):
+        tn.add_rule("x y", "XY")
+        tn.add_rule("x y", "ZZ")
+        assert tn.rule_count == 1
+        assert tn.normalize("x y") == "ZZ"
+
+    def test_rules_apply_in_unsupported_language(self, tn):
+        tn.add_rule("nee how", "nihao")
+        assert tn.normalize("say nee how", language="zz") == "say nihao"
+
+    def test_rules_compose_with_number_taggers(self, tn):
+        tn.add_rule("dollars", "USD")
+        # rule runs first, so the currency tagger no longer sees "dollars"
+        out = tn.normalize("five dollars")
+        assert out == "5 USD"
+
+    def test_version_string(self, tn):
+        assert tn.version and "itn" in tn.version
+
+    def test_ambiguous_words_catalog(self):
+        from fluidaudio_tpu.itn.normalizer import AMBIGUOUS_WORDS, TextNormalizer
+
+        assert "period" in AMBIGUOUS_WORDS and "percent" in AMBIGUOUS_WORDS
+        # the filter preserves natural-language sentences verbatim
+        s = "The period of history known as the Renaissance."
+        assert TextNormalizer.filter_ambiguous_words(s) == s
