@@ -52,6 +52,43 @@ VOCAB = {s: i for i, s in enumerate(SYMBOLS)}
 
 # voice packs index style rows by phoneme count: ref_s = pack[len(ps) - 1]
 VOICE_PACK_ROWS = 510
+VOICE_PACK_COLS = 256  # [timbre | prosody] halves of 128
+
+
+class InvalidVoicePackError(ValueError):
+    """Malformed voice-pack payload (`KokoroAneError.invalidVoicePack`)."""
+
+
+def load_voice_pack(path) -> np.ndarray:
+    """Load a flat fp32 `<voice>.bin` into [510, 256]
+    (`KokoroAneVoicePack.load`): missing file -> FileNotFoundError; a byte
+    count not divisible by 4 or an element count != 510*256 -> typed error."""
+    from pathlib import Path as _Path
+
+    p = _Path(path)
+    if not p.exists():
+        raise FileNotFoundError(f"voice pack missing: {p}")
+    data = p.read_bytes()
+    if len(data) % 4 != 0:
+        raise InvalidVoicePackError(
+            f"file size {len(data)} is not a multiple of sizeof(float32)=4"
+        )
+    storage = np.frombuffer(data, dtype="<f4")
+    expected = VOICE_PACK_ROWS * VOICE_PACK_COLS
+    if storage.size != expected:
+        raise InvalidVoicePackError(
+            f"expected {expected} fp32 elements, got {storage.size}"
+        )
+    return storage.reshape(VOICE_PACK_ROWS, VOICE_PACK_COLS).copy()
+
+
+def slice_voice_pack(pack: np.ndarray, phoneme_count: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row for the phoneme-length bucket, clamped into [0, 509]; returns
+    (style_s, style_timbre), the [128:256] and [0:128] column halves
+    (`KokoroAneVoicePack.slice`)."""
+    row = max(min(phoneme_count - 1, pack.shape[0] - 1), 0)
+    half = pack.shape[1] // 2
+    return pack[row, half:], pack[row, :half]
 
 # Variant contract (reference KokoroAneConstants.swift:131-163): per-variant
 # HF repo, default voice, and text frontend. `mandarin` routes Hanzi through
@@ -229,6 +266,13 @@ class KokoroManager:
             if f.exists():
                 data = np.load(f)
                 return {k: data[k].reshape(-1, STYLE_DIM) for k in data.files}
+        # release layout: one flat fp32 `<voice>.bin` per voice
+        # (KokoroAneVoicePack.load), at the repo root or under voices/
+        for d in (base / "voices", base):
+            if d.is_dir():
+                packs = {p.stem: p for p in sorted(d.glob("*.bin"))}
+                if packs:
+                    return {name: load_voice_pack(p) for name, p in packs.items()}
         rng = np.random.RandomState(7)
         return {
             name: rng.randn(VOICE_PACK_ROWS, STYLE_DIM).astype(np.float32) * 0.1
@@ -353,13 +397,12 @@ class KokoroManager:
         pack = self.voices.get(voice)
         if pack is None:
             raise KeyError(f"unknown voice {voice!r}; available: {self.available_voices}")
-        # row = raw phoneme-string length, BOS/EOS not counted (reference
-        # KokoroAneManager.runChain: `let phonemeCount = phonemes.count`)
-        ref_s = pack[min(len(phonemes) - 1, pack.shape[0] - 1)]
-        half = ref_s.shape[0] // 2  # [timbre | prosody] halves (ref VoicePack)
+        # row = raw phoneme-string length, BOS/EOS not counted, clamped into
+        # [0, 509] (reference KokoroAneVoicePack.slice)
         sd = self.cfg.style_dim
-        style_timbre = jnp.asarray(ref_s[None, :sd].astype(np.float32))
-        style_s = jnp.asarray(ref_s[None, half : half + sd].astype(np.float32))
+        s_half, t_half = slice_voice_pack(pack, len(phonemes))
+        style_timbre = jnp.asarray(t_half[None, :sd].astype(np.float32))
+        style_s = jnp.asarray(s_half[None, :sd].astype(np.float32))
 
         wrapped = [0, *ids, 0]  # kokoro pads both ends with symbol 0 ('$')
         n = len(wrapped)

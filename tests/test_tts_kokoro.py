@@ -250,3 +250,93 @@ class TestKokoroVocabScenarios:
         known = next(iter(p for p in manager.vocab if p.strip()))
         with pytest.raises(KeyError, match="unknown voice"):
             manager.synthesize_from_phonemes(known * 4, voice="nope")
+
+
+class TestKokoroVoicePack:
+    """KokoroAneVoicePackTests.swift:6-108 — [510,256] fp32 pack loading,
+    validation, and phoneme-count slice clamping."""
+
+    @staticmethod
+    def _make_pack():
+        import numpy as np
+
+        from fluidaudio_tpu.tts.kokoro_manager import (
+            VOICE_PACK_COLS,
+            VOICE_PACK_ROWS,
+        )
+
+        r = np.arange(VOICE_PACK_ROWS, dtype=np.float32)[:, None] * 1000
+        c = np.arange(VOICE_PACK_COLS, dtype=np.float32)[None, :]
+        return r + c
+
+    def test_slice_returns_correct_columns_for_mid_row(self):
+        from fluidaudio_tpu.tts.kokoro_manager import slice_voice_pack
+
+        style_s, style_timbre = slice_voice_pack(self._make_pack(), 5)  # row 4
+        assert style_s.shape == (128,) and style_timbre.shape == (128,)
+        assert style_timbre[0] == 4000.0 and style_timbre[-1] == 4127.0
+        assert style_s[0] == 4128.0 and style_s[-1] == 4255.0
+
+    def test_slice_clamps_lower_bound_for_zero_or_negative(self):
+        import numpy as np
+
+        from fluidaudio_tpu.tts.kokoro_manager import slice_voice_pack
+
+        pack = self._make_pack()
+        s0, t0 = slice_voice_pack(pack, 0)
+        s1, t1 = slice_voice_pack(pack, -10)
+        assert t0[0] == 0.0 and s0[0] == 128.0
+        np.testing.assert_array_equal(t1, t0)
+        np.testing.assert_array_equal(s1, s0)
+
+    def test_slice_clamps_upper_bound_for_overflow(self):
+        from fluidaudio_tpu.tts.kokoro_manager import slice_voice_pack
+
+        s, t = slice_voice_pack(self._make_pack(), 9999)
+        assert t[0] == 509_000.0
+        assert s[0] == 509_000.0 + 128
+
+    def test_load_from_binary_roundtrips(self, tmp_path):
+        from fluidaudio_tpu.tts.kokoro_manager import (
+            VOICE_PACK_COLS,
+            load_voice_pack,
+        )
+
+        pack = self._make_pack()
+        p = tmp_path / "af_heart.bin"
+        p.write_bytes(pack.astype("<f4").tobytes())
+        loaded = load_voice_pack(p)
+        assert loaded.shape == pack.shape
+        assert loaded[0, 0] == 0.0
+        assert loaded[1, 5] == 1005.0
+        assert loaded[-1, -1] == 509_000.0 + (VOICE_PACK_COLS - 1)
+
+    def test_load_rejects_misaligned_file(self, tmp_path):
+        from fluidaudio_tpu.tts.kokoro_manager import (
+            InvalidVoicePackError,
+            load_voice_pack,
+        )
+
+        p = tmp_path / "bad.bin"
+        p.write_bytes(bytes(range(7)))  # not a multiple of 4
+        with pytest.raises(InvalidVoicePackError, match="multiple"):
+            load_voice_pack(p)
+
+    def test_load_rejects_wrong_size(self, tmp_path):
+        import numpy as np
+
+        from fluidaudio_tpu.tts.kokoro_manager import (
+            InvalidVoicePackError,
+            load_voice_pack,
+        )
+
+        p = tmp_path / "small.bin"
+        p.write_bytes(np.zeros(10, "<f4").tobytes())
+        with pytest.raises(InvalidVoicePackError, match="expected"):
+            load_voice_pack(p)
+
+    def test_load_rejects_missing_file(self, tmp_path):
+        from fluidaudio_tpu.tts.kokoro_manager import load_voice_pack
+
+        with pytest.raises(FileNotFoundError):
+            load_voice_pack(tmp_path / "nope.bin")
