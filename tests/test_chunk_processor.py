@@ -548,3 +548,26 @@ class TestWordBoundarySpliceScenarios:
             TokenWindow(30, 138, 0.97),
         ]
         assert self._merge(left, right, with_vocab=False) == [10, 20, 50, 30]
+
+
+def test_merged_tokens_preserve_confidence_and_monotonic_timestamps():
+    """ChunkProcessorTests.swift:1020-1082 made functional: a real merge
+    keeps each surviving token's confidence verbatim and emits timestamps in
+    non-decreasing order."""
+    cp = make_cp()
+    left = [
+        TokenWindow(100, 120, 0.95), TokenWindow(101, 125, 0.87),
+        TokenWindow(102, 130, 0.72), TokenWindow(103, 131, 0.66),
+    ]
+    right = [
+        TokenWindow(102, 130, 0.90), TokenWindow(103, 131, 0.91),
+        TokenWindow(104, 133, 0.88), TokenWindow(105, 134, 0.93),
+    ]
+    merged = cp.merge_chunks(left, right)
+    assert [t.token for t in merged] == [100, 101, 102, 103, 104, 105]
+    by_token = {t.token: t.confidence for t in merged}
+    # matched anchors keep the LEFT (older) chunk's confidence
+    assert by_token[102] == 0.72 and by_token[103] == 0.66
+    assert by_token[100] == 0.95 and by_token[105] == 0.93
+    times = [t.timestamp for t in merged]
+    assert times == sorted(times)
