@@ -17,6 +17,133 @@ from pathlib import Path
 
 from fluidaudio_tpu.tts.mandarin_numbers import mandarin_normalize_numbers
 
+
+class PinyinDictError(ValueError):
+    """Truncated/invalid binary pinyin dict (`MandarinPinyinDict.LoadError`)."""
+
+
+# pypinyin diacritic vowel -> (bare ASCII, tone). ü collapses to `v`
+# (pypinyin Style.TONE3), matching MandarinPinyinNormalizer.swift:38-57.
+_DIACRITIC_TABLE: dict[str, tuple[str, int]] = {
+    "ā": ("a", 1), "á": ("a", 2), "ǎ": ("a", 3), "à": ("a", 4),
+    "ē": ("e", 1), "é": ("e", 2), "ě": ("e", 3), "è": ("e", 4),
+    "ī": ("i", 1), "í": ("i", 2), "ǐ": ("i", 3), "ì": ("i", 4),
+    "ō": ("o", 1), "ó": ("o", 2), "ǒ": ("o", 3), "ò": ("o", 4),
+    "ū": ("u", 1), "ú": ("u", 2), "ǔ": ("u", 3), "ù": ("u", 4),
+    "ǖ": ("v", 1), "ǘ": ("v", 2), "ǚ": ("v", 3), "ǜ": ("v", 4),
+    "ü": ("v", 0),
+    "ń": ("n", 2), "ň": ("n", 3), "ǹ": ("n", 4), "ḿ": ("m", 2),
+}
+
+
+def normalize_pinyin(pinyin: str) -> str:
+    """Diacritic pinyin (`níhǎo` syllable, `lǜ`) -> `<base><digit>` form
+    (`ni2`, `lv4`); unmarked syllables get the neutral tone 5
+    (`MandarinPinyinNormalizer.normalize`)."""
+    base = []
+    tone = 5
+    for ch in pinyin:
+        mapped = _DIACRITIC_TABLE.get(ch)
+        if mapped is not None:
+            base.append(mapped[0])
+            if mapped[1] != 0:
+                tone = mapped[1]
+        else:
+            base.append(ch)
+    return "".join(base) + str(tone)
+
+
+def parse_pinyin_singles(data: bytes) -> dict[int, list[str]]:
+    """Parse `pinyin_single.bin` (`MandarinPinyinDict.parseSingles`):
+    repeating [u32le codepoint, u8 count, count x (u8 len, utf8 pinyin)].
+    Pinyins keep their diacritic form; callers normalize."""
+    result: dict[int, list[str]] = {}
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 5 > n:
+            raise PinyinDictError("Mandarin G2P dict singles is truncated")
+        cp = int.from_bytes(data[pos : pos + 4], "little")
+        count = data[pos + 4]
+        pos += 5
+        readings: list[str] = []
+        for _ in range(count):
+            if pos >= n:
+                raise PinyinDictError("Mandarin G2P dict singles pinyin is truncated")
+            length = data[pos]
+            pos += 1
+            if pos + length > n:
+                raise PinyinDictError(
+                    "Mandarin G2P dict singles pinyin payload is truncated"
+                )
+            readings.append(data[pos : pos + length].decode("utf-8"))
+            pos += length
+        result[cp] = readings
+    return result
+
+
+def parse_pinyin_phrases(data: bytes) -> dict[str, list[str]]:
+    """Parse `pinyin_phrases.bin` (`MandarinPinyinDict.parsePhrases`):
+    repeating [u16le phrase_len, utf8 phrase, u8 count, count x (u8 len,
+    utf8 pinyin)]."""
+    result: dict[str, list[str]] = {}
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 3 > n:
+            raise PinyinDictError("Mandarin G2P dict phrases is truncated")
+        phrase_len = int.from_bytes(data[pos : pos + 2], "little")
+        pos += 2
+        if pos + phrase_len + 1 > n:
+            raise PinyinDictError("Mandarin G2P dict phrases payload is truncated")
+        phrase = data[pos : pos + phrase_len].decode("utf-8")
+        pos += phrase_len
+        count = data[pos]
+        pos += 1
+        readings: list[str] = []
+        for _ in range(count):
+            if pos >= n:
+                raise PinyinDictError("Mandarin G2P dict phrases pinyin is truncated")
+            length = data[pos]
+            pos += 1
+            if pos + length > n:
+                raise PinyinDictError(
+                    "Mandarin G2P dict phrases pinyin payload is truncated"
+                )
+            readings.append(data[pos : pos + length].decode("utf-8"))
+            pos += length
+        result[phrase] = readings
+    return result
+
+
+def load_pinyin_dict_dir(base: str | Path) -> dict[str, str]:
+    """Load the release binary dict layout (`pinyin_single.bin` +
+    `pinyin_phrases.bin`, KokoroAneConstants.swift:55-59) into the
+    word -> "pinyin2 tone3"-digit-form lexicon this module consumes.
+    Singles keep their canonical (index-0) pypinyin reading; polyphone
+    alternatives are g2pW's job."""
+    base = Path(base)
+    out: dict[str, str] = {}
+    singles_f = base / "pinyin_single.bin"
+    phrases_f = base / "pinyin_phrases.bin"
+    if singles_f.exists():
+        for cp, readings in parse_pinyin_singles(singles_f.read_bytes()).items():
+            if readings:
+                out[chr(cp)] = normalize_pinyin(readings[0])
+    if phrases_f.exists():
+        for phrase, readings in parse_pinyin_phrases(phrases_f.read_bytes()).items():
+            if readings:
+                out[phrase] = " ".join(normalize_pinyin(r) for r in readings)
+    return out
+
+
+# fullwidth CJK punctuation -> halfwidth (MandarinG2P.normalizeText)
+_FULLWIDTH_PUNCT = str.maketrans({
+    "，": ",", "。": ".", "！": "!", "？": "?", "；": ";", "：": ":",
+    "、": ",", "（": "(", "）": ")", "【": "[", "】": "]",
+    "“": '"', "”": '"', "‘": "'", "’": "'", "…": "...",
+})
+
 # word -> space-separated pinyin with tone numbers (seed; full dict from assets)
 _SEED_LEXICON: dict[str, str] = {
     "你好": "ni3 hao3", "你": "ni3", "好": "hao3", "我": "wo3", "他": "ta1",
@@ -87,8 +214,13 @@ class MandarinG2P:
                  jieba_hmm: "MandarinJiebaHmm | None" = None,
                  pos_lookup=None):
         self.lexicon = dict(_SEED_LEXICON)
-        if lexicon_path and Path(lexicon_path).exists():
-            self.lexicon.update(json.loads(Path(lexicon_path).read_text()))
+        if lexicon_path:
+            p = Path(lexicon_path)
+            if p.is_dir():
+                # release layout: binary pinyin_single.bin/pinyin_phrases.bin
+                self.lexicon.update(load_pinyin_dict_dir(p))
+            elif p.exists():
+                self.lexicon.update(json.loads(p.read_text()))
         self._max_word = max(len(w) for w in self.lexicon)
         # optional sentence-context polyphone disambiguator (MandarinG2pw);
         # None = pinyin-dict path only (reference g2pw == nil contract)
@@ -108,6 +240,12 @@ class MandarinG2P:
         # routes through the POS-aware sandhi (MandarinToneSandhiPOS.swift
         # contract: callers without a tagger keep the baseline rules)
         self.pos_lookup = pos_lookup
+
+    @staticmethod
+    def normalize_text(text: str) -> str:
+        """Fullwidth CJK punctuation -> halfwidth (`MandarinG2P.normalizeText`):
+        你好，世界。 -> 你好,世界."""
+        return text.translate(_FULLWIDTH_PUNCT)
 
     @staticmethod
     def looks_like_hanzi(text: str) -> bool:
@@ -354,8 +492,8 @@ class MandarinG2P:
         disambiguated from sentence context before sandhi (reference
         `MandarinG2P.swift:97-114`: dict path with per-target g2pW
         overrides; phrase matches keep their lexicon reading)."""
-        # expand numbers first
-        text = mandarin_normalize_numbers(text)
+        # fullwidth punctuation + numbers first
+        text = mandarin_normalize_numbers(self.normalize_text(text))
         segments = self.segment(text)
         overrides: dict[int, str] = {}
         if self.g2pw is not None:
@@ -398,7 +536,7 @@ class MandarinG2P:
         sandhi (so 3+3 promotion sees the r-coloured syllable as one
         tonal unit) -> bopomofo encode. Sandhi windows break at
         punctuation, literals, `@`-bopomofo tokens, and g2pW picks."""
-        text = mandarin_normalize_numbers(text)
+        text = mandarin_normalize_numbers(self.normalize_text(text))
         segments = self._segment_typed(text)
 
         # g2pW polyphone picks: single-char dict segments in the catalog

@@ -487,3 +487,104 @@ class TestToneSandhiPOS:
         baseline = MandarinG2P()
         assert tagger.phonemize("一天") == "yi1 tian1"
         assert baseline.phonemize("一天") == "yi4 tian1"
+
+
+class TestPinyinNormalizer:
+    """MandarinPinyinNormalizer parity (MandarinG2PTests.swift:18-52)."""
+
+    @staticmethod
+    def _norm(s):
+        from fluidaudio_tpu.tts.mandarin_g2p import normalize_pinyin
+
+        return normalize_pinyin(s)
+
+    def test_tones_one_to_four(self):
+        assert self._norm("mā") == "ma1"
+        assert self._norm("má") == "ma2"
+        assert self._norm("mǎ") == "ma3"
+        assert self._norm("mà") == "ma4"
+
+    def test_neutral_tone(self):
+        assert self._norm("ma") == "ma5"
+        assert self._norm("de") == "de5"
+
+    def test_umlaut_collapses_to_v(self):
+        assert self._norm("lǜ") == "lv4"
+        assert self._norm("nü") == "nv5"
+        assert self._norm("qiū") == "qiu1"
+
+
+class TestPinyinBinaryDict:
+    """MandarinPinyinDict round-trip (MandarinG2PTests.swift:283-330)."""
+
+    def test_parses_singles(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import parse_pinyin_singles
+
+        data = bytes([0x60, 0x4F, 0x00, 0x00])  # 你
+        data += bytes([1])  # one reading
+        data += bytes([2]) + b"ni"
+        assert parse_pinyin_singles(data) == {0x4F60: ["ni"]}
+
+    def test_parses_polyphone_singles(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import parse_pinyin_singles
+
+        entry = bytes([0x50, 0x4F, 0x00, 0x00, 2])
+        entry += bytes([len("háng".encode())]) + "háng".encode()
+        entry += bytes([len("xíng".encode())]) + "xíng".encode()
+        parsed = parse_pinyin_singles(entry)
+        assert parsed[0x4F50] == ["háng", "xíng"]
+
+    def test_parses_phrases(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import parse_pinyin_phrases
+
+        phrase = "你好".encode()
+        data = len(phrase).to_bytes(2, "little") + phrase + bytes([2])
+        data += bytes([len("ní".encode())]) + "ní".encode()
+        data += bytes([len("hǎo".encode())]) + "hǎo".encode()
+        assert parse_pinyin_phrases(data) == {"你好": ["ní", "hǎo"]}
+
+    def test_truncated_raises(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import (
+            PinyinDictError,
+            parse_pinyin_phrases,
+            parse_pinyin_singles,
+        )
+
+        with pytest.raises(PinyinDictError, match="truncated"):
+            parse_pinyin_singles(bytes([0x60, 0x4F]))
+        with pytest.raises(PinyinDictError, match="truncated"):
+            parse_pinyin_singles(bytes([0x60, 0x4F, 0, 0, 1, 5, 0x61]))
+        with pytest.raises(PinyinDictError, match="truncated"):
+            parse_pinyin_phrases(bytes([5, 0]))
+
+    def test_load_dict_dir_merges_into_lexicon(self, tmp_path):
+        from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P, load_pinyin_dict_dir
+
+        phrase = "星期".encode()
+        phrases = len(phrase).to_bytes(2, "little") + phrase + bytes([2])
+        phrases += bytes([len("xīng".encode())]) + "xīng".encode()
+        phrases += bytes([len("qī".encode())]) + "qī".encode()
+        (tmp_path / "pinyin_phrases.bin").write_bytes(phrases)
+        singles = ord("星").to_bytes(4, "little") + bytes([1])
+        singles += bytes([len("xīng".encode())]) + "xīng".encode()
+        (tmp_path / "pinyin_single.bin").write_bytes(singles)
+
+        loaded = load_pinyin_dict_dir(tmp_path)
+        assert loaded["星期"] == "xing1 qi1"
+        assert loaded["星"] == "xing1"
+
+        g2p = MandarinG2P(lexicon_path=tmp_path)
+        assert g2p.phonemize("星期") == "xing1 qi1"
+
+
+def test_normalize_text_fullwidth_punctuation():
+    """MandarinG2PTests.swift:220-225."""
+    from fluidaudio_tpu.tts.mandarin_g2p import MandarinG2P
+
+    assert MandarinG2P.normalize_text("你好，世界。") == "你好,世界."
+    assert MandarinG2P.normalize_text("！？；：") == "!?;:"
+
+
+def test_phonemize_accepts_fullwidth_punctuation(g2p):
+    # fullwidth comma breaks the sandhi window exactly like its halfwidth form
+    assert g2p.phonemize("你好，你好") == g2p.phonemize("你好,你好")
