@@ -287,6 +287,44 @@ class MandarinG2P:
         self.custom_lexicon = validated
         self._max_custom = max((len(w) for w in validated), default=0)
 
+    @staticmethod
+    def parse_custom_lexicon(content: str) -> dict[str, list[str]]:
+        """Parse the user lexicon text format
+        (`MandarinCustomLexicon.parse`, MandarinCustomLexicon.swift:143-182):
+
+            # comments and blank lines are skipped
+            字节跳动  zi4 jie2 tiao4 dong4
+            foo       @ㄈㄨ4
+
+        The first whitespace run separates the word from its tokens.
+        Raises on token-less lines and duplicate words (last-wins is too
+        easy to misread; callers dedupe explicitly). Token validation
+        happens in `set_custom_lexicon`.
+        """
+        raw: dict[str, list[str]] = {}
+        for idx, raw_line in enumerate(content.split("\n")):
+            line = raw_line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 2:
+                raise ValueError(
+                    f"custom lexicon: line {idx + 1} has no tokens: {line!r}"
+                )
+            word = parts[0]
+            if word in raw:
+                raise ValueError(
+                    f"custom lexicon: duplicate word {word!r} on line {idx + 1}"
+                )
+            raw[word] = parts[1:]
+        return raw
+
+    def load_custom_lexicon(self, path: str | Path) -> None:
+        """Load + validate a lexicon file (`MandarinCustomLexicon.load`)."""
+        self.set_custom_lexicon(
+            self.parse_custom_lexicon(Path(path).read_text(encoding="utf-8"))
+        )
+
     # -------------------------------------------------------------- segmenter
 
     def _flush_run(self, run: str) -> list[str]:

@@ -588,3 +588,50 @@ def test_normalize_text_fullwidth_punctuation():
 def test_phonemize_accepts_fullwidth_punctuation(g2p):
     # fullwidth comma breaks the sandhi window exactly like its halfwidth form
     assert g2p.phonemize("你好，你好") == g2p.phonemize("你好,你好")
+
+
+class TestCustomLexiconFileFormat:
+    """MandarinCustomLexiconTests.swift:65-145 — text-file parse format."""
+
+    def test_parse_handles_comments_and_blank_lines(self):
+        content = (
+            "# user pronunciations\n"
+            "\n"
+            "字节跳动  zi4 jie2 tiao4 dong4\n"
+            "   \n"
+            "# another comment\n"
+            "foo @ㄈㄨ4\n"
+        )
+        raw = MandarinG2P.parse_custom_lexicon(content)
+        assert raw == {
+            "字节跳动": ["zi4", "jie2", "tiao4", "dong4"],
+            "foo": ["@ㄈㄨ4"],
+        }
+
+    def test_parse_rejects_zero_tokens(self):
+        with pytest.raises(ValueError, match="no tokens"):
+            MandarinG2P.parse_custom_lexicon("字节跳动\n")
+
+    def test_parse_rejects_duplicate_word(self):
+        with pytest.raises(ValueError, match="duplicate"):
+            MandarinG2P.parse_custom_lexicon("你 ni3\n你 ni2\n")
+
+    def test_load_validates_tokens(self, tmp_path, g2p):
+        f = tmp_path / "lex.txt"
+        f.write_text("你 qqq9\n", encoding="utf-8")
+        with pytest.raises(ValueError, match="does not encode"):
+            g2p.load_custom_lexicon(f)
+        g2p.set_custom_lexicon({})
+
+    def test_load_end_to_end(self, tmp_path, g2p):
+        f = tmp_path / "lex.txt"
+        f.write_text("# override\n好 hao4\n", encoding="utf-8")
+        g2p.load_custom_lexicon(f)
+        try:
+            assert g2p.phonemize_bopomofo("好") == "ㄏㄠ4"
+        finally:
+            g2p.set_custom_lexicon({})
+
+    def test_bare_at_token_rejected(self, g2p):
+        with pytest.raises(ValueError, match="bopomofo"):
+            g2p.set_custom_lexicon({"x": ["@"]})
