@@ -137,6 +137,94 @@ def load_pinyin_dict_dir(base: str | Path) -> dict[str, str]:
     return out
 
 
+# bopomofo tone diacritics -> digit (tone 1 carries no mark)
+_BOPOMOFO_TONE_DIGITS = {"ˊ": "2", "ˇ": "3", "ˋ": "4", "˙": "5"}
+
+
+def bopomofo_label_to_digit_form(label: str) -> str:
+    """`ㄒㄧㄥˊ` -> `ㄒㄧㄥ2`; an unmarked label implies tone 1
+    (`MandarinPolyphoneCatalog.bopomofoWithToneDigit`)."""
+    if label and label[-1] in _BOPOMOFO_TONE_DIGITS:
+        return label[:-1] + _BOPOMOFO_TONE_DIGITS[label[-1]]
+    return label + "1"
+
+
+@dataclass(frozen=True)
+class MandarinPolyphoneCatalog:
+    """`POLYPHONIC_CHARS.txt` inventory (`MandarinPolyphoneCatalog.swift`):
+    one `<hanzi><TAB-or-space><bopomofo_with_tone>` row per valid
+    pronunciation. The g2pW model's output dim equals `len(labels)`; only
+    `candidates_by_char[ch]` indices are valid for a target char."""
+
+    chars: list[str]  # first-appearance order (model target vocab)
+    labels: list[str]  # sorted unique bopomofo labels
+    candidates_by_char: dict[str, list[int]]
+
+    @property
+    def char_index(self) -> dict[str, int]:
+        return {c: i for i, c in enumerate(self.chars)}
+
+    def candidates(self, char: str) -> list[int] | None:
+        return self.candidates_by_char.get(char)
+
+    def bopomofo(self, label_idx: int) -> str | None:
+        if 0 <= label_idx < len(self.labels):
+            return self.labels[label_idx]
+        return None
+
+    def bopomofo_with_tone_digit(self, label_idx: int) -> str | None:
+        label = self.bopomofo(label_idx)
+        return bopomofo_label_to_digit_form(label) if label is not None else None
+
+
+def parse_polyphone_catalog(text: str) -> MandarinPolyphoneCatalog:
+    """Parse POLYPHONIC_CHARS.txt; blank/#-comment lines skipped, CRLF
+    tolerated, malformed rows and multi-hanzi keys rejected."""
+    seen_chars: list[str] = []
+    seen_set: set[str] = set()
+    label_set: set[str] = set()
+    raw_cands: dict[str, list[str]] = {}
+    for raw_line in text.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+        line = raw_line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.replace("\t", " ").split(None, 1)
+        if len(parts) != 2:
+            raise PinyinDictError(
+                f"POLYPHONIC_CHARS parse error: expected '<hanzi><sep><bopomofo>', got {line!r}"
+            )
+        ch, label = parts[0], parts[1].strip()
+        if len(ch) != 1:
+            raise PinyinDictError(
+                f"POLYPHONIC_CHARS parse error: expected single hanzi in column 1, got {ch!r}"
+            )
+        if not label:
+            raise PinyinDictError(
+                f"POLYPHONIC_CHARS parse error: empty bopomofo for {ch!r}"
+            )
+        if ch not in seen_set:
+            seen_chars.append(ch)
+            seen_set.add(ch)
+        label_set.add(label)
+        raw_cands.setdefault(ch, []).append(label)
+
+    labels = sorted(label_set)
+    label_to_idx = {lb: i for i, lb in enumerate(labels)}
+    cands: dict[str, list[int]] = {}
+    for ch, lst in raw_cands.items():
+        seen_idx: set[int] = set()
+        indices: list[int] = []
+        for lb in lst:
+            idx = label_to_idx[lb]
+            if idx not in seen_idx:
+                seen_idx.add(idx)
+                indices.append(idx)
+        cands[ch] = indices
+    return MandarinPolyphoneCatalog(
+        chars=seen_chars, labels=labels, candidates_by_char=cands
+    )
+
+
 # fullwidth CJK punctuation -> halfwidth (MandarinG2P.normalizeText)
 _FULLWIDTH_PUNCT = str.maketrans({
     "，": ",", "。": ".", "！": "!", "？": "?", "；": ";", "：": ":",
@@ -611,11 +699,13 @@ class MandarinG2P:
                         window.append(tok)
             elif kind == "char" and pos in overrides:
                 # g2pW pick: encode directly and break the sandhi window
-                # (reference .bopomofoOverride contract)
+                # (reference .bopomofoOverride contract). POLYPHONIC_CHARS
+                # catalogs yield final-form bopomofo labels that pass
+                # through verbatim; pinyin labels encode first.
                 flush()
-                bo = _encode_pinyin_syllable(overrides[pos])
-                if bo is not None:
-                    out.append(bo)
+                pick = overrides[pos]
+                bo = _encode_pinyin_syllable(pick)
+                out.append(bo if bo is not None else pick)
             elif kind in ("word", "char"):
                 window.extend(self.word_to_pinyin(val))
             elif kind == "punct":
@@ -854,8 +944,10 @@ class MandarinG2pw:
         import jax.numpy as jnp
 
         base = Path(checkpoint_dir)
-        needed = ["g2pw.npz", "config.json", "vocab.txt", "polyphone_catalog.json"]
-        if not all((base / f).exists() for f in needed):
+        needed = ["g2pw.npz", "config.json", "vocab.txt"]
+        has_json = (base / "polyphone_catalog.json").exists()
+        has_txt = (base / "POLYPHONIC_CHARS.txt").exists()
+        if not (all((base / f).exists() for f in needed) and (has_json or has_txt)):
             return None
         from fluidaudio_tpu.convert.g2pw import config_from_hf
         from fluidaudio_tpu.models.bert_g2pw import BertG2pw
@@ -875,7 +967,22 @@ class MandarinG2pw:
                 (base / "vocab.txt").read_text(encoding="utf-8").splitlines()
             )
         }
-        catalog = json.loads((base / "polyphone_catalog.json").read_text())
+        if has_json:
+            catalog = json.loads((base / "polyphone_catalog.json").read_text())
+        else:
+            # upstream asset: POLYPHONIC_CHARS.txt with bopomofo labels.
+            # Labels convert to digit form; the zh pipeline emits them
+            # verbatim (final-form bopomofo overrides).
+            parsed = parse_polyphone_catalog(
+                (base / "POLYPHONIC_CHARS.txt").read_text(encoding="utf-8")
+            )
+            catalog = {
+                ch: {
+                    bopomofo_label_to_digit_form(parsed.labels[idx]): idx
+                    for idx in idxs
+                }
+                for ch, idxs in parsed.candidates_by_char.items()
+            }
         return cls(model, params, vocab, catalog)
 
     def disambiguate(self, chars: str, targets: list[int]) -> dict[int, str]:

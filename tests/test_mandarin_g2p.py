@@ -635,3 +635,63 @@ class TestCustomLexiconFileFormat:
     def test_bare_at_token_rejected(self, g2p):
         with pytest.raises(ValueError, match="bopomofo"):
             g2p.set_custom_lexicon({"x": ["@"]})
+
+
+class TestPolyphoneCatalog:
+    """MandarinPolyphoneCatalogTests.swift:10-109 — POLYPHONIC_CHARS.txt."""
+
+    SAMPLE = "行\tㄒㄧㄥˊ\n行\tㄏㄤˊ\n行\tㄒㄧㄥˋ\n了\tㄌㄜ˙\n了\tㄌㄧㄠˇ\n"
+
+    def _parse(self, text=None):
+        from fluidaudio_tpu.tts.mandarin_g2p import parse_polyphone_catalog
+
+        return parse_polyphone_catalog(text if text is not None else self.SAMPLE)
+
+    def test_parses_chars_in_order(self):
+        cat = self._parse()
+        assert cat.chars == ["行", "了"]
+        assert cat.char_index == {"行": 0, "了": 1}
+
+    def test_labels_are_sorted_unique(self):
+        cat = self._parse(self.SAMPLE + "行\tㄏㄤˊ\n")  # duplicate row
+        assert cat.labels == sorted(set(cat.labels))
+        assert len(cat.candidates("行")) == 3  # dedup kept the mask compact
+
+    def test_candidates_per_char(self):
+        cat = self._parse()
+        xing = cat.candidates("行")
+        assert xing is not None and len(xing) == 3
+        assert [cat.bopomofo(i) for i in xing] == ["ㄒㄧㄥˊ", "ㄏㄤˊ", "ㄒㄧㄥˋ"]
+        assert cat.candidates("好") is None
+
+    def test_bopomofo_reverse_lookup(self):
+        cat = self._parse()
+        for i, lb in enumerate(cat.labels):
+            assert cat.bopomofo(i) == lb
+        assert cat.bopomofo(99) is None
+
+    def test_tone_digit_conversion(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import bopomofo_label_to_digit_form
+
+        assert bopomofo_label_to_digit_form("ㄒㄧㄥˊ") == "ㄒㄧㄥ2"
+        assert bopomofo_label_to_digit_form("ㄌㄧㄠˇ") == "ㄌㄧㄠ3"
+        assert bopomofo_label_to_digit_form("ㄏㄤˋ") == "ㄏㄤ4"
+        assert bopomofo_label_to_digit_form("ㄌㄜ˙") == "ㄌㄜ5"
+        assert bopomofo_label_to_digit_form("ㄇㄚ") == "ㄇㄚ1"  # unmarked = tone 1
+
+    def test_rejects_malformed_row(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import PinyinDictError
+
+        with pytest.raises(PinyinDictError, match="parse error"):
+            self._parse("行\n")
+
+    def test_rejects_multi_hanzi_key(self):
+        from fluidaudio_tpu.tts.mandarin_g2p import PinyinDictError
+
+        with pytest.raises(PinyinDictError, match="single hanzi"):
+            self._parse("行了\tㄒㄧㄥˊ\n")
+
+    def test_handles_crlf_and_blanks(self):
+        cat = self._parse("# c\r\n\r\n行\tㄒㄧㄥˊ\r\n行 ㄏㄤˊ\r\n")
+        assert cat.chars == ["行"]
+        assert len(cat.candidates("行")) == 2
