@@ -990,7 +990,12 @@ class MandarinG2pw:
         import jax.numpy as jnp
         import numpy as np
 
-        targets = [t for t in targets if chars[t] in self.catalog]
+        # drop targets the [CLS]...[SEP] window truncates away (right-side
+        # truncation, MandarinBertTokenizer contract) and non-polyphones
+        targets = [
+            t for t in targets
+            if t < self.MAX_LENGTH - 2 and chars[t] in self.catalog
+        ]
         if not targets:
             return {}
         unk = self.char_to_id.get("[UNK]", 100)

@@ -695,3 +695,17 @@ class TestPolyphoneCatalog:
         cat = self._parse("# c\r\n\r\n行\tㄒㄧㄥˊ\r\n行 ㄏㄤˊ\r\n")
         assert cat.chars == ["行"]
         assert len(cat.candidates("行")) == 2
+
+
+def test_g2pw_drops_targets_beyond_truncation_window(tmp_path):
+    """MandarinBertTokenizerTests truncation-from-the-right contract: a
+    polyphone target past the [CLS]..[SEP] window is dropped, not indexed
+    out of bounds."""
+    suite = TestG2pwDisambiguation()
+    g2p, g2pw = suite._build(tmp_path)
+    long_text = "了" * 200 + "行"
+    picks = g2pw.disambiguate(long_text, [200])
+    assert picks == {}
+    # an in-window polyphone still resolves
+    picks2 = g2pw.disambiguate("行" + "了" * 200, [0])
+    assert set(picks2) == {0}
