@@ -26,6 +26,16 @@ class VocabularyTerm:
     tdt_token_ids: list[int] | None = None
     ctc_token_ids: list[int] | None = None
 
+    def __post_init__(self):
+        # out-of-range thresholds clamp into [0, 1]
+        # (CustomVocabularyTerm init, CustomVocabularyTests.swift:36-42)
+        if self.min_similarity is not None:
+            self.min_similarity = min(1.0, max(0.0, self.min_similarity))
+
+    @property
+    def text_lowercased(self) -> str:
+        return self.text.lower()
+
     @property
     def all_forms(self) -> list[str]:
         return [self.text] + self.aliases
@@ -73,6 +83,25 @@ class CustomVocabularyContext:
                         min_similarity=item.get("minSimilarity"),
                     )
                 )
+        return cls(terms, tokenizer)
+
+    @classmethod
+    def from_file(cls, path: str | Path, tokenizer: Tokenizer | None = None
+                  ) -> "CustomVocabularyContext":
+        """Load a vocabulary file, sniffing the format
+        (`CustomVocabulary.loadVocabularyFile`): a JSON array/object parses
+        as `from_json`; anything else is a plain-text list, one term per
+        line, `#` comments and blank lines skipped."""
+        path = Path(path)
+        content = path.read_text(encoding="utf-8")
+        head = content.lstrip()[:1]
+        if head in ("[", "{"):
+            return cls.from_json(path, tokenizer)
+        terms = [
+            VocabularyTerm(text=line.strip())
+            for line in content.splitlines()
+            if line.strip() and not line.strip().startswith("#")
+        ]
         return cls(terms, tokenizer)
 
     def pretokenize(self, tokenizer: Tokenizer) -> None:

@@ -535,3 +535,42 @@ def test_wildcard_token_id_constant():
     from fluidaudio_tpu.asr.custom_vocab.context import WILDCARD_TOKEN_ID
 
     assert WILDCARD_TOKEN_ID < 0  # can never collide with a real vocab id
+
+
+class TestVocabularyTermContract:
+    """CustomVocabularyTests.swift:10-135 — Term init/clamping/file loading."""
+
+    def test_term_default_init(self):
+        t = VocabularyTerm(text="NVIDIA")
+        assert t.text == "NVIDIA"
+        assert t.aliases == []
+        assert t.min_similarity is None
+        assert t.tdt_token_ids is None and t.ctc_token_ids is None
+
+    def test_term_min_similarity_clamped_to_range(self):
+        assert VocabularyTerm(text="Caivex", min_similarity=-0.5).min_similarity == 0.0
+        assert VocabularyTerm(text="Andre", min_similarity=1.7).min_similarity == 1.0
+        assert VocabularyTerm(text="Mid", min_similarity=0.6).min_similarity == 0.6
+
+    def test_text_lowercased(self):
+        assert VocabularyTerm(text="NVIDIA").text_lowercased == "nvidia"
+        assert VocabularyTerm(text="McDonald's").text_lowercased == "mcdonald's"
+
+    def test_load_vocabulary_file_detects_json(self, tmp_path):
+        j = tmp_path / "vocab.json"
+        j.write_text('[{"text": "Bose", "minSimilarity": 0.9}, "Sennheiser"]')
+        ctx = CustomVocabularyContext.from_file(j)
+        assert [t.text for t in ctx.terms] == ["Bose", "Sennheiser"]
+        assert ctx.terms[0].min_similarity == 0.9
+
+    def test_load_vocabulary_file_plain_text(self, tmp_path):
+        p = tmp_path / "vocab.txt"
+        p.write_text("# boost list\nNVIDIA\n\nBose QuietComfort\n")
+        ctx = CustomVocabularyContext.from_file(p)
+        assert [t.text for t in ctx.terms] == ["NVIDIA", "Bose QuietComfort"]
+
+    def test_json_min_similarity_clamped_on_load(self, tmp_path):
+        j = tmp_path / "vocab.json"
+        j.write_text('[{"text": "X", "minSimilarity": 3.0}]')
+        ctx = CustomVocabularyContext.from_file(j)
+        assert ctx.terms[0].min_similarity == 1.0
