@@ -168,8 +168,13 @@ class TokenLanguageFilter:
 
     language: str
     vocabulary: dict[int, str]
+    # The reference's full English-exclusive word list (TdtDecoderV3.swift:
+    # 40-78 maps these to Parakeet-v3 SentencePiece ids; we match on the
+    # piece text so any vocabulary works).
     english_blocklist: frozenset[str] = frozenset(
-        "the and you that was for are with this have".split()
+        "the and they you with that this have from was were are been "
+        "would could will their there when what where which who not "
+        "but so it we our your my him her them these".split()
     )
 
     def __post_init__(self):

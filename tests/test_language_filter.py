@@ -106,3 +106,66 @@ def test_manager_transcribe_language_and_state(tiny_asr_manager=None):
     # language key gets its own compiled pipeline
     assert any(k[-1] == "en" for k in mgr._pipeline_cache
                if isinstance(k, tuple) and len(k) >= 3)
+
+
+class TestEnglishBlocklistScenarios:
+    """EnglishBlocklistTests.swift:20-110 mapped onto the fused rerank:
+    a blank top-1 is never substituted, a non-blocked label stands, and a
+    blocked label with no allowed top-K alternative stands too."""
+
+    BLANK = 7
+
+    def _rerank(self, logits_row, allowed):
+        import jax.numpy as jnp
+
+        from fluidaudio_tpu.ops.tdt_decode import language_filter_rerank
+
+        logits = jnp.asarray([logits_row], jnp.float32)
+        k = jnp.argmax(logits, axis=-1)
+        conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+        new_k, new_conf = language_filter_rerank(
+            logits, k.astype(jnp.int32), conf,
+            jnp.asarray(allowed, bool), self.BLANK, top_k=4,
+        )
+        return int(new_k[0]), float(new_conf[0])
+
+    def test_no_substitution_when_label_is_blank(self):
+        # blank wins; ids 0/1 are blocked English words — blank must stand
+        logits = [1.0, 0.5, 0.1, 0.1, 0.1, 0.1, 0.1, 3.0]
+        allowed = [False, False, True, True, True, True, True, False]
+        k, _ = self._rerank(logits, allowed)
+        assert k == self.BLANK
+
+    def test_no_substitution_when_label_not_in_blocklist(self):
+        # top-1 is an allowed token: stands with its own confidence
+        logits = [0.1, 2.0, 1.0, 0.1, 0.1, 0.1, 0.1, 0.0]
+        allowed = [False, True, True, True, True, True, True, False]
+        k, _ = self._rerank(logits, allowed)
+        assert k == 1
+
+    def test_no_substitution_when_no_valid_alternative_in_top_k(self):
+        # top-K holds only blocked tokens + blank: the original stands
+        logits = [3.0, 2.0, 1.5, 1.0, 0.0, 0.0, 0.0, 0.5]
+        allowed = [False, False, False, False, True, True, True, False]
+        k, _ = self._rerank(logits, allowed)
+        assert k == 0
+
+    def test_substitutes_best_allowed_alternative(self):
+        # blocked ' the' top-1 swaps for the best allowed candidate
+        logits = [3.0, 2.0, 1.5, 0.1, 0.0, 0.0, 0.0, 0.2]
+        allowed = [False, True, True, True, True, True, True, False]
+        k, conf = self._rerank(logits, allowed)
+        assert k == 1
+        assert 0 < conf <= 1
+
+    def test_english_blocklist_words_catalog(self):
+        from fluidaudio_tpu.utils.language import TokenLanguageFilter
+
+        f = TokenLanguageFilter("fr", {0: "▁le"})
+        # full TdtDecoderV3.swift:40-78 word list
+        for w in ("the", "would", "could", "these", "him", "whose"[:3]):
+            assert w in f.english_blocklist
+        assert "rendre" not in f.english_blocklist
+        # French Latin words stay allowed; blocklisted English pieces drop
+        fr = TokenLanguageFilter("fr", {0: "▁le", 1: "▁would", 2: "▁rendre"})
+        assert 0 in fr.allowed and 2 in fr.allowed and 1 not in fr.allowed
