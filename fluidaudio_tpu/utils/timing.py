@@ -62,6 +62,31 @@ class PerformanceMetrics:
         """Real-time factor: audio seconds processed per wall second."""
         return self.audio_seconds / self.total_seconds if self.total_seconds > 0 else 0.0
 
+    peak_memory_mb: float | None = None
+    device_utilization_pct: float | None = None
+
+    @property
+    def summary_text(self) -> str:
+        """Human-readable one-call summary (`ASRPerformanceMetrics.summary`,
+        PerformanceMetricsTests.swift:10-44); absent device stats print N/A."""
+        util = (
+            f"{self.device_utilization_pct:.1f}%"
+            if self.device_utilization_pct is not None
+            else "N/A"
+        )
+        mem = (
+            f"{self.peak_memory_mb:.1f} MB"
+            if self.peak_memory_mb is not None
+            else "N/A"
+        )
+        return (
+            f"preprocess {self.preprocess_seconds:.3f}s | "
+            f"encode {self.encode_seconds:.3f}s | "
+            f"decode {self.decode_seconds:.3f}s | "
+            f"total {self.total_seconds:.3f}s | "
+            f"RTFx {self.rtfx:.1f} | peak mem {mem} | device util {util}"
+        )
+
 
 class ProgressSession:
     """One consumer-side progress stream (reference `ProgressEmitter.swift`
