@@ -84,14 +84,18 @@ class OfflineDiarizerManager:
         )
         self.vbx = VBxClustering(self.config.vbx)
 
-    def process(self, samples: np.ndarray) -> DiarizationResult:
+    def process(self, samples: np.ndarray, progress=None) -> DiarizationResult:
+        """`progress(chunks_processed, total_chunks)`: optional callback fired
+        per segmentation device batch; monotone, consistent total, final
+        update reaches total (reference OfflineDiarizerManager.process
+        progress contract)."""
         t_total = time.perf_counter()
         samples = np.asarray(samples, np.float32).reshape(-1)
         total_seconds = samples.size / SAMPLE_RATE
         timings = PipelineTimings()
 
         t0 = time.perf_counter()
-        chunks = self.segmentation.process(samples)
+        chunks = self.segmentation.process(samples, progress=progress)
         timings.segmentation_seconds = time.perf_counter() - t0
 
         t0 = time.perf_counter()

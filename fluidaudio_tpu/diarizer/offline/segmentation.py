@@ -61,7 +61,11 @@ class OfflineSegmentationProcessor:
             starts.append(total_samples - win)
         return starts
 
-    def process(self, samples: np.ndarray, batch_size: int = 16) -> list[SegmentationChunk]:
+    def process(self, samples: np.ndarray, batch_size: int = 16,
+                progress=None) -> list[SegmentationChunk]:
+        """`progress(chunks_processed, total_chunks)` fires after every
+        device batch, monotone non-decreasing, ending at total
+        (OfflineDiarizerManagerProgressTests contract)."""
         samples = np.asarray(samples, np.float32).reshape(-1)
         starts = self.window_starts(samples.size)
         chunks: list[SegmentationChunk] = []
@@ -81,4 +85,6 @@ class OfflineSegmentationProcessor:
                         binary=binary[r],
                     )
                 )
+            if progress is not None:
+                progress(len(chunks), len(starts))
         return chunks

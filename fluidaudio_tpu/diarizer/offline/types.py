@@ -17,6 +17,19 @@ class SegmentationOptions:
     step_ratio: float = 0.2  # step = window * ratio
     min_activity_threshold: float = 0.5
 
+    @property
+    def samples_per_step(self) -> int:
+        """Stride in samples at 16 kHz (`OfflineDiarizerConfig.samplesPerStep`:
+        160_000 * 0.2 = 32_000 at the shipped defaults)."""
+        return int(self.window_seconds * 16_000 * self.step_ratio)
+
+
+def total_chunks(sample_count: int, segmentation: "SegmentationOptions") -> int:
+    """Segmentation windows needed for `sample_count` samples; at least 1
+    (OfflineDiarizerManagerProgressTests:11-27)."""
+    step = max(1, segmentation.samples_per_step)
+    return max(1, -(-sample_count // step))
+
 
 @dataclass(frozen=True)
 class EmbeddingOptions:

@@ -426,3 +426,53 @@ def test_vbx_result_reports_adjusted_flag():
                                        min_speakers=1, max_speakers=20)
     assert not free.adjusted
     assert free.original_cluster_count == 2
+
+
+@pytest.fixture(scope="module")
+def offline_manager():
+    from fluidaudio_tpu.diarizer.offline import OfflineDiarizerManager
+
+    return OfflineDiarizerManager()
+
+
+class TestOfflineProgress:
+    """OfflineDiarizerManagerProgressTests.swift:11-80 — totalChunks
+    estimator and the per-batch progress callback contract."""
+
+    def test_total_chunks_for_default_config(self):
+        from fluidaudio_tpu.diarizer.offline import total_chunks
+        from fluidaudio_tpu.diarizer.offline.types import SegmentationOptions
+
+        cfg = SegmentationOptions()
+        assert cfg.samples_per_step == 32_000
+        assert total_chunks(1, cfg) == 1
+        assert total_chunks(32_000, cfg) == 1
+        assert total_chunks(32_001, cfg) == 2
+        assert total_chunks(160_000, cfg) == 5
+        assert total_chunks(160_001, cfg) == 6
+
+    def test_total_chunks_at_least_one_for_zero_samples(self):
+        from fluidaudio_tpu.diarizer.offline import total_chunks
+        from fluidaudio_tpu.diarizer.offline.types import SegmentationOptions
+
+        assert total_chunks(0, SegmentationOptions()) == 1
+
+    def test_progress_callback_fires_and_is_monotonic(self, offline_manager):
+        rng = np.random.RandomState(5)
+        audio = (rng.randn(16_000 * 25) * 0.1).astype(np.float32)
+        updates = []
+        offline_manager.process(audio, progress=lambda done, total: updates.append((done, total)))
+
+        assert updates, "progress callback should fire at least once"
+        total = updates[0][1]
+        assert total > 0
+        assert all(t == total for _, t in updates)
+        assert all(0 < d <= total for d, _ in updates)
+        assert all(b >= a for (a, _), (b, _) in zip(updates, updates[1:]))
+        assert updates[-1][0] == total
+
+    def test_progress_callback_is_optional(self, offline_manager):
+        rng = np.random.RandomState(6)
+        audio = (rng.randn(16_000 * 3) * 0.1).astype(np.float32)
+        result = offline_manager.process(audio)
+        assert result is not None
