@@ -29,13 +29,18 @@ class ASRConfig:
     sample_rate: int = 16_000
     tdt: TdtConfig = field(default_factory=TdtConfig)
     encoder_hidden_size: int = 1024
-    # windows decoded per device batch (reference default concurrency 4)
+    # windows decoded per device batch (reference default concurrency 4);
+    # values < 1 clamp to 1 (ASRConfigTests contract)
     parallel_chunk_batch: int = 4
     streaming_enabled: bool = True
     streaming_threshold: int = 480_000  # samples; above => disk-backed source
     mel_chunk_context: bool = True
     dual_decode_arbitration: bool = False
     prefer_silence_alignment: bool = False
+
+    def __post_init__(self):
+        if self.parallel_chunk_batch < 1:
+            object.__setattr__(self, "parallel_chunk_batch", 1)
 
 
 @dataclass(frozen=True)

@@ -137,3 +137,13 @@ def test_chunked_merge_invariant_to_completion_grouping():
         (tw.token, round(max(0, tw.timestamp - 1) * 0.08, 3)) for tw in merged
     ]
     assert shuffled_tokens == base_tokens
+
+
+def test_parallel_chunk_batch_clamps_to_at_least_one():
+    """ASRConfigTests.swift:8-20."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+
+    assert ASRConfig().parallel_chunk_batch == 4
+    assert ASRConfig(parallel_chunk_batch=0).parallel_chunk_batch == 1
+    assert ASRConfig(parallel_chunk_batch=-3).parallel_chunk_batch == 1
+    assert ASRConfig(parallel_chunk_batch=6).parallel_chunk_batch == 6
