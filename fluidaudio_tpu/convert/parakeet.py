@@ -97,6 +97,12 @@ def convert_conformer_encoder(
     for i in range(ccfg.n_layers):
         base = f"{prefix}layers.{i}"
         bn_scale, bn_bias = _fold_bn(sd, f"{base}.conv.batch_norm")
+        # NeMo's depthwise_conv carries a bias (nn.Conv1d default); the flax
+        # module is bias-free, so fold it through the BN affine:
+        # BN(x + b) = scale*x + (scale*b + folded_bias)
+        dw_bias = sd.get(f"{base}.conv.depthwise_conv.bias")
+        if dw_bias is not None:
+            bn_bias = bn_bias + bn_scale * np.asarray(dw_bias)
         dw = sd[f"{base}.conv.depthwise_conv.weight"]  # [C, 1, k]
         pw1_w = sd[f"{base}.conv.pointwise_conv1.weight"][:, :, 0].T  # [d, 2d]
         pw2_w = sd[f"{base}.conv.pointwise_conv2.weight"][:, :, 0].T
@@ -182,6 +188,51 @@ def convert_parakeet_state_dict(
     }
 
 
+def config_from_nemo_yaml(nemo_path: str | Path) -> dict:
+    """Read encoder hyperparameters from a .nemo tar's model_config.yaml.
+
+    Returns the raw `encoder` section (d_model, n_layers, n_heads,
+    conv_kernel_size, subsampling_conv_channels, xscaling, ...) so callers
+    can build/validate a ConformerConfig against the checkpoint instead of
+    trusting a hardcoded preset. `xscaling` in particular is a weights-day
+    contract (sqrt(d_model) feature scaling, ConformerConfig.xscale)."""
+    import yaml
+
+    with tarfile.open(Path(nemo_path)) as tar:
+        member = next(
+            (m for m in tar.getmembers() if m.name.endswith("model_config.yaml")),
+            None,
+        )
+        if member is None:
+            raise FileNotFoundError(f"no model_config.yaml inside {nemo_path}")
+        cfg = yaml.safe_load(tar.extractfile(member).read())
+    return cfg.get("encoder", cfg)
+
+
+def apply_nemo_encoder_yaml(ccfg: ConformerConfig, enc_yaml: dict) -> ConformerConfig:
+    """Override the ConformerConfig fields the yaml pins (logs each change)."""
+    from dataclasses import replace
+
+    mapping = {
+        "d_model": "d_model",
+        "n_layers": "n_layers",
+        "n_heads": "n_heads",
+        "conv_kernel_size": "conv_kernel",
+        "subsampling_conv_channels": "subsampling_channels",
+        "feat_in": "n_mels",
+        "xscaling": "xscale",
+    }
+    updates = {}
+    for src, dst in mapping.items():
+        if src in enc_yaml and enc_yaml[src] is not None:
+            val = enc_yaml[src]
+            if getattr(ccfg, dst) != val:
+                logger.info("nemo yaml overrides %s: %s -> %s",
+                            dst, getattr(ccfg, dst), val)
+                updates[dst] = val
+    return replace(ccfg, **updates) if updates else ccfg
+
+
 def convert_nemo_file(
     nemo_path: str | Path,
     out_dir: str | Path,
@@ -193,6 +244,11 @@ def convert_nemo_file(
 
     nemo_path = Path(nemo_path)
     if nemo_path.suffix == ".nemo":
+        try:
+            ccfg = apply_nemo_encoder_yaml(ccfg, config_from_nemo_yaml(nemo_path))
+        except Exception as exc:  # yaml absent/odd: trust the caller's preset
+            logger.warning("could not read model_config.yaml (%s); "
+                           "using the preset config as-is", exc)
         with tarfile.open(nemo_path) as tar:
             member = next(
                 m for m in tar.getmembers() if m.name.endswith("model_weights.ckpt")

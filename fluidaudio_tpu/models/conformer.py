@@ -56,6 +56,11 @@ class ConformerConfig:
     # work for both modes. The reference ships the same trade (int8
     # Nemotron encoder, SURVEY §2.4).
     quantization: str = "none"
+    # NeMo ConformerEncoder `xscaling` (default true in the FastConformer
+    # configs): multiply subsampled features by sqrt(d_model) before the
+    # blocks. Converters read the real value from the .nemo yaml
+    # (convert/parakeet.config_from_nemo_yaml).
+    xscale: bool = True
 
     @property
     def compute_dtype(self):
@@ -103,7 +108,7 @@ class GLUConv(nn.Module):
     def __call__(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
         cfg = self.cfg
         d = cfg.d_model
-        x = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.compute_dtype, name="ln")(x)
         x = _dense(cfg, 2 * d, "pointwise1")(x)
         x = nn.glu(x, axis=-1)
         # zero padded frames so the depthwise conv does not smear pad energy
@@ -150,7 +155,7 @@ class RelPosMHSA(nn.Module):
         H, Dh = cfg.n_heads, cfg.head_dim
         dt = cfg.compute_dtype
 
-        x = nn.LayerNorm(dtype=dt, name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ln")(x)
         q = _dense(cfg, cfg.d_model, "q")(x).reshape(B, T, H, Dh)
         k = _dense(cfg, cfg.d_model, "k")(x).reshape(B, T, H, Dh)
         v = _dense(cfg, cfg.d_model, "v")(x).reshape(B, T, H, Dh)
@@ -199,22 +204,34 @@ class RelPosMHSA(nn.Module):
 
 
 def _rel_sinusoid(T: int, d_model: int) -> jax.Array:
-    """Sinusoidal embeddings for relative offsets T-1 .. -(T-1) (XL order)."""
+    """Sinusoidal embeddings for relative offsets T-1 .. -(T-1).
+
+    NeMo `RelPositionalEncoding.create_pe` layout: sin at EVEN feature
+    indices, cos at ODD (interleaved) — `linear_pos` weights converted from
+    NeMo checkpoints read this exact column order, so the layout is a
+    weights-day contract, not a style choice."""
     pos = jnp.arange(T - 1, -T, -1, dtype=jnp.float32)  # [2T-1]
     inv = jnp.exp(
         jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-np.log(10000.0) / d_model)
     )
     ang = pos[:, None] * inv[None, :]
-    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    # interleave: [..., sin0, cos0, sin1, cos1, ...]
+    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return pe.reshape(2 * T - 1, d_model)
 
 
 def _rel_shift(bd: jax.Array) -> jax.Array:
-    """[B,H,T,2T-1] -> [B,H,T,T]: pick score at relative offset (s - t)."""
-    B, H, T, _ = bd.shape
-    # pad one column on the left, reshape trick (Transformer-XL)
-    bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    bd = bd.reshape(B, H, 2 * T, T)
-    return bd[:, :, 1 : T + 1, :T]
+    """[B,H,T,2T-1] -> [B,H,T,T]: bd'[t, s] = bd[t, (T-1) + (s - t)].
+
+    NeMo `RelPositionMultiHeadAttention.rel_shift` semantics: pad one column
+    on the left, view as [2T, T], drop the first ROW, view back as
+    [T, 2T-1], then keep the first T key columns. (The superficially similar
+    pad->reshape->row-slice variant picks scores from the WRONG QUERY ROWS —
+    pinned by tests/test_conformer_nemo_parity.py.)"""
+    B, H, T, R = bd.shape
+    bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B,H,T,R+1]
+    bd = bd.reshape(B, H, R + 1, T)[:, :, 1:]  # drop first row
+    return bd.reshape(B, H, T, R)[:, :, :, :T]
 
 
 class ConformerBlock(nn.Module):
@@ -233,7 +250,7 @@ class ConformerBlock(nn.Module):
         d_ff = cfg.d_model * cfg.ffn_expansion
 
         def ffn(x, name):
-            h = nn.LayerNorm(dtype=dt, name=f"{name}_ln")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"{name}_ln")(x)
             h = _dense(cfg, d_ff, f"{name}_fc1")(h)
             h = nn.silu(h)
             return _dense(cfg, cfg.d_model, f"{name}_fc2")(h)
@@ -242,7 +259,7 @@ class ConformerBlock(nn.Module):
         x = x + RelPosMHSA(cfg, name="mhsa")(x, att_mask, lengths)
         x = x + GLUConv(cfg, name="conv")(x, pad_mask)
         x = x + 0.5 * ffn(x, "ffn2")
-        return nn.LayerNorm(dtype=dt, name="final_ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=dt, name="final_ln")(x)
 
 
 class DwStridingSubsampling(nn.Module):
@@ -267,7 +284,10 @@ class DwStridingSubsampling(nn.Module):
             x = nn.Conv(c, (1, 1), dtype=dt, name=f"pw{i}")(x)
             x = nn.relu(x)
         B, T8, F8, C = x.shape
-        x = x.reshape(B, T8, F8 * C)
+        # flatten CHANNEL-major (C, F) to match NeMo ConvSubsampling's
+        # `x.transpose(1, 2).reshape(b, t, -1)` on NCHW — the converted
+        # `pre_encode.out` kernel rows are in this order (weights-day contract)
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(B, T8, C * F8)
         return _dense(cfg, cfg.d_model, "proj")(x)
 
 
@@ -282,6 +302,10 @@ class ConformerEncoder(nn.Module):
     ) -> tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         x = DwStridingSubsampling(cfg, name="subsampling")(mel)
+        if cfg.xscale:
+            # NeMo RelPositionalEncoding.forward: x *= sqrt(d_model)
+            # (python float: weak-typed, keeps the compute dtype)
+            x = x * float(np.sqrt(cfg.d_model))
         B, T, _ = x.shape
 
         out_lengths = mel_lengths

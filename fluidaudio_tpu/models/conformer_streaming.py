@@ -37,6 +37,9 @@ class StreamingConformerConfig:
     pre_cache_mel: int = 16  # mel frames of subsampling left context
     subsampling_channels: int = 256
     dtype: str = "float32"
+    # NeMo ConformerEncoder `xscaling` (sqrt(d_model) on subsampled features);
+    # same weights-day contract as conformer.ConformerConfig.xscale
+    xscale: bool = True
 
     @property
     def compute_dtype(self):
@@ -86,7 +89,7 @@ class _StreamRelPosMHSA(nn.Module):
         C = cfg.att_context_left
         H, Dh = cfg.n_heads, cfg.head_dim
 
-        xs = nn.LayerNorm(dtype=dt, name="ln")(x)
+        xs = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ln")(x)
         kv_in = jnp.concatenate([cache, xs], axis=1)  # [B, C+T, D]
         q = nn.Dense(D, dtype=dt, name="q")(xs).reshape(B, T, H, Dh)
         k = nn.Dense(D, dtype=dt, name="k")(kv_in).reshape(B, C + T, H, Dh)
@@ -123,13 +126,16 @@ class _StreamRelPosMHSA(nn.Module):
 
 
 def _sinusoid_offsets(n: int, max_neg: int, d_model: int) -> jax.Array:
-    # offsets from -(max_neg) .. n-1-max_neg, XL ordering handled by index math
+    # offsets from -(max_neg) .. n-1-max_neg, XL ordering handled by index math.
+    # NeMo create_pe layout: sin at even / cos at odd feature indices
+    # (interleaved) — the converted `linear_pos` kernel reads this order.
     off = jnp.arange(n, dtype=jnp.float32) - max_neg
     inv = jnp.exp(
         jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-np.log(10000.0) / d_model)
     )
     ang = off[:, None] * inv[None, :]
-    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return pe.reshape(n, d_model)
 
 
 class _StreamConv(nn.Module):
@@ -142,7 +148,7 @@ class _StreamConv(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         d = cfg.d_model
-        xs = nn.LayerNorm(dtype=dt, name="ln")(x)
+        xs = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ln")(x)
         xs = nn.Dense(2 * d, dtype=dt, name="pointwise1")(xs)
         xs = nn.glu(xs, axis=-1)
         full = jnp.concatenate([tail, xs], axis=1)  # [B, k-1+T, D]
@@ -169,7 +175,7 @@ class _StreamBlock(nn.Module):
         d_ff = cfg.d_model * cfg.ffn_expansion
 
         def ffn(x, name):
-            h = nn.LayerNorm(dtype=dt, name=f"{name}_ln")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"{name}_ln")(x)
             h = nn.Dense(d_ff, dtype=dt, name=f"{name}_fc1")(h)
             h = nn.silu(h)
             return nn.Dense(cfg.d_model, dtype=dt, name=f"{name}_fc2")(h)
@@ -180,7 +186,7 @@ class _StreamBlock(nn.Module):
         conv, new_time = _StreamConv(cfg, name="conv")(x, time_cache)
         x = x + conv
         x = x + 0.5 * ffn(x, "ffn2")
-        return nn.LayerNorm(dtype=dt, name="final_ln")(x), new_ch, new_time
+        return nn.LayerNorm(epsilon=1e-5, dtype=dt, name="final_ln")(x), new_ch, new_time
 
 
 class StreamingConformerEncoder(nn.Module):
@@ -215,8 +221,12 @@ class StreamingConformerEncoder(nn.Module):
             x = nn.Conv(c, (1, 1), dtype=dt, name=f"pw{i}")(x)
             x = nn.relu(x)
         Bx, T8, F8, C8 = x.shape
-        x = x.reshape(Bx, T8, F8 * C8)
+        # CHANNEL-major flatten (NeMo ConvSubsampling weights-day contract,
+        # see conformer.DwStridingSubsampling)
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(Bx, T8, C8 * F8)
         x = nn.Dense(cfg.d_model, dtype=dt, name="proj")(x)
+        if cfg.xscale:
+            x = x * float(np.sqrt(cfg.d_model))
         # drop the frames contributed by the pre-cache context
         ctx_frames = pc // 8
         x = x[:, ctx_frames:]

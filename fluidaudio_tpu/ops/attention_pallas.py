@@ -171,18 +171,12 @@ def relpos_attention_reference(qu, qw, k, v, p, lengths, t_real):
     """Pure-XLA reference with identical semantics (for tests)."""
     B, H, T, Dh = qu.shape
     ac = jnp.einsum("bhtd,bhsd->bhts", qu, k)
-    bd = jnp.einsum("bhtd,hrd->bhtr", qw, p)
-    # XL pad-reshape shift
-    bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    R = bd.shape[-1]
-    bd = bd.reshape(B, H, R, T)[:, :, 1 : T + 1, :T] if R == 2 * T else None
-    if bd is None:
-        # generic gather fallback
-        r = jnp.arange(T)[None, :] - jnp.arange(T)[:, None] + (t_real - 1)
-        pr = jnp.einsum("bhtd,hrd->bhtr", qw, p)
-        bd = jnp.take_along_axis(
-            pr, jnp.broadcast_to(r, (B, H, T, T)), axis=-1
-        )
+    # XL shift as an explicit gather: bd[t, s] = raw[t, (t_real-1) + (s - t)]
+    # (identical to NeMo rel_shift + truncation; pinned by
+    # tests/test_conformer_nemo_parity.py)
+    r = jnp.arange(T)[None, :] - jnp.arange(T)[:, None] + (t_real - 1)
+    pr = jnp.einsum("bhtd,hrd->bhtr", qw, p)
+    bd = jnp.take_along_axis(pr, jnp.broadcast_to(r, (B, H, T, T)), axis=-1)
     scores = (ac + bd) / math.sqrt(Dh)
     col = jnp.arange(T)[None, None, None, :]
     valid = col < jnp.minimum(lengths, t_real)[:, None, None, None]

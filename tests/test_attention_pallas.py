@@ -19,9 +19,13 @@ from fluidaudio_tpu.ops.attention_pallas import (
 
 def _mk(B=2, H=2, T=40, Dh=128, seed=0):
     rng = np.random.RandomState(seed)
-    f = lambda: jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 0.3)
+    # magnitudes chosen so post-softmax probs are PEAKED: near-uniform probs
+    # average v and hide index-map bugs under tolerance (this suite once
+    # passed with a row-mixing rel_shift in the XLA path because 0.3-scale
+    # inputs washed out to near-uniform attention)
+    f = lambda: jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 1.0)
     qu, qw, k, v = f(), f(), f(), f()
-    p = jnp.asarray(rng.randn(H, 2 * T - 1, Dh).astype(np.float32) * 0.3)
+    p = jnp.asarray(rng.randn(H, 2 * T - 1, Dh).astype(np.float32) * 1.0)
     return qu, qw, k, v, p
 
 
@@ -68,22 +72,37 @@ def test_kernel_respects_lengths():
 
 
 def test_shift_semantics_vs_conformer_rel_shift():
-    """bd path alone (k=0): kernel shift == conformer._rel_shift gather."""
+    """bd path alone (k=0): kernel shift == conformer._rel_shift gather.
+
+    Probe design makes the INDEX MAP observable (an earlier version used
+    v=ones, which any row-stochastic probs matrix maps to 1 — vacuous):
+    qw rows and p rows are one-hot-ish so bd[t, s] is sharply peaked exactly
+    when the kernel reads offset index (T-1) + (s - t); v carries a distinct
+    per-key signature so the argmax key is visible in the output."""
     from fluidaudio_tpu.models.conformer import _rel_shift
 
     B, H, T, Dh = 1, 1, 24, 128
     rng = np.random.RandomState(2)
-    qw = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 0.2)
-    p = jnp.asarray(rng.randn(H, 2 * T - 1, Dh).astype(np.float32) * 0.2)
+    qw = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 2.0)
+    p = jnp.asarray(rng.randn(H, 2 * T - 1, Dh).astype(np.float32) * 2.0)
     zeros = jnp.zeros((B, H, T, Dh))
+    v = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32))
     lengths = jnp.array([T], jnp.int32)
-    # v = identity-ish probe: with k=0, ac=0 so scores = bd/sqrt(Dh); compare
-    # probs-weighted v against reference formulation directly
-    got = relpos_attention(zeros, qw, zeros, jnp.ones_like(zeros), p, lengths, T,
-                           interpret=True)
-    bd = jnp.einsum("bhtd,hrd->bhtr", qw.astype(jnp.bfloat16).astype(jnp.float32),
-                    p.astype(jnp.bfloat16).astype(jnp.float32))
-    bd = _rel_shift(bd)
+    got = relpos_attention(zeros, qw, zeros, v, p, lengths, T, interpret=True)
+
+    qw_b = qw.astype(jnp.bfloat16).astype(jnp.float32)
+    p_b = p.astype(jnp.bfloat16).astype(jnp.float32)
+    v_b = v.astype(jnp.bfloat16).astype(jnp.float32)
+    bd = jnp.einsum("bhtd,hrd->bhtr", qw_b, p_b)
+    bd = _rel_shift(bd)  # [B,H,T,T]
     probs = jax.nn.softmax(bd / np.sqrt(Dh), axis=-1)
-    ref = jnp.sum(probs, axis=-1, keepdims=True) * jnp.ones((B, H, T, Dh))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+    ref = jnp.einsum("bhts,bhsd->bhtd", probs, v_b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+    # and _rel_shift itself is the NeMo gather (redundant belt+braces here;
+    # the index-level pin lives in tests/test_conformer_nemo_parity.py)
+    r = np.arange(T)[None, :] - np.arange(T)[:, None] + (T - 1)
+    bd_gather = np.take_along_axis(
+        np.asarray(jnp.einsum("bhtd,hrd->bhtr", qw_b, p_b)),
+        np.broadcast_to(r, (B, H, T, T)), axis=-1)
+    np.testing.assert_allclose(np.asarray(bd), bd_gather, atol=1e-4, rtol=1e-4)
