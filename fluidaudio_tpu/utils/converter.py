@@ -66,15 +66,45 @@ class AudioConverter:
     def stream_convert_to_file(
         self, path: str | Path, out_path: str | Path, chunk_seconds: float = 60.0
     ) -> int:
-        """Convert a (possibly huge) WAV to a raw f32 16 kHz temp file in chunks.
+        """Convert a (possibly huge) audio file to a raw f32 16 kHz temp file
+        in chunks. Returns total sample count.
 
         Powers the constant-memory disk-backed source (reference
-        `Shared/AudioSourceFactory.swift:12-60`). Returns total sample count.
+        `Shared/AudioSourceFactory.swift:12-60`). WAV inputs stream through
+        `WavStreamReader` — peak memory is O(chunk), never O(file), matching
+        the reference's streaming convert (`Shared/AudioConverter.swift:372`);
+        FLAC decodes whole-file first (the native decoder is one-shot).
         """
+        from fluidaudio_tpu.utils.audio_io import WavStreamReader
+
+        with open(path, "rb") as f:
+            is_wav = f.read(4) == b"RIFF"
+        if is_wav:
+            with WavStreamReader(path) as reader:
+                n = reader.n_frames
+
+                def fetch(lo: int, hi: int) -> np.ndarray:
+                    frames = reader.read_frames(lo, hi - lo)
+                    if frames.dtype == np.int16:
+                        frames = frames.astype(np.float32) / 32768.0
+                    return mix_to_mono(frames)
+
+                return self._stream_resample_to_file(
+                    fetch, n, reader.sample_rate, out_path, chunk_seconds
+                )
+        samples, rate = read_audio(path)  # FLAC: native decoder is one-shot
+        mono = mix_to_mono(samples)
+        return self._stream_resample_to_file(
+            lambda lo, hi: mono[lo:hi], mono.size, rate, out_path, chunk_seconds
+        )
+
+    def _stream_resample_to_file(
+        self, fetch, n_samples: int, rate: int, out_path: str | Path,
+        chunk_seconds: float,
+    ) -> int:
+        """Chunked boundary-exact resample of `fetch(lo, hi)` source samples."""
         from math import gcd
 
-        samples, rate = read_audio(path)  # WAV payload is mmap-able in principle;
-        mono = mix_to_mono(samples)
         total = 0
         g = gcd(rate, self.target_rate)
         up, down = self.target_rate // g, rate // g
@@ -85,11 +115,11 @@ class AudioConverter:
         chunk = max(down, (int(chunk_seconds * rate) // down) * down)
         ctx = (4096 // down + 1) * down
         with open(out_path, "wb") as f:
-            for start in range(0, mono.size, chunk):
-                end = min(start + chunk, mono.size)
+            for start in range(0, n_samples, chunk):
+                end = min(start + chunk, n_samples)
                 lo = max(0, start - ctx)
-                hi = min(mono.size, end + ctx)
-                seg = resample(mono[lo:hi], rate, self.target_rate)
+                hi = min(n_samples, end + ctx)
+                seg = resample(fetch(lo, hi), rate, self.target_rate)
                 lead = (start - lo) * up // down
                 want = -((-end * up) // down) - (start * up) // down
                 part = seg[lead : lead + want]

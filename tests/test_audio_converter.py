@@ -141,3 +141,102 @@ class TestHelpers:
         # 24k -> 16k is a clean 2:3; length must be exact.
         x = np.zeros(24_000, np.float32)
         assert resample(x, 24_000, 16_000).size == 16_000
+
+
+class TestWavStreamReader:
+    """Constant-memory WAV reader (`utils/audio_io.WavStreamReader`) —
+    random-access equality with the whole-file reader across formats, and a
+    bounded-peak-RSS proof for the streaming convert (reference
+    `Shared/AudioConverter.swift:372` O(1)-memory contract)."""
+
+    @pytest.mark.parametrize("dtype,channels", [
+        ("int16", 1), ("int16", 2), ("float32", 1), ("float32", 3),
+    ])
+    def test_random_access_matches_whole_file(self, tmp_path, dtype, channels):
+        from fluidaudio_tpu.utils.audio_io import WavStreamReader, read_wav_raw
+
+        rng = np.random.RandomState(3)
+        x = (rng.randn(44_100, channels).astype(np.float32) * 0.4).clip(-1, 1)
+        if channels == 1:
+            x = x[:, 0]
+        path = tmp_path / "f.wav"
+        write_wav(path, x, 44_100, dtype=dtype)
+        whole, rate = read_wav_raw(path)
+        with WavStreamReader(path) as r:
+            assert r.sample_rate == rate == 44_100
+            assert r.channels == (channels if channels > 1 else 1)
+            assert r.n_frames == whole.shape[0]
+            for start, count in [(0, 100), (1000, 4096), (44_000, 500),
+                                 (44_100, 10), (0, r.n_frames)]:
+                got = r.read_frames(start, count)
+                want = whole[start : start + count]
+                np.testing.assert_array_equal(got, want)
+                assert got.dtype == whole.dtype
+
+    def test_stream_convert_stereo_matches_one_shot(self, tmp_path):
+        conv = AudioConverter()
+        rng = np.random.RandomState(4)
+        x = (rng.randn(44_100 * 3, 2).astype(np.float32) * 0.3).clip(-1, 1)
+        src = tmp_path / "in.wav"
+        write_wav(src, x, 44_100, dtype="float32")
+        raw = tmp_path / "out.f32"
+        total = conv.stream_convert_to_file(src, raw, chunk_seconds=0.7)
+        streamed = np.fromfile(raw, np.float32)
+        assert streamed.size == total
+        one_shot = conv.resample_file(src)
+        n = min(streamed.size, one_shot.size)
+        np.testing.assert_allclose(streamed[:n], one_shot[:n], atol=1e-3)
+
+    def test_stream_convert_bounded_peak_rss(self, tmp_path):
+        """Converting a ~92 MB WAV must not raise the process high-water mark
+        by anywhere near the payload size (O(chunk) memory, not O(file)).
+
+        Runs in a SUBPROCESS so this process's prior allocations can't mask
+        the measurement; the WAV itself is written streamingly."""
+        import struct as _struct
+        import subprocess
+        import sys
+        import textwrap
+
+        wav = tmp_path / "big.wav"
+        sr, ch, seconds = 48_000, 2, 480
+        n = sr * seconds
+        body_bytes = n * ch * 2
+        with open(wav, "wb") as f:
+            f.write(b"RIFF" + _struct.pack("<I", 36 + body_bytes) + b"WAVE")
+            f.write(b"fmt " + _struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                           sr * ch * 2, ch * 2, 16))
+            f.write(b"data" + _struct.pack("<I", body_bytes))
+            rng = np.random.RandomState(5)
+            for _ in range(seconds):  # 1 s at a time
+                sec = (rng.randn(sr, ch) * 3000).astype("<i2")
+                f.write(sec.tobytes())
+
+        script = textwrap.dedent(f"""
+            import os, sys
+            def hwm_kb():
+                with open("/proc/self/status") as f:
+                    for line in f:
+                        if line.startswith("VmHWM:"):
+                            return int(line.split()[1])
+                raise RuntimeError("no VmHWM")
+            from fluidaudio_tpu.utils.converter import AudioConverter
+            before = hwm_kb()
+            total = AudioConverter().stream_convert_to_file(
+                {str(wav)!r}, {str(tmp_path / 'out.f32')!r}, chunk_seconds=15.0)
+            after = hwm_kb()
+            print(before, after, total)
+        """)
+        out = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=540,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        before, after, total = map(int, out.stdout.split()[-3:])
+        assert total == pytest.approx(16_000 * seconds, abs=4)
+        delta_mb = (after - before) / 1024.0
+        # payload is ~92 MB; chunks are 15 s (stereo i16 read + f32 upcast +
+        # mono mix + polyphase scratch ~= 20 MB transient). Bound at about a
+        # third of the whole-file size: O(chunk), not O(file).
+        assert delta_mb < 32, f"peak RSS grew {delta_mb:.1f} MB (not streaming?)"
