@@ -175,6 +175,21 @@ class _PromptedEncoder(nn.Module):
         return x, new_caches
 
 
+def fleurs_to_multilingual_language(fleurs_code: str) -> str:
+    """FLEURS locale (e.g. `en_us`) -> the multilingual pack's prompt-key
+    format (`en-US`), with the reference's special cases
+    (`NemotronMultilingualFleursBenchmark.fleursToMultilingualLanguage`).
+    Unknown shapes pass through and fall back to the default prompt."""
+    special = {"cmn_hans_cn": "zh-CN", "es_419": "es-ES",
+               "pt_br": "pt-BR", "ar_eg": "ar-EG"}
+    if fleurs_code in special:
+        return special[fleurs_code]
+    parts = fleurs_code.split("_")
+    if len(parts) == 2:
+        return f"{parts[0]}-{parts[1].upper()}"
+    return fleurs_code
+
+
 class StreamingNemotronAsrManager:
     def __init__(
         self,
@@ -306,16 +321,52 @@ class StreamingNemotronAsrManager:
         )
         return result, new_caches
 
+    def set_language(self, language: str | None) -> None:
+        """Switch the encoder's prompt conditioning between utterances
+        (reference `StreamingNemotronMultilingualAsrManager.setLanguage`).
+        The prompt id is a traced ARGUMENT of the chunk program, so this is
+        pure data — no recompilation; unknown codes fall back to the
+        metadata's default (auto-detect) prompt."""
+        self.language = language or "auto"
+        self.prompt_id = (
+            self.metadata.prompt_id(None if self.language == "auto" else self.language)
+            if self.spec.multilingual else 0
+        )
+        self.detected_language = None
+
+    def lang_tag_token(self, language: str) -> int | None:
+        """Vocab id of the `<xx-XX>` language-tag piece, if the pack has one
+        (used by forced-prefix decoding, the reference's Whisper-style hard
+        language lock, `NemotronMultilingualFleursBenchmark.Config.forcedPrefix`)."""
+        code = (language or "").replace("_", "-")
+        if "-" in code:
+            l, _, r = code.partition("-")
+            code = f"{l.lower()}-{r.upper()}"
+        p2i = self.tokenizer._piece_to_id
+        for cand in (f"<{code}>", f"<{code.split('-')[0].lower()}>"):
+            if cand in p2i:
+                return p2i[cand]
+        return None
+
     # public API mirrors the EOU manager
-    def make_state(self) -> _StreamState:
+    def make_state(self, forced_prefix: int | None = None) -> _StreamState:
+        """`forced_prefix`: seed the decoder as if that token (a `<xx-XX>`
+        lang tag) was just emitted — TdtDecodeState stores h/c
+        PRE-consumption of last_token, so setting last_token alone is the
+        exact seeding (the warm start consumes it first)."""
+        dec_state = make_initial_state(
+            self.dcfg, self.pred_cfg.n_layers, self.pred_cfg.pred_hidden, 1
+        )
+        if forced_prefix is not None:
+            dec_state = dec_state._replace(
+                last_token=jnp.full_like(dec_state.last_token, int(forced_prefix))
+            )
         return _StreamState(
             pending=np.zeros(0, np.float32),
             last_sample=0.0,
             consumed_samples=0,
             caches=init_caches(self.enc_cfg, 1),
-            dec_state=make_initial_state(
-                self.dcfg, self.pred_cfg.n_layers, self.pred_cfg.pred_hidden, 1
-            ),
+            dec_state=dec_state,
         )
 
     def process(self, audio: np.ndarray, state: _StreamState) -> list[EouPartialResult]:

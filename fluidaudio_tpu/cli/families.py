@@ -316,6 +316,164 @@ def cmd_nemotron_multi_stream_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_nemotron_multilingual_fleurs(args: argparse.Namespace) -> int:
+    """Per-language streaming WER/CER for the multilingual Nemotron model
+    over a staged FLEURS tree (reference
+    `NemotronMultilingualFleursBenchmark.swift`, 892 LoC; baseline rows
+    BASELINE.md "Nemotron multilingual FLEURS").
+
+    Scoring matches NVIDIA's multilingual pipeline exactly as the reference
+    documents it:
+      * CJK / no-space scripts -> character-level WER (`metrics.cjk_chars`)
+      * English -> the full English scoring normalizer
+      * other Latin scripts -> Whisper-basic normalizer + digit spell-out
+        ITN on BOTH sides (fr/de/es/it/pt, `metrics/spellout.py`)
+    Prompt conditioning: FLEURS code -> prompt key
+    (`fleurs_to_multilingual_language`), `--prompt-override` for regional
+    A/Bs, `--forced-prefix` seeds the decoder with the `<xx-XX>` tag token
+    (Whisper-style hard language lock). `--dump-samples` writes per-sample
+    JSONL with raw + normalized hyp/ref and per-sample WER variants."""
+    from fluidaudio_tpu.asr.streaming_nemotron import fleurs_to_multilingual_language
+    from fluidaudio_tpu.cli.benchmarks import _iter_fleurs
+    from fluidaudio_tpu.metrics.spellout import SUPPORTED_LANGUAGES
+    from fluidaudio_tpu.metrics.text_normalizer import (
+        basic_normalize,
+        cjk_chars,
+        is_cjk_language,
+        normalize_for_scoring,
+    )
+    from fluidaudio_tpu.metrics.wer import levenshtein
+
+    root = Path(args.dataset_dir)
+    by_lang: dict[str, list] = {}
+    if args.dataset == "librispeech":
+        for utt_id, wav, ref in _iter_librispeech(root):
+            by_lang.setdefault("en_us", []).append((utt_id, wav, ref))
+    elif args.dataset == "earnings22":
+        data = root / "test-dataset"
+        for wav in sorted(data.glob("*.wav")) if data.is_dir() else []:
+            ref_file = wav.with_suffix("").with_suffix(".text.txt")
+            if not ref_file.exists():
+                ref_file = Path(str(wav)[: -len(".wav")] + ".text.txt")
+            if ref_file.exists():
+                by_lang.setdefault("en_us", []).append(
+                    (wav.stem, wav, ref_file.read_text().strip()))
+    else:
+        for lang, utt_id, wav, ref in _iter_fleurs(root):
+            by_lang.setdefault(lang, []).append((utt_id, wav, ref))
+
+    languages = (args.languages.split(",") if args.languages
+                 else sorted(by_lang))
+    if args.max_files:
+        by_lang = {k: v[: args.max_files] for k, v in by_lang.items()}
+    if not any(by_lang.get(lang) for lang in languages):
+        print(f"no samples under {root} for languages {languages}")
+        return 1
+
+    mgr = _make_nemotron(args, multilingual=True)
+    dump = open(args.dump_samples, "w") if args.dump_samples else None
+
+    def score(lang: str, hyp: str, ref: str) -> tuple[float, float]:
+        """(per-sample wer, cer) under the language's scoring rules."""
+        if is_cjk_language(lang):
+            h, r = cjk_chars(hyp), cjk_chars(ref)
+            w = levenshtein(r, h).rate
+            return w, w
+        if lang.lower().startswith("en"):
+            h, r = normalize_for_scoring(hyp), normalize_for_scoring(ref)
+        else:
+            spell = lang.split("_")[0].split("-")[0].lower()
+            spell = spell if spell in SUPPORTED_LANGUAGES else None
+            h = basic_normalize(hyp, spell_out_lang=spell)
+            r = basic_normalize(ref, spell_out_lang=spell)
+        w = levenshtein(r.split(), h.split()).rate
+        c = levenshtein(list(r.replace(" ", "")), list(h.replace(" ", ""))).rate
+        return w, c
+
+    results: dict[str, dict] = {}
+    for lang in languages:
+        samples = by_lang.get(lang) or []
+        if not samples:
+            continue
+        prompt = args.prompt_override or fleurs_to_multilingual_language(lang)
+        mgr.set_language(prompt)
+        forced = mgr.lang_tag_token(prompt) if args.forced_prefix else None
+        tot_w = tot_c = tot_audio = tot_wall = 0.0
+        processed = skipped = 0
+        detected: str | None = None
+        for utt_id, wav, ref in samples:
+            try:
+                samples16, dur = _read_audio(wav)
+            except Exception as e:
+                print(f"  [{lang}] {utt_id}: resample failed ({e})")
+                skipped += 1
+                continue
+            state = mgr.make_state(forced_prefix=forced)
+            t0 = time.perf_counter()
+            mgr.process(samples16, state)
+            hyp = mgr.finish(state).text
+            wall = time.perf_counter() - t0
+            detected = detected or state.detected_language
+            w, c = score(lang, hyp, ref)
+            tot_w += w
+            tot_c += c
+            tot_audio += dur
+            tot_wall += wall
+            processed += 1
+            if dump:
+                spell = lang.split("_")[0].split("-")[0].lower()
+                spell = spell if spell in SUPPORTED_LANGUAGES else None
+                dump.write(json.dumps({
+                    "sampleId": utt_id, "language": lang,
+                    "audio_duration": round(dur, 3),
+                    "detected_language": state.detected_language,
+                    "hyp_raw": hyp, "ref_raw": ref,
+                    "hyp_eng": normalize_for_scoring(hyp),
+                    "ref_eng": normalize_for_scoring(ref),
+                    "hyp_basic": basic_normalize(hyp),
+                    "ref_basic": basic_normalize(ref),
+                    "hyp_basic_itn": basic_normalize(hyp, spell_out_lang=spell),
+                    "ref_basic_itn": basic_normalize(ref, spell_out_lang=spell),
+                    "wer": round(w, 4), "cer": round(c, 4),
+                }, ensure_ascii=False) + "\n")
+            if args.verbose:
+                print(f"  [{lang}] {utt_id}: wer {w*100:.1f}%")
+        if processed:
+            results[lang] = {
+                "prompt": prompt,
+                "wer_pct": round(100 * tot_w / processed, 2),
+                "cer_pct": round(100 * tot_c / processed, 2),
+                "rtfx": round(tot_audio / max(tot_wall, 1e-9), 1),
+                "processed": processed,
+                "skipped": skipped,
+                "detected_language": detected,
+            }
+            print(f"{lang} [{prompt}]: WER={results[lang]['wer_pct']}% "
+                  f"CER={results[lang]['cer_pct']}% "
+                  f"RTFx={results[lang]['rtfx']}x ({processed} processed"
+                  f"{', ' + str(skipped) + ' skipped' if skipped else ''})")
+    if dump:
+        dump.close()
+    if not results:
+        print("no samples processed")
+        return 1
+    summary = {
+        "languages": results,
+        "macro_wer_pct": round(
+            sum(v["wer_pct"] for v in results.values()) / len(results), 2),
+        "macro_cer_pct": round(
+            sum(v["cer_pct"] for v in results.values()) / len(results), 2),
+        "dataset": args.dataset,
+        "chunk_ms": args.chunk_ms,
+        "forced_prefix": bool(args.forced_prefix),
+    }
+    if args.output:
+        Path(args.output).write_text(json.dumps(summary, indent=2,
+                                                ensure_ascii=False))
+    print(json.dumps(summary, ensure_ascii=False))
+    return 0
+
+
 def cmd_unified_benchmark(args: argparse.Namespace) -> int:
     """Unified checkpoint in batch and pseudo-streaming modes
     (reference `UnifiedBenchmark.swift`)."""
@@ -518,6 +676,29 @@ def register(sub) -> None:
     p.add_argument("--latin", action="store_true")
     p.add_argument("--language", default="auto")
     p.set_defaults(fn=cmd_nemotron_benchmark, multilingual=True)
+
+    p = sub.add_parser(
+        "nemotron-multilingual-fleurs",
+        help="per-language streaming WER/CER over staged FLEURS "
+             "(NVIDIA-parity scoring: CJK char-level, basic-normalizer + "
+             "digit spell-out ITN for Latin languages)",
+    )
+    common(p, dataset=True)
+    p.add_argument("--languages", default="",
+                   help="comma-separated FLEURS codes (default: all staged)")
+    p.add_argument("--chunk-ms", type=int, default=2240)
+    p.add_argument("--latin", action="store_true",
+                   help="use the latin-vocab pack instead of full multilingual")
+    p.add_argument("--dataset", default="fleurs",
+                   choices=["fleurs", "librispeech", "earnings22"])
+    p.add_argument("--prompt-override", default=None,
+                   help="bypass the FLEURS->prompt mapping (e.g. pt-PT A/B)")
+    p.add_argument("--forced-prefix", action="store_true",
+                   help="seed decoder with the <xx-XX> tag (hard language lock)")
+    p.add_argument("--dump-samples", default=None,
+                   help="per-sample JSONL dump path (normalizer debugging)")
+    p.add_argument("--output", default=None, help="summary JSON path")
+    p.set_defaults(fn=cmd_nemotron_multilingual_fleurs)
 
     p = sub.add_parser(
         "nemotron-multilingual-multi-stream-bench",

@@ -28,3 +28,50 @@ def normalize_for_scoring(text: str) -> str:
     t = t.replace("'", "")
     t = re.sub(r"\s+", " ", t)
     return t.strip()
+
+
+_BRACKETED = re.compile(r"[<\[][^>\]]*[>\]]|\([^)]*\)")
+
+
+def basic_normalize(text: str, spell_out_lang: str | None = None) -> str:
+    """Whisper `BasicTextNormalizer`-equivalent for non-English Latin scripts
+    (reference `TextNormalizer.basicNormalize`): lowercase, drop bracketed
+    asides, NFKC, fold punctuation/symbols to spaces, KEEP diacritics
+    (unlike `normalize_for_scoring`, which strips them for English).
+
+    `spell_out_lang` additionally replaces digit runs with spelled-out
+    cardinals (`metrics/spellout.py`) — NVIDIA's multilingual FLEURS scoring
+    ITN pass (`NemotronMultilingualFleursBenchmark.swift:100-113`)."""
+    t = _BRACKETED.sub(" ", text)
+    t = unicodedata.normalize("NFKC", t).lower()
+    if spell_out_lang is not None:
+        from fluidaudio_tpu.metrics.spellout import spell_out_numbers
+
+        t = spell_out_numbers(t, spell_out_lang)
+    # punctuation/symbols/marks -> space; keep letters+digits of any script
+    t = "".join(
+        " " if unicodedata.category(c)[0] in ("P", "S", "M") else c for c in t
+    )
+    return re.sub(r"\s+", " ", t).strip()
+
+
+# FLEURS codes whose standard community scoring is character-level (word
+# tokenization is meaningless for no-space scripts): reference
+# `WERCalculator.isCJKLanguage`.
+_CJK_PREFIXES = ("cmn", "zh", "yue", "ja", "ko", "th")
+
+
+def is_cjk_language(code: str) -> bool:
+    c = code.lower()
+    return any(c == p or c.startswith(p + "_") or c.startswith(p + "-")
+               for p in _CJK_PREFIXES)
+
+
+def cjk_chars(text: str) -> list[str]:
+    """Character tokens for CJK scoring: normalized, whitespace removed."""
+    t = unicodedata.normalize("NFKC", text).lower()
+    t = "".join(
+        "" if unicodedata.category(c)[0] in ("P", "S", "Z", "C") else c
+        for c in t
+    )
+    return list(t)
