@@ -54,12 +54,46 @@ def cmd_vad_analyze(args: argparse.Namespace) -> int:
 
 
 def cmd_download(args: argparse.Namespace) -> int:
-    from fluidaudio_tpu.registry import DownloadUtils, Repo, required_models
+    from fluidaudio_tpu.registry import DownloadUtils, Repo, repair_repo
 
     repo = Repo[args.repo.upper().replace("-", "_")]
-    files = tuple(f"{m}.npz" for m in required_models(repo))
     print(f"downloading {repo.spec.name} -> {DownloadUtils.repo_dir(repo)}")
-    DownloadUtils.download_repo(repo, files)
+    status = repair_repo(repo, getattr(args, "variant", None))
+    print(f"{repo.folder_name}: {status.state} ({len(status.present)} artifacts)")
+    return 0 if status.ready else 1
+
+
+def cmd_doctor(args: argparse.Namespace) -> int:
+    """Per-family asset readiness report (reference: per-manager
+    requiredModels checks + loadWithAutoRecovery, surfaced as one command)."""
+    import json as _json
+
+    from fluidaudio_tpu.registry import Repo, readiness_report, repair_repo
+
+    if args.repair:
+        repo = Repo[args.repair.upper().replace("-", "_")]
+        status = repair_repo(repo)
+        print(_json.dumps(status.to_dict(), indent=2))
+        return 0 if status.ready else 1
+
+    report = readiness_report(deep=not args.fast)
+    if args.json:
+        print(_json.dumps(report))
+        return 0
+    print(f"models dir: {report['models_dir']}   offline: {report['offline']}")
+    print(f"families ready: {report['families_ready']}/{report['families_total']}\n")
+    for key, fam in report["families"].items():
+        mark = "✓" if fam["ready"] else "✗"
+        print(f" {mark} {key:<22} {fam['label']}")
+        for r in fam["repos"]:
+            detail = ""
+            if r["missing"]:
+                detail = f"  missing: {', '.join(r['missing'][:4])}" + (
+                    " …" if len(r["missing"]) > 4 else ""
+                )
+            if r["corrupt"]:
+                detail += f"  CORRUPT: {', '.join(r['corrupt'])}"
+            print(f"     [{r['state']:<10}] {r['repo']}{detail}")
     return 0
 
 
@@ -267,8 +301,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--threshold", type=float, default=0.85)
     p.set_defaults(fn=cmd_vad_analyze)
 
+    p = sub.add_parser("doctor", help="per-family model asset readiness report")
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+    p.add_argument("--fast", action="store_true",
+                   help="existence checks only (skip npz/json validation)")
+    p.add_argument("--repair", metavar="REPO",
+                   help="repair one repo's cache (fetch missing, refetch corrupt)")
+    p.set_defaults(fn=cmd_doctor)
+
     p = sub.add_parser("download", help="fetch model assets into the cache")
     p.add_argument("repo")
+    p.add_argument("--variant", help="family variant (e.g. offline, t128, int8)")
     p.set_defaults(fn=cmd_download)
 
 

@@ -161,7 +161,18 @@ class AsrModels:
             ),
         }
 
-        ckpt_dir = Path(checkpoint_dir) if checkpoint_dir else DownloadUtils.repo_dir(spec.repo)
+        if checkpoint_dir:
+            ckpt_dir = Path(checkpoint_dir)
+        elif allow_random_init:
+            ckpt_dir = DownloadUtils.repo_dir(spec.repo)
+        else:
+            # weights required: validate + auto-repair the cache (fetch
+            # missing artifacts, refetch corrupt npz) before loading — the
+            # reference's loadWithAutoRecovery contract
+            # (TDT/AsrModels.swift:425-435, DownloadUtils.swift:310-344)
+            from fluidaudio_tpu.registry.doctor import ensure_repo
+
+            ckpt_dir = ensure_repo(spec.repo)
         loaded_any = False
         for part in ("encoder", "predictor", "joint"):
             f = ckpt_dir / f"{part}.npz"

@@ -86,7 +86,14 @@ class DownloadUtils:
         if ModelRegistry.offline():
             raise OfflineError(repo.spec.name, remote_path)
 
-        url = f"{ModelRegistry.base_url()}/{repo.spec.name}/resolve/main/{remote_path}"
+        # Variant repos (Kokoro ANE packs, EOU/Nemotron latency tiers, LS-EEND
+        # dataset builds, Cohere q8, StyleTTS2 iteration dirs) live under a
+        # repo subdirectory (`ModelNames.swift` subPath); the cache folder
+        # stays flat per-variant so artifact names never collide.
+        remote = (
+            f"{repo.spec.sub_path}/{remote_path}" if repo.spec.sub_path else remote_path
+        )
+        url = f"{ModelRegistry.base_url()}/{repo.spec.name}/resolve/main/{remote}"
         dest.parent.mkdir(parents=True, exist_ok=True)
         tmp = dest.with_suffix(dest.suffix + ".part")
 
@@ -203,8 +210,9 @@ class DownloadUtils:
             raise OfflineError(repo.spec.name, f"listing {subdir or '/'}")
         base = ModelRegistry.base_url()
         url = f"{base}/api/models/{repo.spec.name}/tree/main"
-        if subdir:
-            url += f"/{subdir.strip('/')}"
+        prefix = "/".join(p for p in (repo.spec.sub_path, subdir.strip("/")) if p)
+        if prefix:
+            url += f"/{prefix}"
         headers = {}
         token = ModelRegistry.hf_token()
         if token:
@@ -231,13 +239,24 @@ class DownloadUtils:
 
         files: list[str] = []
         page: str | None = url
+        sub_prefix = f"{repo.spec.sub_path}/" if repo.spec.sub_path else ""
+
+        def relative(path: str) -> str:
+            # The tree API returns repo-absolute paths; callers (fetch_file,
+            # recursion) speak sub_path-relative, so strip the variant prefix.
+            if sub_prefix and path.startswith(sub_prefix):
+                return path[len(sub_prefix):]
+            return path
+
         while page:
             entries, page = fetch_page(page)
             for entry in entries:
                 if entry.get("type") == "file":
-                    files.append(entry["path"])
+                    files.append(relative(entry["path"]))
                 elif entry.get("type") == "directory":
-                    files.extend(DownloadUtils.list_repo_files(repo, entry["path"]))
+                    files.extend(
+                        DownloadUtils.list_repo_files(repo, relative(entry["path"]))
+                    )
         return files
 
     @staticmethod

@@ -150,10 +150,17 @@ class TestModelCatalog:
     def test_repo_names_non_empty_and_unique(self):
         from fluidaudio_tpu.registry.model_names import Repo
 
-        names = [r.spec.name for r in Repo]
+        # latency tiers / language packs share a remote repo under distinct
+        # sub_paths, so (remote, sub_path) is the unique key — folders stay
+        # globally unique since they are the cache layout
+        # the offline diarizer set ships in the same repo (reference
+        # variant "offline", ModelNames.swift:1311-1315) — the one
+        # intentional (remote, sub_path) alias
+        keys = [(r.spec.name, r.spec.sub_path) for r in Repo
+                if r is not Repo.OFFLINE_DIARIZER]
         folders = [r.folder_name for r in Repo]
-        assert all(names) and all(folders)
-        assert len(set(names)) == len(names)
+        assert all(n for n, _ in keys) and all(folders)
+        assert len(set(keys)) == len(keys)
         assert len(set(folders)) == len(folders)
 
     def test_folder_names_are_fs_safe(self):
@@ -174,32 +181,86 @@ class TestModelCatalog:
         from fluidaudio_tpu.registry.model_names import Repo, required_models
 
         v3 = required_models(Repo.PARAKEET_V3)
-        assert {"preprocessor", "encoder", "decoder", "joint", "vocab"} <= set(v3)
-        # EOU uses a fused frontend: no separate preprocessor
-        assert "preprocessor" not in required_models(Repo.PARAKEET_EOU)
+        assert {"encoder.npz", "predictor.npz", "joint.npz", "vocab.json"} <= set(v3)
+        # our mel frontend is computed natively: no preprocessor artifact
+        assert not any("preprocessor" in m for m in v3)
+        assert not any("preprocessor" in m
+                       for m in required_models(Repo.PARAKEET_EOU))
 
     def test_offline_diarizer_required_models(self):
         from fluidaudio_tpu.registry.model_names import Repo, required_models
 
-        assert set(required_models(Repo.OFFLINE_DIARIZER)) == {
-            "segmentation", "fbank", "embedding", "plda_rho", "plda_parameters",
-        }
+        want = {"segmentation.npz", "fbank.npz", "embedding.npz",
+                "plda_rho.npz", "plda-parameters.json"}
+        assert set(required_models(Repo.OFFLINE_DIARIZER)) == want
+        # reference fetches the VBx set from the online repo under
+        # variant "offline" (ModelNames.swift:1311-1315)
+        assert set(required_models(Repo.DIARIZER, "offline")) == want
+
+    def test_variant_dispatch(self):
+        from fluidaudio_tpu.registry.model_names import Repo, required_models
+
+        # unified: offline variant swaps the encoder export
+        streaming = set(required_models(Repo.PARAKEET_UNIFIED))
+        offline = set(required_models(Repo.PARAKEET_UNIFIED, "offline"))
+        assert "encoder_streaming.npz" in streaming
+        assert "encoder.npz" in offline and "encoder_streaming.npz" not in offline
+        # styletts2: bucket variants return just that bucket pair
+        assert set(required_models(Repo.STYLETTS2, "t128")) == {
+            "predictor_t128.npz", "decoder_t128.npz"}
+        assert len(required_models(Repo.STYLETTS2, "all")) > len(
+            required_models(Repo.STYLETTS2))
+        # sortformer / ls-eend: explicit model-name variants
+        assert required_models(Repo.SORTFORMER, "Sortformer_v2.1") == (
+            "Sortformer_v2.1.npz",)
+        assert required_models(Repo.LS_EEND_AMI) == ("model.npz",)
 
     def test_kokoro_variant_repos_exist(self):
         from fluidaudio_tpu.registry.model_names import Repo
 
         assert Repo.KOKORO_ANE_ZH.folder_name == "kokoro-ane-zh"
         assert Repo.KOKORO_ANE_JA.folder_name == "kokoro-ane-ja"
+        # ANE packs are subdirectories of the one kokoro repo
+        # (ModelNames.swift:45-47)
+        assert Repo.KOKORO_ANE.remote_path == Repo.KOKORO_ANE_ZH.remote_path
+        assert Repo.KOKORO_ANE.sub_path == "ANE"
+
+    def test_latency_tier_repos(self):
+        from fluidaudio_tpu.registry.model_names import Repo
+
+        assert Repo.PARAKEET_EOU_320.sub_path == "320ms"
+        assert Repo.NEMOTRON_EN_1120.sub_path == "nemotron_coreml_1120ms"
+        assert Repo.LS_EEND_DIHARD3.sub_path == "optimized/dih3"
+        # tiers share the remote repo with the base member
+        assert (Repo.PARAKEET_EOU_160.remote_path
+                == Repo.PARAKEET_EOU.remote_path)
+
+    def test_every_repo_has_required_models(self):
+        from fluidaudio_tpu.registry.model_names import Repo, required_models
+
+        for repo in Repo:
+            req = required_models(repo)
+            assert req, f"{repo} has an empty required-model set"
+            assert all("." in name for name in req), (repo, req)
 
     def test_catalog_covers_every_workload_family(self):
-        from fluidaudio_tpu.registry.model_names import Repo
+        from fluidaudio_tpu.registry.model_names import FAMILIES, Repo
 
         folders = {r.folder_name for r in Repo}
         for needle in ("silero-vad", "parakeet-v3", "nemotron-en",
-                       "sensevoice", "paraformer", "cohere-asr", "diarizer",
-                       "sortformer", "ls-eend", "kokoro", "pocket-tts",
-                       "styletts2", "supertonic3", "charsiu-g2p"):
+                       "sensevoice", "paraformer-zh", "cohere-transcribe-q8",
+                       "diarizer", "sortformer", "ls-eend", "kokoro",
+                       "pocket-tts", "styletts2", "supertonic-3",
+                       "charsiu-g2p"):
             assert needle in folders, needle
+        # every repo belongs to exactly the families map's coverage
+        in_families = {r for _, repos in FAMILIES.values() for r in repos}
+        # OFFLINE_DIARIZER alias + base KOKORO are family members too
+        assert in_families >= {Repo.VAD, Repo.PARAKEET_V3, Repo.SORTFORMER,
+                               Repo.POCKET_TTS, Repo.SUPERTONIC3}
+        # one member per reference Repo case (33) plus the three un-suffixed
+        # tier roots (EOU / Nemotron-en / LS-EEND)
+        assert len(Repo) == 36
 
 
 # --------------------------------------------------------------------------
@@ -266,3 +327,95 @@ class TestArtifactValidation:
         p = self._file(tmp_path, b"")
         with pytest.raises(RegistryError, match="artifact.bin"):
             validate_artifact(p)
+
+
+# --------------------------------------------------------------------------
+# Doctor: readiness report + corrupt-cache auto-recovery
+# (AsrModels.loadWithAutoRecovery / DownloadUtils.loadModels cache check)
+# --------------------------------------------------------------------------
+
+
+class TestDoctor:
+    def _stage(self, repo, names):
+        import numpy as np
+
+        d = DownloadUtils.repo_dir(repo)
+        d.mkdir(parents=True, exist_ok=True)
+        for n in names:
+            p = d / n
+            if n.endswith(".npz"):
+                np.savez(p, w=np.zeros(3, np.float32))
+            elif n.endswith(".json"):
+                p.write_text("{}")
+            else:
+                p.write_bytes(b"x")
+        return d
+
+    def test_absent_repo_reports_all_missing(self):
+        from fluidaudio_tpu.registry.doctor import check_repo
+
+        st = check_repo(Repo.VAD)
+        assert st.state == "absent"
+        assert st.missing == ["silero_vad.npz"] and not st.ready
+
+    def test_staged_repo_is_ready(self):
+        from fluidaudio_tpu.registry.doctor import check_repo
+        from fluidaudio_tpu.registry.model_names import required_models
+
+        self._stage(Repo.VAD, required_models(Repo.VAD))
+        st = check_repo(Repo.VAD)
+        assert st.ready and st.state == "ready"
+
+    def test_corrupt_npz_detected_deep_only(self):
+        from fluidaudio_tpu.registry.doctor import check_repo
+
+        d = self._stage(Repo.VAD, ())
+        (d / "silero_vad.npz").write_bytes(b"<!doctype html>not a zip")
+        assert check_repo(Repo.VAD).state == "corrupt"
+        assert check_repo(Repo.VAD, deep=False).state == "ready"
+
+    def test_offline_repair_raises_typed_error_naming_missing(self):
+        from fluidaudio_tpu.registry.doctor import repair_repo
+
+        ModelRegistry.enforce_offline(True)
+        with pytest.raises(OfflineError, match="silero_vad.npz"):
+            repair_repo(Repo.VAD)
+
+    def test_ensure_repo_passes_through_when_ready(self):
+        from fluidaudio_tpu.registry.doctor import ensure_repo
+        from fluidaudio_tpu.registry.model_names import required_models
+
+        d = self._stage(Repo.SORTFORMER, required_models(Repo.SORTFORMER))
+        ModelRegistry.enforce_offline(True)  # must not need the network
+        assert ensure_repo(Repo.SORTFORMER) == d
+
+    def test_repair_refetches_corrupt_artifact(self, monkeypatch):
+        import numpy as np
+
+        from fluidaudio_tpu.registry import doctor
+        from fluidaudio_tpu.registry.model_names import required_models
+
+        d = self._stage(Repo.VAD, required_models(Repo.VAD))
+        (d / "silero_vad.npz").write_bytes(b"corrupt")
+        fetched = []
+
+        def fake_fetch(repo, name, *, force=False):
+            fetched.append((name, force))
+            p = DownloadUtils.repo_dir(repo) / name
+            np.savez(p, w=np.zeros(2, np.float32))
+            return p
+
+        monkeypatch.setattr(DownloadUtils, "fetch_file", staticmethod(fake_fetch))
+        st = doctor.repair_repo(Repo.VAD)
+        assert st.ready
+        assert fetched == [("silero_vad.npz", True)]
+
+    def test_readiness_report_covers_all_families(self):
+        from fluidaudio_tpu.registry.doctor import readiness_report
+        from fluidaudio_tpu.registry.model_names import FAMILIES
+
+        rep = readiness_report(deep=False)
+        assert rep["families_total"] == len(FAMILIES)
+        assert set(rep["families"]) == set(FAMILIES)
+        for fam in rep["families"].values():
+            assert fam["repos"], fam["label"]
