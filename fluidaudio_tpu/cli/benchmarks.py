@@ -551,20 +551,24 @@ def cmd_download_dataset(args: argparse.Namespace) -> int:
 
 
 def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
-    """Egress-free end-to-end guardrail battery: seeded weights + seeded
-    synthetic audio make every number DETERMINISTIC per backend, so relative
-    regressions are caught with no real checkpoints (real-accuracy gates stay
-    in benchmarks.yml, egress-gated). Battery:
+    """Egress-free end-to-end guardrail battery, two tiers:
 
-      asr        43.75 s speech-shaped utterance transcribed with chunk batch
-                 1 and 3 — transcripts must be identical (the worker-pool
-                 completion-determinism analog); emits token count + stream sha
-      roundtrip  sentences through Kokoro TTS -> 16 kHz -> ASR -> WER
-      vad        synthetic speech/nonspeech corpus -> accuracy/F1
-      diarizer   2-speaker synthetic mixture -> sortformer offline DER vs the
-                 construction truth
+    REAL QUALITY GATES (committed trained tiny fixtures, the reference's
+    benchmark-guardrail CI analog — offline-pipeline.yml, README.md:654):
+      trained_asr_wer_pct   full chunked AsrManager.transcribe on the trained
+                            16-word language — HARD GATE <= 2%
+      trained_vad_f1_pct    trained Silero clip F1 — HARD GATE >= 90%
+      trained_diar_der_pct  trained sortformer offline DER — HARD GATE <= 5%
+    A gate failure exits nonzero regardless of --baseline: the framework must
+    demonstrably transcribe / detect speech / diarize.
 
-    With --baseline, numeric fields are compared within tolerances and string
+    DETERMINISM PINS (seeded random weights + seeded audio; numerically
+    tracked noise, NOT quality — catches silent numeric drift per backend):
+      asr_batch_invariant / asr_tokens / asr_stream_sha   chunk batch 1 vs 3
+      roundtrip_pin_wer_pct   Kokoro TTS -> ASR round trip (random weights)
+      vad_prob_sha            synthetic corpus probability checksum
+
+    With --baseline, numeric fields compare within tolerances and string
     fields exactly; nonzero exit on drift.
     """
     import hashlib
@@ -575,6 +579,32 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
 
     out: dict[str, object] = {"backend": _jax_backend(), "jax": _jax.__version__}
     rng = np.random.RandomState(0)
+
+    # --- tier 1: REAL quality gates on the committed trained fixtures ------
+    from fluidaudio_tpu.train import fixtures as fx
+
+    gate_failures: list[str] = []
+    if fx.fixtures_available():
+        asr_scores = fx.eval_asr_fixture(n_words=(5, 40))
+        out["trained_asr_wer_pct"] = round(asr_scores["wer_avg"] * 100, 2)
+        vad_f1 = fx.eval_vad_fixture()
+        out["trained_vad_f1_pct"] = round(vad_f1 * 100, 1)
+        der = fx.eval_sortformer_fixture()
+        out["trained_diar_der_pct"] = round(der * 100, 2)
+        if asr_scores["wer_avg"] > fx.ASR_WER_GATE:
+            gate_failures.append(
+                f"trained ASR WER {out['trained_asr_wer_pct']}% > "
+                f"{fx.ASR_WER_GATE * 100}%")
+        if vad_f1 < fx.VAD_F1_GATE:
+            gate_failures.append(
+                f"trained VAD F1 {out['trained_vad_f1_pct']}% < "
+                f"{fx.VAD_F1_GATE * 100}%")
+        if der > fx.DIAR_DER_GATE:
+            gate_failures.append(
+                f"trained diarizer DER {out['trained_diar_der_pct']}% > "
+                f"{fx.DIAR_DER_GATE * 100}%")
+    else:
+        out["trained_fixtures"] = "absent"
 
     def speechish(seconds: float, seed: int) -> np.ndarray:
         r = np.random.RandomState(seed)
@@ -629,9 +659,10 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                        audio_tts.sample_rate, 16000)
         hyp = asr.transcribe(a16).text
         wers.append(wer(normalize_for_scoring(s), normalize_for_scoring(hyp)).rate)
-    out["roundtrip_wer_pct"] = round(100 * sum(wers) / len(wers), 2)
+    # random-weight drift pin, NOT quality (the trained gate above is quality)
+    out["roundtrip_pin_wer_pct"] = round(100 * sum(wers) / len(wers), 2)
 
-    # --- vad ---------------------------------------------------------------
+    # --- vad probability checksum (drift pin) -------------------------------
     from fluidaudio_tpu.vad import VadManager
 
     vad = VadManager()
@@ -644,32 +675,12 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
     out["vad_prob_sha"] = hashlib.sha1(
         json.dumps([round(p, 5) for p in probs]).encode()
     ).hexdigest()[:16]
-    preds = [p >= 0.5 for p in probs]
-    truth = [True] * 4 + [False] * 4
-    out["vad_accuracy_pct"] = round(
-        100 * sum(a == b for a, b in zip(preds, truth)) / len(truth), 1
-    )
-
-    # --- diarizer (sortformer offline on a 2-speaker synthetic mixture) ----
-    from fluidaudio_tpu.diarizer.metrics import compute_der
-    from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
-    from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
-
-    mix = np.zeros(16000 * 60, np.float32)
-    ref_segs = []
-    for k, (s0, s1) in enumerate([(0, 14), (16, 29), (31, 44), (46, 59)]):
-        spk = f"spk{k % 2}"
-        seg = speechish(s1 - s0, seed=300 + k)
-        mix[s0 * 16000 : s0 * 16000 + seg.size] += seg
-        ref_segs.append(TimedSpeakerSegment(speaker_id=spk, start_time=float(s0),
-                                            end_time=float(s1)))
-    diar = SortformerDiarizer()
-    result = diar.process_offline(mix)
-    der = compute_der(ref_segs, result.segments, collar=0.25)
-    out["diar_der_pct"] = round(der.der * 100, 2)
-    out["diar_segments"] = len(result.segments)
 
     print(json.dumps(out))
+
+    if gate_failures:
+        print("guardrail QUALITY GATE FAILED: " + "; ".join(gate_failures))
+        return 1
 
     if args.baseline:
         base = json.loads(Path(args.baseline).read_text())
@@ -683,8 +694,11 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
             print(f"guardrail: baseline jax {base.get('jax')} != {out['jax']};"
                   " comparing tolerance-gated fields only")
             base = {k: v for k, v in base.items() if not k.endswith("_sha")}
-        tol = {"roundtrip_wer_pct": 5.0, "vad_accuracy_pct": 0.01,
-               "diar_der_pct": 5.0, "asr_tokens": 0, "diar_segments": 2}
+        tol = {"roundtrip_pin_wer_pct": 5.0, "asr_tokens": 0,
+               # trained-fixture numbers must hold their gates, but small
+               # cross-toolchain float drift inside the gate is fine
+               "trained_asr_wer_pct": 2.0, "trained_vad_f1_pct": 5.0,
+               "trained_diar_der_pct": 3.0}
         failures = []
         for key, want in base.items():
             got = out.get(key)
@@ -826,6 +840,17 @@ def register(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--synthetic-seconds", type=float, default=8.0)
     p.set_defaults(fn=cmd_emission_delay_benchmark)
 
+    p = sub.add_parser(
+        "streaming-latency-benchmark",
+        help="device-side single-stream per-chunk latency (lax.scan probe, "
+             "tunnel-free) + dispatch-bound p50/p95",
+    )
+    p.add_argument("--tiers", help="comma-separated chunk tiers (default all)")
+    p.add_argument("--chunks", type=int, default=64,
+                   help="chunks rolled into one scan program")
+    p.add_argument("--iters", type=int, default=3)
+    p.set_defaults(fn=cmd_streaming_latency_benchmark)
+
 
 def cmd_emission_delay_benchmark(args: argparse.Namespace) -> int:
     """Streaming emission-delay benchmark (reference EmissionDelayBenchmark):
@@ -876,4 +901,91 @@ def cmd_emission_delay_benchmark(args: argparse.Namespace) -> int:
         "final_text_len": len(final.text),
     }
     print(json.dumps(summary))
+    return 0
+
+
+def cmd_streaming_latency_benchmark(args: argparse.Namespace) -> int:
+    """Device-side single-stream streaming latency probe (tunnel-free).
+
+    The per-chunk wall time through this container's relay is transfer-bound
+    (~200 ms RTT), so timing `manager.process` measures the tunnel, not the
+    model. This probe instead rolls N chunk steps into ONE `lax.scan` program
+    (identical math: conformer caches + TDT decode state carried across
+    chunks) and divides device wall time by N — the honest per-chunk compute
+    latency the chip would show locally. The single-dispatch p50/p95 is also
+    reported, labeled as the tunnel-bound upper bound.
+
+    Reference comparison: BASELINE.md "ASR — streaming" per-chunk latencies.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fluidaudio_tpu.asr.streaming_eou import (
+        CHUNK_TIERS_MS,
+        MEL_HOP,
+        MEL_WIN,
+        StreamingEouAsrManager,
+    )
+
+    tiers = [int(t) for t in args.tiers.split(",")] if args.tiers else list(CHUNK_TIERS_MS)
+    n = args.chunks
+    out: dict[str, object] = {"backend": jax.default_backend(), "chunks": n}
+
+    for tier in tiers:
+        mgr = StreamingEouAsrManager(chunk_ms=tier)
+        need = mgr.chunk_samples + MEL_WIN - MEL_HOP
+        rs = np.random.RandomState(0)
+        t_ax = np.arange(need) / 16000.0
+        am = 0.5 * (1 + np.sin(2 * np.pi * 4.0 * t_ax))
+        windows = jnp.asarray(
+            (rs.randn(n, 1, need) * 0.1 * am).astype(np.float32)
+        )
+
+        def step(carry, window, _mgr=mgr):
+            caches, dec, last = carry
+            result, new_caches = _mgr._chunk_step(
+                _mgr.params, window, last, caches, dec
+            )
+            dec2 = result.state._replace(
+                time_jump=jnp.zeros_like(result.state.time_jump)
+            )
+            last2 = window[:, _mgr.chunk_samples - 1]
+            return (new_caches, dec2, last2), result.counts
+
+        @jax.jit
+        def scan_fn(params, windows, carry, _step=step):
+            final, counts = jax.lax.scan(_step, carry, windows)
+            return counts
+
+        state = mgr.make_state()
+        carry0 = (state.caches, state.dec_state, jnp.zeros((1,), jnp.float32))
+        counts = scan_fn(mgr.params, windows, carry0)
+        jax.block_until_ready(counts)  # compile + warmup
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            counts = scan_fn(mgr.params, windows, carry0)
+            jax.block_until_ready(counts)
+            best = min(best, time.perf_counter() - t0)
+        per_chunk_ms = best / n * 1000
+
+        # tunnel-bound single-dispatch distribution for honest comparison
+        singles = []
+        st = mgr.make_state()
+        for i in range(min(n, 16)):
+            t0 = time.perf_counter()
+            mgr.process(np.asarray(windows[i, 0, : mgr.chunk_samples]), st)
+            singles.append((time.perf_counter() - t0) * 1000)
+        out[f"eou_{tier}ms"] = {
+            "device_per_chunk_ms": round(per_chunk_ms, 3),
+            "rt_budget_ms": tier,
+            "rt_headroom_x": round(tier / per_chunk_ms, 1),
+            "dispatch_p50_ms": round(float(np.percentile(singles, 50)), 1),
+            "dispatch_p95_ms": round(float(np.percentile(singles, 95)), 1),
+            "tokens_emitted": int(np.asarray(counts).sum()),
+        }
+
+    print(json.dumps(out))
     return 0

@@ -1,0 +1,120 @@
+"""Trained-tiny-fixture evaluation: the egress-free functional proof.
+
+The reference proves its value with measured quality tables on real
+checkpoints (`/root/reference/Documentation/Benchmarks.md:44-52` WER 2.5%,
+`:570-591` DER 10.6%). Real weights are egress-gated in this environment, so
+the committed fixtures (`fluidaudio_tpu/assets/trained_tiny/`, produced by
+`scripts/train_tiny_fixtures.py` with the in-repo TDT loss on the
+deterministic corpora in `train/tiny_corpus.py`) carry the functional proof
+instead: tiny models that demonstrably transcribe / detect speech / diarize
+through the FULL public manager paths — chunked windows, overlap merge,
+hysteresis, stitching and all.
+
+These evaluators are shared by the `synthetic-guardrail` CLI battery (real
+quality gates, reference `offline-pipeline.yml` CI analog) and
+`tests/test_trained_fixtures.py`. All corpora are seeded: scores reproduce
+bit-identically per backend.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from fluidaudio_tpu.train import tiny_corpus as tc
+
+#: quality gates the committed fixtures must clear (guardrail + tests)
+ASR_WER_GATE = 0.02  # trained tiny TDT decodes its language at ~0 WER
+VAD_F1_GATE = 0.90
+DIAR_DER_GATE = 0.05
+
+
+def trained_assets_dir() -> Path:
+    return Path(__file__).resolve().parent.parent / "assets" / "trained_tiny"
+
+
+def fixtures_available(*families: str) -> bool:
+    base = trained_assets_dir()
+    need = {
+        "asr": ("asr/encoder.npz", "asr/predictor.npz", "asr/joint.npz",
+                "asr/vocab.json"),
+        "vad": ("vad/silero_vad.npz",),
+        "sortformer": ("sortformer/encoder.npz",),
+    }
+    for fam in families or tuple(need):
+        if not all((base / f).exists() for f in need[fam]):
+            return False
+    return True
+
+
+def eval_asr_fixture(
+    n_words: tuple[int, ...] = (5, 40), seed: int = 12345, batch: int = 2
+) -> dict[str, float]:
+    """WER through the FULL AsrManager.transcribe path (chunked long-form,
+    silence-aligned starts, seam merge) on held-out utterances of the
+    trained 16-tone-word language. Returns per-length + average WER."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.metrics.wer import wer
+    from fluidaudio_tpu.models.zoo import AsrModels
+
+    models = AsrModels.load(
+        "test-tiny", checkpoint_dir=trained_assets_dir() / "asr",
+        allow_random_init=False,
+    )
+    mgr = AsrManager(models, ASRConfig(parallel_chunk_batch=batch))
+    rs = np.random.RandomState(seed)
+    out: dict[str, float] = {}
+    rates = []
+    for n in n_words:
+        ids = rs.randint(0, tc.N_WORDS, size=n)
+        audio = tc.make_utterance(ids, rs)
+        r = wer(tc.transcript_text(ids), mgr.transcribe(audio).text).rate
+        out[f"wer_{n}w"] = r
+        rates.append(r)
+    out["wer_avg"] = float(np.mean(rates))
+    return out
+
+
+def eval_vad_fixture(seed: int = 777, clips: int = 12) -> float:
+    """Clip-level F1 of the trained tiny Silero through VadManager.process
+    on held-out synthetic speech/nonspeech."""
+    from fluidaudio_tpu.vad import VadManager
+
+    mgr = VadManager(checkpoint_dir=trained_assets_dir() / "vad")
+    rs = np.random.RandomState(seed)
+    tp = fp = fn = 0
+    for i in range(clips):
+        speech = i % 2 == 0
+        if speech:
+            clip = tc.speechish(2.0, rs) if i % 4 == 0 else tc.make_utterance(
+                rs.randint(0, tc.N_WORDS, size=4), rs, noise=0.0)
+        else:
+            clip = (rs.randn(32000) * 0.003).astype(np.float32)
+        results = mgr.process(clip)
+        pred = bool(np.mean([r.probability for r in results]) >= 0.5)
+        tp += pred and speech
+        fp += pred and not speech
+        fn += (not pred) and speech
+    return 2 * tp / max(2 * tp + fp + fn, 1)
+
+
+def eval_sortformer_fixture(seed: int = 4242, seconds: float = 60.0) -> float:
+    """DER of the trained tiny Sortformer through the full offline pipeline
+    (windowing, speaker-slot tracking, segment reconstruction) on a held-out
+    2-speaker synthetic mixture."""
+    from fluidaudio_tpu.diarizer.metrics import compute_der
+    from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+    from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
+    from fluidaudio_tpu.models.sortformer import SORTFORMER_TEST
+
+    rs = np.random.RandomState(seed)
+    mix, ref, _ = tc.diarizer_mixture(rs, seconds, overlap_prob=0.0)
+    diar = SortformerDiarizer(
+        SORTFORMER_TEST, checkpoint_dir=trained_assets_dir() / "sortformer"
+    )
+    result = diar.process_offline(mix)
+    refs = [TimedSpeakerSegment(speaker_id=s, start_time=a, end_time=b)
+            for s, a, b in ref]
+    return compute_der(refs, result.segments, collar=0.25).der

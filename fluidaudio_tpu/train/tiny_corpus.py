@@ -177,16 +177,19 @@ def vad_example(
         if rs.rand() < 0.5:  # speech span
             kind = rs.rand()
             if kind < 0.5:
+                # int(span/SR * SR) can round down to span-1: pad back below
                 seg = speechish(span / SR, rs)[:span]
             else:
                 ids = rs.randint(0, N_WORDS, size=max(1, span // int(0.42 * SR)))
                 seg = make_utterance(ids, rs, lead_sec=0.02, noise=0.0)[:span]
-                if seg.size < span:
-                    seg = np.pad(seg, (0, span - seg.size))
+            if seg.size < span:
+                seg = np.pad(seg, (0, span - seg.size))
             audio[pos : pos + span] = seg
-            # only the region that actually carries energy counts as speech
+            # only the region that actually carries energy counts as speech.
+            # NB: mode="same" returns max(len(seg), 256) samples, so a tail
+            # span shorter than the RMS window must be truncated back.
             rms = np.sqrt(np.convolve(seg.astype(np.float64) ** 2,
-                                      np.ones(256) / 256, mode="same"))
+                                      np.ones(256) / 256, mode="same"))[:span]
             speech_mask[pos : pos + span] = rms > 0.01
         else:  # nonspeech span
             level = float(10 ** rs.uniform(-3.3, -2.0))  # 0.0005 .. 0.01

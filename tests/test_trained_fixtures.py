@@ -1,0 +1,110 @@
+"""Functional end-to-end proof on the committed trained tiny fixtures.
+
+The reference's value claim is its measured quality table on real weights
+(`Documentation/Benchmarks.md:44-52,570-591`); these tests are the egress-free
+analog: tiny models trained with the in-repo losses on deterministic corpora
+must transcribe (~0 WER), detect speech (F1), and diarize (DER) through the
+FULL public manager paths. They gate real quality, not determinism — if a
+convention change breaks decode semantics anywhere in the stack (mel, encoder,
+TDT loop, chunk merge, hysteresis, slot tracking), these fail.
+
+Fixtures: `fluidaudio_tpu/assets/trained_tiny/` (scripts/train_tiny_fixtures.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fluidaudio_tpu.train import fixtures as fx
+from fluidaudio_tpu.train import tiny_corpus as tc
+
+pytestmark = pytest.mark.skipif(
+    not fx.fixtures_available(), reason="trained tiny fixtures not committed"
+)
+
+
+class TestTrainedAsr:
+    def test_single_window_and_chunked_wer_zero(self):
+        scores = fx.eval_asr_fixture(n_words=(5, 40), seed=12345)
+        # 5 words = single-window path; 40 words (~17 s) = chunked long-form
+        # path with silence-aligned starts and seam merge
+        assert scores["wer_5w"] <= fx.ASR_WER_GATE, scores
+        assert scores["wer_40w"] <= fx.ASR_WER_GATE, scores
+
+    def test_batch_width_does_not_change_transcript(self):
+        from fluidaudio_tpu.asr.config import ASRConfig
+        from fluidaudio_tpu.asr.manager import AsrManager
+        from fluidaudio_tpu.models.zoo import AsrModels
+
+        models = AsrModels.load(
+            "test-tiny", checkpoint_dir=fx.trained_assets_dir() / "asr",
+            allow_random_init=False,
+        )
+        rs = np.random.RandomState(99)
+        ids = rs.randint(0, tc.N_WORDS, size=30)
+        audio = tc.make_utterance(ids, rs)
+        texts = {
+            AsrManager(models, ASRConfig(parallel_chunk_batch=b)).transcribe(audio).text
+            for b in (1, 3)
+        }
+        assert len(texts) == 1  # worker-pool completion-determinism analog
+        assert texts.pop() == tc.transcript_text(ids)
+
+    def test_token_timings_are_monotone_and_positive_confidence(self):
+        from fluidaudio_tpu.asr.config import ASRConfig
+        from fluidaudio_tpu.asr.manager import AsrManager
+        from fluidaudio_tpu.models.zoo import AsrModels
+
+        models = AsrModels.load(
+            "test-tiny", checkpoint_dir=fx.trained_assets_dir() / "asr",
+            allow_random_init=False,
+        )
+        rs = np.random.RandomState(5)
+        ids = rs.randint(0, tc.N_WORDS, size=8)
+        result = AsrManager(models, ASRConfig()).transcribe(
+            tc.make_utterance(ids, rs))
+        times = [t.start_time for t in result.token_timings]
+        assert times == sorted(times)
+        assert all(t.confidence > 0 for t in result.token_timings)
+        assert result.confidence > 0.5  # trained model is confident
+
+
+class TestTrainedVad:
+    def test_clip_f1_above_gate(self):
+        assert fx.eval_vad_fixture(seed=777) >= fx.VAD_F1_GATE
+
+    def test_segmentation_finds_speech_spans(self):
+        from fluidaudio_tpu.vad import VadManager, VadSegmentationConfig
+
+        mgr = VadManager(checkpoint_dir=fx.trained_assets_dir() / "vad")
+        rs = np.random.RandomState(31)
+        # 2 s speech, 2 s silence, 2 s speech
+        speech1 = tc.speechish(2.0, rs)
+        speech2 = tc.make_utterance(rs.randint(0, tc.N_WORDS, size=4), rs,
+                                    noise=0.0)[:32000]
+        silence = (rs.randn(32000) * 0.002).astype(np.float32)
+        audio = np.concatenate([speech1, silence,
+                                np.pad(speech2, (0, max(0, 32000 - speech2.size)))])
+        segs = mgr.segment_speech(audio, VadSegmentationConfig())
+        assert len(segs) >= 2
+        # the silence gap must not be inside one merged segment
+        assert any(s.end_time <= 2.5 for s in segs)
+        assert any(s.start_time >= 3.5 for s in segs)
+
+
+class TestTrainedSortformer:
+    def test_offline_der_below_gate(self):
+        assert fx.eval_sortformer_fixture(seed=4242) <= fx.DIAR_DER_GATE
+
+    def test_speaker_count_is_two(self):
+        from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+        from fluidaudio_tpu.models.sortformer import SORTFORMER_TEST
+
+        rs = np.random.RandomState(777)
+        mix, ref, _ = tc.diarizer_mixture(rs, 45.0)
+        diar = SortformerDiarizer(
+            SORTFORMER_TEST, checkpoint_dir=fx.trained_assets_dir() / "sortformer"
+        )
+        result = diar.process_offline(mix)
+        assert result.speaker_count == 2
