@@ -71,6 +71,37 @@ class AsrManager:
         # per-session progress stream for long transcriptions (reference
         # ProgressEmitter wiring, AsrManager.swift:101-107)
         self.progress = ProgressEmitter()
+        # multichip serving: long-form window batches shard over this mesh's
+        # 'data' axis (SURVEY §2.10: the reference's worker pool of cloned
+        # managers, ChunkProcessor.swift:397-632, becomes a sharded batch
+        # dimension — XLA partitions one program over the chips)
+        self._mesh = None
+        self._sharded_params = None
+
+    def set_mesh(self, mesh) -> None:
+        """Enable (or with None disable) mesh-sharded long-form decoding.
+
+        Each window group is device_put with the batch row sharded over the
+        mesh's 'data' axis and params replicated; the SAME jitted pipeline
+        then runs SPMD across chips and the merge is bit-identical to the
+        single-device path (guarded by tests/test_multichip.py).
+        """
+        if mesh is None:
+            self._mesh = None
+            self._sharded_params = None
+            return
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = mesh.shape["data"]
+        if self.config.parallel_chunk_batch % n_data:
+            raise ValueError(
+                f"parallel_chunk_batch={self.config.parallel_chunk_batch} "
+                f"must be a multiple of the mesh data axis ({n_data})"
+            )
+        self._mesh = mesh
+        self._sharded_params = jax.device_put(
+            self.models.params, NamedSharding(mesh, PartitionSpec())
+        )
 
     # ------------------------------------------------------------- pipeline
 
@@ -231,12 +262,14 @@ class AsrManager:
             if decoder_state is not None:
                 # parallel chunked windows have no sequential carry to thread
                 # the state through (reference `decoderState:` applies to the
-                # single-window path); silently dropping it would corrupt a
-                # caller's cross-call continuity assumption
-                logger.warning(
-                    "decoder_state is not carried through the chunked "
-                    "long-form path (>%d samples); state continuity resets",
-                    ASRConstants.MAX_MODEL_SAMPLES,
+                # single-window path). The reference never accepts-then-resets
+                # a carry; doing so silently would corrupt a caller's
+                # cross-call continuity assumption, so refuse loudly.
+                raise ValueError(
+                    "decoder_state cannot be carried through the chunked "
+                    f"long-form path (>{ASRConstants.MAX_MODEL_SAMPLES} "
+                    "samples): windows decode in parallel with no sequential "
+                    "carry. Split the audio yourself or drop decoder_state."
                 )
             tokens, final_state = self._transcribe_chunked(source, language, finalize)
 
@@ -311,8 +344,19 @@ class AsrManager:
                 audio[r, : w.read_count] = _copy_raw(source, w.read_start, w.read_count)
                 lengths[r] = w.read_count
                 fin_row[r] = w.is_last and finalize  # last window runs the flush
-            result, _ = fn(self.models.params, jnp.asarray(audio),
-                           jnp.asarray(lengths), jnp.asarray(fin_row))
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                row = NamedSharding(self._mesh, P("data"))
+                result, _ = fn(
+                    self._sharded_params,
+                    jax.device_put(audio, NamedSharding(self._mesh, P("data", None))),
+                    jax.device_put(lengths, row),
+                    jax.device_put(fin_row, row),
+                )
+            else:
+                result, _ = fn(self.models.params, jnp.asarray(audio),
+                               jnp.asarray(lengths), jnp.asarray(fin_row))
             for r, w in enumerate(group):
                 window_tokens = self._extract_tokens(result, row=r, frame_offset=w.frame_offset)
                 merged = cp.merge_chunks(

@@ -147,3 +147,21 @@ def test_parallel_chunk_batch_clamps_to_at_least_one():
     assert ASRConfig(parallel_chunk_batch=0).parallel_chunk_batch == 1
     assert ASRConfig(parallel_chunk_batch=-3).parallel_chunk_batch == 1
     assert ASRConfig(parallel_chunk_batch=6).parallel_chunk_batch == 6
+
+
+def test_chunked_path_rejects_decoder_state():
+    """The chunked long-form path has no sequential carry; passing a
+    decoder_state must raise (never accept-then-reset silently)."""
+    import numpy as np
+    import pytest
+
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.constants import ASRConstants
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.zoo import AsrModels
+
+    mgr = AsrManager(AsrModels.load("test-tiny", allow_random_init=True),
+                     ASRConfig())
+    long_audio = np.zeros(ASRConstants.MAX_MODEL_SAMPLES + 16000, np.float32)
+    with pytest.raises(ValueError, match="decoder_state"):
+        mgr.transcribe(long_audio, decoder_state=object())

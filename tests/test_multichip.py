@@ -55,3 +55,54 @@ def test_dryrun_multichip_entrypoint():
     )
     assert r.returncode == 0, f"dryrun failed:\n{r.stderr[-2000:]}"
     assert "OK" in r.stdout, r.stdout
+
+
+def test_manager_sharded_long_file_matches_single_device():
+    """One long file's windows sharded over the mesh 'data' axis must merge
+    to a transcript IDENTICAL to the single-device path (SURVEY §2.10: the
+    reference's worker pool -> batch axis mapping, proven at the MANAGER
+    level, chunk merge and all). Uses the trained tiny fixture so the
+    transcript is real decoded language, not noise."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.zoo import AsrModels
+    from fluidaudio_tpu.parallel.mesh import make_mesh
+    from fluidaudio_tpu.train import fixtures as fx
+    from fluidaudio_tpu.train import tiny_corpus as tc
+
+    if not fx.fixtures_available("asr"):
+        pytest.skip("trained ASR fixture not committed")
+
+    models = AsrModels.load(
+        "test-tiny", checkpoint_dir=fx.trained_assets_dir() / "asr",
+        allow_random_init=False,
+    )
+    rs = np.random.RandomState(2024)
+    ids = rs.randint(0, tc.N_WORDS, size=60)  # ~26 s -> several 15 s windows
+    audio = tc.make_utterance(ids, rs)
+
+    # single-device reference transcript (batch 4, same grouping math)
+    single = AsrManager(models, ASRConfig(parallel_chunk_batch=4))
+    ref = single.transcribe(audio)
+
+    sharded = AsrManager(models, ASRConfig(parallel_chunk_batch=4))
+    sharded.set_mesh(make_mesh(8, data=4, model=2))
+    got = sharded.transcribe(audio)
+
+    assert got.text == ref.text
+    assert got.text == tc.transcript_text(ids)  # and it's the real labels
+    assert [t.token_id for t in got.token_timings] == [
+        t.token_id for t in ref.token_timings
+    ]
+
+
+def test_manager_set_mesh_validates_batch_divisibility():
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.zoo import AsrModels
+    from fluidaudio_tpu.parallel.mesh import make_mesh
+
+    models = AsrModels.load("test-tiny", allow_random_init=True)
+    mgr = AsrManager(models, ASRConfig(parallel_chunk_batch=3))
+    with pytest.raises(ValueError, match="multiple of the mesh data axis"):
+        mgr.set_mesh(make_mesh(8, data=4, model=2))
