@@ -943,20 +943,23 @@ def cmd_streaming_latency_benchmark(args: argparse.Namespace) -> int:
             (rs.randn(n, 1, need) * 0.1 * am).astype(np.float32)
         )
 
-        def step(carry, window, _mgr=mgr):
-            caches, dec, last = carry
-            result, new_caches = _mgr._chunk_step(
-                _mgr.params, window, last, caches, dec
-            )
-            dec2 = result.state._replace(
-                time_jump=jnp.zeros_like(result.state.time_jump)
-            )
-            last2 = window[:, _mgr.chunk_samples - 1]
-            return (new_caches, dec2, last2), result.counts
-
         @jax.jit
-        def scan_fn(params, windows, carry, _step=step):
-            final, counts = jax.lax.scan(_step, carry, windows)
+        def scan_fn(params, windows, carry, _mgr=mgr):
+            # params MUST flow in as an operand: closing over mgr.params
+            # would inline the whole checkpoint as HLO constants (and blow
+            # the remote-compile relay's request-size limit)
+            def step(c, window):
+                caches, dec, last = c
+                result, new_caches = _mgr._chunk_step(
+                    params, window, last, caches, dec
+                )
+                dec2 = result.state._replace(
+                    time_jump=jnp.zeros_like(result.state.time_jump)
+                )
+                last2 = window[:, _mgr.chunk_samples - 1]
+                return (new_caches, dec2, last2), result.counts
+
+            final, counts = jax.lax.scan(step, carry, windows)
             return counts
 
         state = mgr.make_state()

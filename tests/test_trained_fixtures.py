@@ -108,3 +108,52 @@ class TestTrainedSortformer:
         )
         result = diar.process_offline(mix)
         assert result.speaker_count == 2
+
+
+class TestTrainedUnified:
+    """Unified batch/streaming facades driven by the trained TDT fixture —
+    the reference's parakeet-unified family proven functionally, not just
+    structurally (UnifiedAsrManagerTests / StreamingUnifiedAsrManagerTests)."""
+
+    def _models(self):
+        from fluidaudio_tpu.models.zoo import AsrModels
+
+        return AsrModels.load(
+            "test-tiny", checkpoint_dir=fx.trained_assets_dir() / "asr",
+            allow_random_init=False,
+        )
+
+    def test_batch_facade_decodes_labels(self):
+        from fluidaudio_tpu.asr.unified import UnifiedAsrManager
+
+        rs = np.random.RandomState(71)
+        ids = rs.randint(0, tc.N_WORDS, size=12)
+        result = UnifiedAsrManager(models=self._models()).transcribe(
+            tc.make_utterance(ids, rs))
+        assert result.text == tc.transcript_text(ids)
+
+    def test_streaming_facade_recovers_labels(self):
+        from fluidaudio_tpu.asr.unified import (
+            StreamingUnifiedAsrManager,
+            UnifiedStreamingConfig,
+        )
+        from fluidaudio_tpu.metrics.wer import wer
+
+        rs = np.random.RandomState(72)
+        ids = rs.randint(0, tc.N_WORDS, size=20)  # ~8.5 s
+        audio = tc.make_utterance(ids, rs)
+        mgr = StreamingUnifiedAsrManager(
+            models=self._models(),
+            config=UnifiedStreamingConfig(chunk_seconds=2.0),
+        )
+        session = mgr.make_session()
+        feed = 16000  # 1 s pushes
+        for off in range(0, audio.size, feed):
+            mgr.feed(audio[off : off + feed], session)
+        final = mgr.finish(session)
+        assert final.is_final and not final.volatile_text
+        # seam-confirmation in the sliding window may fuse a boundary word;
+        # the trained decode must still be essentially exact
+        assert wer(tc.transcript_text(ids), final.confirmed_text).rate <= 0.10
+        timings = mgr.consume_token_timings(session)
+        assert timings, "confirmed token timings must drain"
