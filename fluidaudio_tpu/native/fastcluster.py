@@ -38,7 +38,32 @@ def centroid_linkage(points: np.ndarray) -> np.ndarray:
         return np.zeros((0, 4), np.float64)
 
     lib = load_native()
+    if lib is not None and hasattr(lib, "fastcluster_centroid_linkage_lw"):
+        # fast path: one BLAS gemm builds the squared-distance matrix, then
+        # Lance-Williams centroid merges run O(n) each (native/fastcluster.h)
+        # — hour-scale diarization (n in the thousands) clusters in O(n^2)
+        sq = np.einsum("ij,ij->i", pts, pts)
+        sqdist = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
+        np.maximum(sqdist, 0.0, out=sqdist)
+        sqdist = np.ascontiguousarray(sqdist, np.float64)
+        fn = lib.fastcluster_centroid_linkage_lw
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        out = np.zeros(((n - 1), 4), np.float64)
+        rc = fn(
+            sqdist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc != 0:
+            raise FastClusterError(f"fastcluster: {_ERRORS.get(rc, rc)}")
+        return out
     if lib is not None:
+        # stale .so without the LW symbol: original point-based path
         fn = lib.fastcluster_compute_centroid_linkage
         fn.restype = ctypes.c_int
         fn.argtypes = [

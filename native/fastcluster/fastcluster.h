@@ -31,6 +31,18 @@ typedef enum {
 fc_error fastcluster_compute_centroid_linkage(
     const double* points, long n, long d, double* dendrogram_out);
 
+/* Same output, but from a precomputed SQUARED euclidean distance matrix
+ * (n x n row-major f64, modified in place). Centroid merges use the
+ * Lance-Williams recurrence — O(n) per merge instead of O(n*d) — so the
+ * caller can build the initial matrix with one BLAS gemm and hour-scale
+ * diarization (n in the thousands) clusters in O(n^2) total:
+ *   d2(a+b, j) = (na*d2(a,j) + nb*d2(b,j))/(na+nb)
+ *              - na*nb*d2(a,b)/(na+nb)^2
+ * Identical mathematics to explicit centroid recomputation (and to SciPy's
+ * own centroid implementation). */
+fc_error fastcluster_centroid_linkage_lw(
+    double* sqdist, long n, double* dendrogram_out);
+
 /* Cut a dendrogram at `threshold` (inclusive): flat cluster label per point,
  * labels 0..k-1 in order of first appearance. Returns k or negative error. */
 long fastcluster_cut_tree(
