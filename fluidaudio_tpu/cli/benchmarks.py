@@ -606,6 +606,22 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
     else:
         out["trained_fixtures"] = "absent"
 
+    # per-architecture ASR families (SANM+CTC / CIF / attention enc-dec):
+    # gated only when their fixtures are committed
+    for fam, evaluator in (
+        ("sensevoice", fx.eval_sensevoice_fixture),
+        ("paraformer", fx.eval_paraformer_fixture),
+        ("cohere", fx.eval_cohere_fixture),
+    ):
+        if not fx.fixtures_available(fam):
+            continue
+        w = evaluator(n_utts=3)
+        out[f"trained_{fam}_wer_pct"] = round(w * 100, 2)
+        if w > fx.ASR_WER_GATE:
+            gate_failures.append(
+                f"trained {fam} WER {out[f'trained_{fam}_wer_pct']}% > "
+                f"{fx.ASR_WER_GATE * 100}%")
+
     def speechish(seconds: float, seed: int) -> np.ndarray:
         r = np.random.RandomState(seed)
         t = np.arange(int(seconds * 16000)) / 16000.0
@@ -698,7 +714,8 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                # trained-fixture numbers must hold their gates, but small
                # cross-toolchain float drift inside the gate is fine
                "trained_asr_wer_pct": 2.0, "trained_vad_f1_pct": 5.0,
-               "trained_diar_der_pct": 3.0}
+               "trained_diar_der_pct": 3.0, "trained_sensevoice_wer_pct": 2.0,
+               "trained_paraformer_wer_pct": 2.0, "trained_cohere_wer_pct": 2.0}
         failures = []
         for key, want in base.items():
             got = out.get(key)

@@ -167,7 +167,7 @@ class Paraformer(nn.Module):
     cfg: ParaformerConfig = PARAFORMER_LARGE
 
     @nn.compact
-    def __call__(self, lfr, lengths):
+    def __call__(self, lfr, lengths, target_lengths=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
         B, T, F_in = lfr.shape
@@ -183,7 +183,31 @@ class Paraformer(nn.Module):
         enc = nn.LayerNorm(dtype=dt, name="enc_ln")(x)
 
         alphas = CifPredictor(cfg, name="cif")(enc, pad_mask)
-        emb, counts = cif_integrate(enc, alphas, cfg.max_tokens, cfg.cif_threshold)
+        alpha_sum = alphas.sum(axis=1)  # [B] differentiable fire count
+        if target_lengths is not None:
+            # training-time CIF length scaling (FunASR cif_predictor: alphas
+            # rescaled so the fire count equals the label length, keeping
+            # decoder positions aligned while the quantity loss pulls
+            # alpha_sum toward target_lengths)
+            scale = target_lengths.astype(alphas.dtype) / jnp.maximum(
+                alpha_sum, 1e-6
+            )
+            alphas = alphas * scale[:, None]
+            emb, counts = cif_integrate(enc, alphas, cfg.max_tokens,
+                                        cfg.cif_threshold)
+        else:
+            # inference: FunASR tail_threshold=0.45 — a virtual tail frame
+            # (zero hidden) flushes the integration residual, so a residual
+            # > threshold - 0.45 still fires its token instead of being
+            # floored away (funasr cif_predictor.py tail handling; without
+            # this, a model whose alphas sum to ~n drops the last token
+            # whenever the sum lands at n - eps)
+            B_ = alphas.shape[0]
+            tail = jnp.full((B_, 1), 0.45, alphas.dtype)
+            alphas_t = jnp.concatenate([alphas, tail], axis=1)
+            enc_t = jnp.concatenate([enc, jnp.zeros_like(enc[:, :1])], axis=1)
+            emb, counts = cif_integrate(enc_t, alphas_t, cfg.max_tokens,
+                                        cfg.cif_threshold)
 
         tok_mask = jnp.arange(cfg.max_tokens)[None, :] < counts[:, None]
         cross_mask = tok_mask[:, None, :, None] & pad_mask[:, None, None, :]
@@ -196,4 +220,7 @@ class Paraformer(nn.Module):
         y = _DecoderFfn(cfg, name="dec3_ffn")(h)
         y = nn.LayerNorm(dtype=dt, name="dec_ln")(y)
         logits = nn.Dense(cfg.vocab_size, dtype=dt, name="head")(y)
+        if target_lengths is not None:
+            # training mode: expose the raw fire count for the quantity loss
+            return logits.astype(jnp.float32), counts, alpha_sum
         return logits.astype(jnp.float32), counts

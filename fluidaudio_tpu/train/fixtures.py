@@ -34,18 +34,65 @@ def trained_assets_dir() -> Path:
     return Path(__file__).resolve().parent.parent / "assets" / "trained_tiny"
 
 
+_CORE_FAMILIES = ("asr", "vad", "sortformer")
+
+_FIXTURE_FILES = {
+    "asr": ("asr/encoder.npz", "asr/predictor.npz", "asr/joint.npz",
+            "asr/vocab.json"),
+    "vad": ("vad/silero_vad.npz",),
+    "sortformer": ("sortformer/encoder.npz",),
+    "sensevoice": ("sensevoice/encoder.npz", "sensevoice/vocab.json"),
+    "paraformer": ("paraformer/model.npz", "paraformer/vocab.json"),
+    "cohere": ("cohere/encoder.npz", "cohere/decoder.npz", "cohere/vocab.json"),
+}
+
+
 def fixtures_available(*families: str) -> bool:
+    """No args = the three core families (ASR/VAD/sortformer)."""
     base = trained_assets_dir()
-    need = {
-        "asr": ("asr/encoder.npz", "asr/predictor.npz", "asr/joint.npz",
-                "asr/vocab.json"),
-        "vad": ("vad/silero_vad.npz",),
-        "sortformer": ("sortformer/encoder.npz",),
-    }
-    for fam in families or tuple(need):
-        if not all((base / f).exists() for f in need[fam]):
+    for fam in families or _CORE_FAMILIES:
+        if not all((base / f).exists() for f in _FIXTURE_FILES[fam]):
             return False
     return True
+
+
+# ------------------------------------------------------------------------
+# Tiny per-family fixture conventions (shared by the training script, the
+# guardrail, and tests — one source of truth for token-id maps and configs).
+# ------------------------------------------------------------------------
+
+#: SenseVoice: CTC blank is id 0 (FunASR convention), words at 1..16
+SENSEVOICE_WORD_OFFSET = 1
+#: Paraformer: id 0 reserved as pad, words at 1..16
+PARAFORMER_WORD_OFFSET = 1
+#: Cohere: ids 0-4 are special (pad 2, eos 3, bos 4), words at 5..20
+COHERE_WORD_OFFSET = 5
+
+
+def cohere_tiny_config():
+    """COHERE_TEST widened to a usable audio window (5.12 s) so multi-word
+    utterances fit, and to 32 mel bins — 16 bins over 0-8 kHz cannot separate
+    the two lowest tone words (240 vs 290 Hz land in one bin). Everything
+    else stays test-tiny."""
+    from dataclasses import replace
+
+    from fluidaudio_tpu.models.cohere_asr import COHERE_TEST
+
+    return replace(COHERE_TEST, max_audio_frames=512, max_decode_tokens=16,
+                   n_mels=32)
+
+
+def write_family_vocab(path: Path, offset: int, specials: dict[int, str]) -> None:
+    """id -> piece JSON: 16 tone words at `offset`, named specials, fillers."""
+    import json
+
+    vocab = dict(specials)
+    for i in range(tc.N_WORDS):
+        vocab[offset + i] = "▁" + tc.word_text(i)
+    for i in range(64):
+        vocab.setdefault(i, f"▁unused{i}")
+    path.write_text(json.dumps({str(k): v for k, v in sorted(vocab.items())},
+                               ensure_ascii=False))
 
 
 def eval_asr_fixture(
@@ -118,3 +165,59 @@ def eval_sortformer_fixture(seed: int = 4242, seconds: float = 60.0) -> float:
     refs = [TimedSpeakerSegment(speaker_id=s, start_time=a, end_time=b)
             for s, a, b in ref]
     return compute_der(refs, result.segments, collar=0.25).der
+
+
+def eval_sensevoice_fixture(seed: int = 321, n_utts: int = 6) -> float:
+    """WER through SenseVoiceManager.transcribe (mel -> LFR -> SANM -> CTC
+    greedy, bucketed shapes, tag stripping) on held-out utterances."""
+    from fluidaudio_tpu.asr.sensevoice_manager import SenseVoiceManager
+    from fluidaudio_tpu.metrics.wer import wer
+    from fluidaudio_tpu.models.sensevoice import SENSEVOICE_TEST
+
+    mgr = SenseVoiceManager(SENSEVOICE_TEST,
+                            checkpoint_dir=trained_assets_dir() / "sensevoice")
+    rs = np.random.RandomState(seed)
+    rates = []
+    for _ in range(n_utts):
+        ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 9)))
+        audio = tc.make_utterance(ids, rs)
+        hyp = mgr.transcribe(audio).text
+        rates.append(wer(tc.transcript_text(ids), hyp).rate)
+    return float(np.mean(rates))
+
+
+def eval_paraformer_fixture(seed: int = 654, n_utts: int = 6) -> float:
+    """WER through ParaformerManager.transcribe (LFR -> SANM -> CIF ->
+    parallel decoder) on held-out utterances."""
+    from fluidaudio_tpu.asr.paraformer_manager import ParaformerManager
+    from fluidaudio_tpu.metrics.wer import wer
+    from fluidaudio_tpu.models.paraformer import PARAFORMER_TEST
+
+    mgr = ParaformerManager(PARAFORMER_TEST,
+                            checkpoint_dir=trained_assets_dir() / "paraformer")
+    rs = np.random.RandomState(seed)
+    rates = []
+    for _ in range(n_utts):
+        ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 9)))
+        audio = tc.make_utterance(ids, rs)
+        hyp = mgr.transcribe(audio).text
+        rates.append(wer(tc.transcript_text(ids), hyp).rate)
+    return float(np.mean(rates))
+
+
+def eval_cohere_fixture(seed: int = 987, n_utts: int = 6) -> float:
+    """WER through CoherePipeline.transcribe (conformer encoder -> KV-cache
+    AR decode with repetition penalty) on held-out utterances."""
+    from fluidaudio_tpu.asr.cohere_manager import CoherePipeline
+    from fluidaudio_tpu.metrics.wer import wer
+
+    mgr = CoherePipeline(cohere_tiny_config(),
+                         checkpoint_dir=trained_assets_dir() / "cohere")
+    rs = np.random.RandomState(seed)
+    rates = []
+    for _ in range(n_utts):
+        ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 8)))
+        audio = tc.make_utterance(ids, rs)
+        hyp = mgr.transcribe(audio).text
+        rates.append(wer(tc.transcript_text(ids), hyp).rate)
+    return float(np.mean(rates))

@@ -157,3 +157,84 @@ class TestTrainedUnified:
         assert wer(tc.transcript_text(ids), final.confirmed_text).rate <= 0.10
         timings = mgr.consume_token_timings(session)
         assert timings, "confirmed token timings must drain"
+
+
+class TestTrainedSenseVoice:
+    """Non-autoregressive SANM+CTC family proven functional through
+    SenseVoiceManager.transcribe (reference SenseVoiceTests strategy, but
+    with real decode quality instead of random-weight smoke)."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("sensevoice"),
+        reason="trained sensevoice fixture not committed",
+    )
+
+    def test_wer_below_gate(self):
+        assert fx.eval_sensevoice_fixture() <= fx.ASR_WER_GATE
+
+    def test_token_timings_cover_audio(self):
+        from fluidaudio_tpu.asr.sensevoice_manager import SenseVoiceManager
+        from fluidaudio_tpu.models.sensevoice import SENSEVOICE_TEST
+
+        mgr = SenseVoiceManager(
+            SENSEVOICE_TEST,
+            checkpoint_dir=fx.trained_assets_dir() / "sensevoice")
+        rs = np.random.RandomState(8)
+        ids = rs.randint(0, tc.N_WORDS, size=5)
+        result = mgr.transcribe(tc.make_utterance(ids, rs))
+        assert len(result.token_timings) == 5
+        starts = [t.start_time for t in result.token_timings]
+        assert starts == sorted(starts)
+        assert starts[-1] < 5.0
+
+
+class TestTrainedParaformer:
+    """CIF integrate-and-fire family proven functional through
+    ParaformerManager.transcribe: the fire count must equal the word count
+    and the parallel decoder must emit the right tokens."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("paraformer"),
+        reason="trained paraformer fixture not committed",
+    )
+
+    def test_wer_below_gate(self):
+        assert fx.eval_paraformer_fixture() <= fx.ASR_WER_GATE
+
+    def test_cif_fire_count_matches_word_count(self):
+        from fluidaudio_tpu.asr.paraformer_manager import ParaformerManager
+        from fluidaudio_tpu.models.paraformer import PARAFORMER_TEST
+
+        mgr = ParaformerManager(
+            PARAFORMER_TEST,
+            checkpoint_dir=fx.trained_assets_dir() / "paraformer")
+        rs = np.random.RandomState(9)
+        for n in (2, 5, 7):
+            ids = rs.randint(0, tc.N_WORDS, size=n)
+            result = mgr.transcribe(tc.make_utterance(ids, rs))
+            assert len(result.text.split()) == n, (n, result.text)
+
+
+class TestTrainedCohere:
+    """Attention enc-dec family proven functional through
+    CoherePipeline.transcribe: KV-cache greedy decode with EOS stop."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("cohere"),
+        reason="trained cohere fixture not committed",
+    )
+
+    def test_wer_below_gate(self):
+        assert fx.eval_cohere_fixture() <= fx.ASR_WER_GATE
+
+    def test_decode_stops_at_eos_not_cap(self):
+        from fluidaudio_tpu.asr.cohere_manager import CoherePipeline
+
+        mgr = CoherePipeline(
+            fx.cohere_tiny_config(),
+            checkpoint_dir=fx.trained_assets_dir() / "cohere")
+        rs = np.random.RandomState(10)
+        ids = rs.randint(0, tc.N_WORDS, size=3)
+        result = mgr.transcribe(tc.make_utterance(ids, rs))
+        # 3 words in, exactly 3 words out: EOS fired, cap (14 words) did not
+        assert result.text == tc.transcript_text(ids)
