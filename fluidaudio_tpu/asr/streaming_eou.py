@@ -57,6 +57,31 @@ EOU_DEBOUNCE_MS = 1280.0
 CHUNK_TIERS_MS = (160, 320, 1280)
 
 
+@dataclass(frozen=True)
+class EouSpec:
+    """Model-size spec for the streaming EOU stack (reference ships one
+    120M checkpoint; the test spec exists for hermetic trained fixtures —
+    the zoo `test-tiny` pattern applied to the streaming family)."""
+
+    enc_cfg: StreamingConformerConfig
+    pred_hidden: int = 640
+    joint_hidden: int = 640
+    eou_token_id: int = EOU_TOKEN_ID
+    blank_id: int = EOU_BLANK_ID  # == predictor vocab_size (blank last)
+
+
+EOU_DEFAULT = EouSpec(EOU_120M)
+EOU_TEST = EouSpec(
+    StreamingConformerConfig(
+        d_model=64, n_layers=2, n_heads=4, subsampling_channels=32,
+        att_context_left=16,
+    ),
+    pred_hidden=64, joint_hidden=64,
+    # tone words 0..15, EOU at 16, blank at 18 (== vocab_size)
+    eou_token_id=16, blank_id=18,
+)
+
+
 def compute_token_timestamps_ms(
     base_frame: int, token_frames: list[int], frame_duration_ms: float = 80.0
 ) -> list[float]:
@@ -95,6 +120,7 @@ class StreamingEouAsrManager:
         self,
         chunk_ms: int = 320,
         *,
+        spec: EouSpec = EOU_DEFAULT,
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
         on_partial: Callable[[EouPartialResult], None] | None = None,
@@ -107,17 +133,19 @@ class StreamingEouAsrManager:
         self.on_partial = on_partial
         self.on_eou = on_eou
 
-        self.enc_cfg: StreamingConformerConfig = EOU_120M
+        self.spec = spec
+        self.enc_cfg: StreamingConformerConfig = spec.enc_cfg
         self.encoder = StreamingConformerEncoder(self.enc_cfg)
         self.pred_cfg = PredictorConfig(
-            vocab_size=EOU_BLANK_ID, pred_hidden=640, n_layers=1,
-            enc_hidden=self.enc_cfg.d_model, joint_hidden=640, n_durations=0,
+            vocab_size=spec.blank_id, pred_hidden=spec.pred_hidden, n_layers=1,
+            enc_hidden=self.enc_cfg.d_model, joint_hidden=spec.joint_hidden,
+            n_durations=0,
         )
         self.predictor = RnntPredictor(self.pred_cfg)
         self.joint = RnntJoint(self.pred_cfg)
         self.dcfg = TdtDecodeConfig(
-            blank_id=EOU_BLANK_ID, durations=(), max_symbols_per_step=10,
-            max_tokens=64, eou_id=EOU_TOKEN_ID,
+            blank_id=spec.blank_id, durations=(), max_symbols_per_step=10,
+            max_tokens=64, eou_id=spec.eou_token_id,
         )
         self.mel = MelFrontend(MelConfig(center=False, normalize=None))
         self._init_params(checkpoint_dir, rng_seed)
@@ -152,7 +180,7 @@ class StreamingEouAsrManager:
         self.tokenizer = (
             Tokenizer.from_json(vocab_file)
             if vocab_file.exists()
-            else Tokenizer(_placeholder_vocab(EOU_TOKEN_ID))
+            else Tokenizer(_placeholder_vocab(self.spec.eou_token_id))
         )
 
     # ------------------------------------------------------------- jitted step

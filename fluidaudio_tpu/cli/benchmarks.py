@@ -559,6 +559,11 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                             16-word language — HARD GATE <= 2%
       trained_vad_f1_pct    trained Silero clip F1 — HARD GATE >= 90%
       trained_diar_der_pct  trained sortformer offline DER — HARD GATE <= 5%
+      trained_{sensevoice,paraformer,cohere,eou}_wer_pct — per-architecture
+                            families, gated <= 2% when their fixture exists
+      trained_eou_detect_pct  EOU flag must fire per utterance (>= 99%)
+      trained_lseend_der_pct  online attractor diarizer — HARD GATE <= 10%
+      trained_offline_der_pct offline seg->emb->PLDA->AHC->VBx — GATE <= 5%
     A gate failure exits nonzero regardless of --baseline: the framework must
     demonstrably transcribe / detect speech / diarize.
 
@@ -621,6 +626,39 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
             gate_failures.append(
                 f"trained {fam} WER {out[f'trained_{fam}_wer_pct']}% > "
                 f"{fx.ASR_WER_GATE * 100}%")
+
+    # streaming EOU family: WER through the chunked cache-carrying path AND
+    # the end-of-utterance flag itself
+    if fx.fixtures_available("eou"):
+        eou_scores = fx.eval_eou_fixture(n_utts=3)
+        out["trained_eou_wer_pct"] = round(eou_scores["wer_avg"] * 100, 2)
+        out["trained_eou_detect_pct"] = round(
+            eou_scores["eou_detect_rate"] * 100, 1)
+        if eou_scores["wer_avg"] > fx.ASR_WER_GATE:
+            gate_failures.append(
+                f"trained eou WER {out['trained_eou_wer_pct']}% > "
+                f"{fx.ASR_WER_GATE * 100}%")
+        if eou_scores["eou_detect_rate"] < 0.99:
+            gate_failures.append(
+                f"trained eou detect {out['trained_eou_detect_pct']}% < 99%")
+
+    # online LS-EEND diarizer
+    if fx.fixtures_available("lseend"):
+        lseend_der = fx.eval_lseend_fixture(seconds=30.0)
+        out["trained_lseend_der_pct"] = round(lseend_der * 100, 2)
+        if lseend_der > fx.LSEEND_DER_GATE:
+            gate_failures.append(
+                f"trained lseend DER {out['trained_lseend_der_pct']}% > "
+                f"{fx.LSEEND_DER_GATE * 100}%")
+
+    # offline multi-stage pipeline (seg -> emb -> PLDA -> AHC -> VBx)
+    if fx.fixtures_available("offline"):
+        off_der = fx.eval_offline_diarizer_fixture(seconds=30.0)
+        out["trained_offline_der_pct"] = round(off_der * 100, 2)
+        if off_der > fx.DIAR_DER_GATE:
+            gate_failures.append(
+                f"trained offline DER {out['trained_offline_der_pct']}% > "
+                f"{fx.DIAR_DER_GATE * 100}%")
 
     def speechish(seconds: float, seed: int) -> np.ndarray:
         r = np.random.RandomState(seed)

@@ -46,11 +46,17 @@ class OfflineDiarizerManager:
         *,
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
+        seg_config=None,
+        emb_config=None,
     ):
+        """`seg_config` / `emb_config` override the model sizes (default:
+        the full pyannote/WeSpeaker shapes the reference ships; the trained
+        tiny fixtures pass reduced configs — zoo `test-tiny` pattern)."""
         self.config = config or OfflineDiarizerConfig()
         self.config.validate()  # fail fast on bad stage params (reference)
-        seg_model = PyannoteSegmentation()
-        embedder = WeSpeakerEmbedder()
+        seg_model = (PyannoteSegmentation(seg_config) if seg_config
+                     else PyannoteSegmentation())
+        embedder = WeSpeakerEmbedder(emb_config) if emb_config else WeSpeakerEmbedder()
         fbank = make_fbank_frontend()
 
         k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))

@@ -28,6 +28,9 @@ from fluidaudio_tpu.train import tiny_corpus as tc
 ASR_WER_GATE = 0.02  # trained tiny TDT decodes its language at ~0 WER
 VAD_F1_GATE = 0.90
 DIAR_DER_GATE = 0.05
+#: online diarizer gate is looser: the 900 ms warmup suppression and 500 ms
+#: step granularity cost a few points even on a perfectly-fit corpus
+LSEEND_DER_GATE = 0.10
 
 
 def trained_assets_dir() -> Path:
@@ -44,6 +47,11 @@ _FIXTURE_FILES = {
     "sensevoice": ("sensevoice/encoder.npz", "sensevoice/vocab.json"),
     "paraformer": ("paraformer/model.npz", "paraformer/vocab.json"),
     "cohere": ("cohere/encoder.npz", "cohere/decoder.npz", "cohere/vocab.json"),
+    "eou": ("eou/encoder.npz", "eou/predictor.npz", "eou/joint.npz",
+            "eou/vocab.json"),
+    "lseend": ("lseend/model.npz",),
+    "offline": ("offline/segmentation.npz", "offline/embedding.npz",
+                "offline/plda_rho.npz"),
 }
 
 
@@ -203,6 +211,98 @@ def eval_paraformer_fixture(seed: int = 654, n_utts: int = 6) -> float:
         hyp = mgr.transcribe(audio).text
         rates.append(wer(tc.transcript_text(ids), hyp).rate)
     return float(np.mean(rates))
+
+
+def eval_eou_fixture(seed: int = 2468, n_utts: int = 6) -> dict[str, float]:
+    """WER + EOU-detection rate through the FULL StreamingEouAsrManager path
+    (chunked feed, mel pre-cache, conformer channel/time caches, incremental
+    RNN-T decode, finish() flush) on held-out utterances at the trained
+    320 ms tier. The EOU token must fire (debounced flag) for each utterance
+    and must NOT leak into the transcript text."""
+    from fluidaudio_tpu.asr.streaming_eou import EOU_TEST, StreamingEouAsrManager
+    from fluidaudio_tpu.metrics.wer import wer
+
+    eou_events: list = []
+    mgr = StreamingEouAsrManager(
+        chunk_ms=320, spec=EOU_TEST,
+        checkpoint_dir=trained_assets_dir() / "eou",
+        on_eou=lambda p: eou_events.append(p),
+    )
+    rs = np.random.RandomState(seed)
+    rates, detected = [], 0
+    # EOU is silence-driven (reference ParakeetEouCommand.swift:22): in a
+    # live stream the mic stays open after the speaker stops, so each
+    # utterance is followed by ~1.3 s of open-mic silence — the trained
+    # detection deadline is ~1 s after utterance end
+    tail = np.zeros(int(1.28 * 16_000), np.float32)
+    for _ in range(n_utts):
+        ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 8)))
+        audio = np.concatenate([tc.make_utterance(ids, rs), tail])
+        state = mgr.make_state()
+        eou_events.clear()
+        mgr.process(audio, state)
+        final = mgr.finish(state)
+        rates.append(wer(tc.transcript_text(ids), final.text).rate)
+        detected += bool(eou_events)
+    return {"wer_avg": float(np.mean(rates)),
+            "eou_detect_rate": detected / n_utts}
+
+
+def offline_tiny_configs():
+    """(SegmentationConfig, WeSpeakerConfig) for the trained offline-diarizer
+    fixture: same topologies as the shipping models (powerset conv+attention
+    segmentation, ResNet+TSTP embedder), reduced widths/depths."""
+    from fluidaudio_tpu.models.pyannote_seg import SegmentationConfig
+    from fluidaudio_tpu.models.wespeaker import WeSpeakerConfig
+
+    seg = SegmentationConfig(conv_channels=(16, 32, 32, 32), d_model=32,
+                             n_attention_layers=1, n_heads=4)
+    emb = WeSpeakerConfig(channels=(8, 16, 32, 32),
+                          blocks_per_stage=(1, 1, 1, 1), embedding_dim=32)
+    return seg, emb
+
+
+def eval_offline_diarizer_fixture(seed: int = 13579,
+                                  seconds: float = 60.0) -> float:
+    """DER through the FULL offline pipeline on trained tiny models:
+    batched powerset segmentation -> masked-stats embeddings -> fitted PLDA
+    -> AHC warm start -> VBx HMM refinement -> segment reconstruction
+    (reference OfflineDiarizerManager.process, Benchmarks.md:570-591)."""
+    from fluidaudio_tpu.diarizer.metrics import compute_der
+    from fluidaudio_tpu.diarizer.offline.manager import OfflineDiarizerManager
+    from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
+
+    seg_cfg, emb_cfg = offline_tiny_configs()
+    mgr = OfflineDiarizerManager(
+        checkpoint_dir=trained_assets_dir() / "offline",
+        seg_config=seg_cfg, emb_config=emb_cfg,
+    )
+    rs = np.random.RandomState(seed)
+    mix, ref, _ = tc.diarizer_mixture(rs, seconds, overlap_prob=0.0)
+    result = mgr.process(mix)
+    refs = [TimedSpeakerSegment(speaker_id=s, start_time=a, end_time=b)
+            for s, a, b in ref]
+    return compute_der(refs, result.segments, collar=0.25).der
+
+
+def eval_lseend_fixture(seed: int = 8642, seconds: float = 60.0) -> float:
+    """DER of the trained tiny LS-EEND through the FULL LSEENDDiarizer.process
+    path (16 kHz resample -> per-step mel+CMN -> recurrent attractor steps ->
+    segment reconstruction) on a held-out 2-speaker mixture. Online model:
+    the 900 ms warmup suppression is part of the measured DER."""
+    from fluidaudio_tpu.diarizer.lseend import LSEENDDiarizer
+    from fluidaudio_tpu.diarizer.metrics import compute_der
+    from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
+    from fluidaudio_tpu.models.lseend import LSEEND_TEST
+
+    rs = np.random.RandomState(seed)
+    mix, ref, _ = tc.diarizer_mixture(rs, seconds, overlap_prob=0.0)
+    diar = LSEENDDiarizer(LSEEND_TEST, step_ms=500,
+                          checkpoint_dir=trained_assets_dir() / "lseend")
+    result = diar.process(mix)
+    refs = [TimedSpeakerSegment(speaker_id=s, start_time=a, end_time=b)
+            for s, a, b in ref]
+    return compute_der(refs, result.segments, collar=0.25).der
 
 
 def eval_cohere_fixture(seed: int = 987, n_utts: int = 6) -> float:

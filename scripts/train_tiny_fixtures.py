@@ -537,8 +537,433 @@ def eval_cohere(_: Path) -> float:
     return w
 
 
+# -------------------------------------------------------------- offline
+
+
+def train_offline(steps: int, batch: int = 8, lr: float = 1e-3,
+                  seed: int = 0) -> Path:
+    """Trained offline-diarizer fixture: powerset segmentation (PIT CE) +
+    masked-stats speaker embedder (speaker-classification CE) + a PLDA
+    actually FITTED on the trained embeddings (two-covariance recipe), so
+    the full AHC -> VBx chain runs on meaningful rho/psi instead of the
+    random orthogonal stand-in."""
+    from fluidaudio_tpu.models.pyannote_seg import (
+        NUM_FRAMES, WINDOW_SAMPLES, PyannoteSegmentation,
+    )
+    from fluidaudio_tpu.models.wespeaker import WeSpeakerEmbedder, make_fbank_frontend
+    from fluidaudio_tpu.train import fixtures as fx
+
+    seg_cfg, emb_cfg = fx.offline_tiny_configs()
+    seconds = WINDOW_SAMPLES / 16000.0  # 10 s windows
+
+    def window_batch(rs, n, n_frames):
+        """(audio [n, W], activity [n, n_frames, 2] by GLOBAL speaker id)."""
+        audio = np.zeros((n, WINDOW_SAMPLES), np.float32)
+        act = np.zeros((n, n_frames, 2), np.float32)
+        centers = (np.arange(n_frames) + 0.5) * seconds / n_frames
+        for b in range(n):
+            mix, ref, _ = tc.diarizer_mixture(rs, seconds, overlap_prob=0.15)
+            audio[b, : mix.size] = mix[:WINDOW_SAMPLES]
+            for spk, s, e in ref:
+                k = int(spk[-1])  # "spk0"/"spk1"
+                act[b, (centers >= s) & (centers < e), k] = 1.0
+        return audio, act
+
+    # ---- stage 1: segmentation (PIT powerset CE) ----
+    seg_model = PyannoteSegmentation(seg_cfg)
+    seg_params = jax.jit(seg_model.init)(
+        jax.random.PRNGKey(seed), jnp.zeros((1, WINDOW_SAMPLES), jnp.float32))
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps))
+    opt_state = tx.init(seg_params)
+
+    def powerset_targets(act):  # [B, T, 2] -> per-permutation class ids [2, B, T]
+        a, b = act[..., 0], act[..., 1]
+        # table rows: 0 none, 1 S1, 2 S2, 4 S1+S2
+        ids_ab = (a * (1 - b) * 1 + (1 - a) * b * 2 + a * b * 4).astype(jnp.int32)
+        ids_ba = (b * (1 - a) * 1 + (1 - b) * a * 2 + a * b * 4).astype(jnp.int32)
+        return jnp.stack([ids_ab, ids_ba])
+
+    def seg_loss(p, audio, act):
+        logits = seg_model.apply(p, audio)  # [B, 589, 7]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = powerset_targets(act)  # [2, B, T]
+        ce = -jnp.take_along_axis(
+            jnp.broadcast_to(logp[None], (2,) + logp.shape),
+            tgt[..., None], axis=-1)[..., 0]  # [2, B, T]
+        return jnp.mean(jnp.min(jnp.mean(ce, axis=2), axis=0))  # PIT per window
+
+    @jax.jit
+    def seg_step(p, o, audio, act):
+        loss, grads = jax.value_and_grad(seg_loss)(p, audio, act)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss
+
+    rs = np.random.RandomState(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        audio, act = window_batch(rs, batch, NUM_FRAMES)
+        seg_params, opt_state, loss = seg_step(
+            seg_params, opt_state, jnp.asarray(audio), jnp.asarray(act))
+        if i % 50 == 0 or i == steps - 1:
+            print(f"offline/seg step {i}: loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    # ---- stage 2: embedder (masked speaker classification) ----
+    embedder = WeSpeakerEmbedder(emb_cfg)
+    fbank = make_fbank_frontend()
+    mel_frames = fbank.num_frames(WINDOW_SAMPLES)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 2))
+    mel0 = jnp.zeros((1, mel_frames, emb_cfg.n_mels), jnp.float32)
+    emb_params = jax.jit(embedder.init)(k1, mel0, jnp.ones((1, mel_frames)))
+    head = jax.random.normal(k2, (emb_cfg.embedding_dim, 2)) * 0.1
+    packed = {"emb": emb_params, "head": head}
+    tx2 = optax.adamw(optax.cosine_decay_schedule(lr, steps))
+    opt2 = tx2.init(packed)
+
+    def emb_batch(rs, n):
+        """Masked single-speaker views of mixture windows + speaker labels."""
+        audio = np.zeros((n, WINDOW_SAMPLES), np.float32)
+        masks = np.zeros((n, mel_frames), np.float32)
+        labels = np.zeros((n,), np.int32)
+        centers = (np.arange(mel_frames) + 0.5) * seconds / mel_frames
+        b = 0
+        while b < n:
+            mix, ref, _ = tc.diarizer_mixture(rs, seconds, overlap_prob=0.15)
+            act = np.zeros((mel_frames, 2), np.float32)
+            for spk, s, e in ref:
+                act[(centers >= s) & (centers < e), int(spk[-1])] = 1.0
+            k = int(rs.randint(0, 2))
+            clean = act[:, k] * (act.sum(axis=1) < 2)  # overlap-suppressed
+            if clean.sum() < 10:
+                continue
+            audio[b, : mix.size] = mix[:WINDOW_SAMPLES]
+            masks[b] = clean
+            labels[b] = k
+            b += 1
+        return audio, masks, labels
+
+    def emb_loss(p, audio, masks, labels):
+        mel, _ = fbank(audio)
+        mel_t = jnp.transpose(mel, (0, 2, 1))
+        emb = embedder.apply(p["emb"], mel_t, masks)
+        logits = emb @ p["head"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    @jax.jit
+    def emb_step(p, o, audio, masks, labels):
+        loss, grads = jax.value_and_grad(emb_loss)(p, audio, masks, labels)
+        updates, o2 = tx2.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss
+
+    t0 = time.time()
+    for i in range(steps):
+        audio, masks, labels = emb_batch(rs, batch)
+        packed, opt2, loss = emb_step(packed, opt2, jnp.asarray(audio),
+                                      jnp.asarray(masks), jnp.asarray(labels))
+        if i % 50 == 0 or i == steps - 1:
+            print(f"offline/emb step {i}: loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    emb_params = packed["emb"]
+
+    # ---- stage 3: fit PLDA on the trained embeddings -----------------------
+    # two-covariance recipe: whiten within-class scatter, diagonalize the
+    # between-class scatter in the whitened space; psi = across-class
+    # variances (the BUT VBx preprocessing the reference loads from
+    # plda-parameters.json)
+    emb_fn = jax.jit(lambda a, m: embedder.apply(
+        emb_params, jnp.transpose(fbank(a)[0], (0, 2, 1)), m))
+    all_embs, all_labels = [], []
+    for _ in range(16):
+        audio, masks, labels = emb_batch(rs, batch)
+        all_embs.append(np.asarray(emb_fn(jnp.asarray(audio), jnp.asarray(masks))))
+        all_labels.append(labels)
+    X = np.concatenate(all_embs)  # [N, D]
+    y = np.concatenate(all_labels)
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    D = X.shape[1]
+    Sw = np.zeros((D, D))
+    Sb = np.zeros((D, D))
+    for k in (0, 1):
+        cls = Xc[y == k]
+        cm = cls.mean(axis=0)
+        Sw += (cls - cm).T @ (cls - cm)
+        Sb += len(cls) * np.outer(cm, cm)
+    Sw /= len(X)
+    Sb /= len(X)
+    evals, evecs = np.linalg.eigh(Sw + 1e-4 * np.eye(D))
+    W = evecs @ np.diag(evals**-0.5) @ evecs.T  # whitener
+    Bw = W @ Sb @ W.T
+    bvals, bvecs = np.linalg.eigh(Bw)
+    order = np.argsort(bvals)[::-1]
+    transform = (W.T @ bvecs[:, order]).astype(np.float32)  # [D, D]
+    psi = np.maximum(bvals[order], 0.0).astype(np.float32)
+
+    out = ASSETS / "offline"
+    out.mkdir(parents=True, exist_ok=True)
+    save_params(out / "segmentation.npz", jax.device_get(seg_params))
+    save_params(out / "embedding.npz", jax.device_get(emb_params))
+    np.savez(out / "plda_rho.npz", mean=mu.astype(np.float32),
+             transform=transform, psi=psi)
+    print(f"offline checkpoints -> {out}")
+    return out
+
+
+def eval_offline(_: Path) -> float:
+    from fluidaudio_tpu.train import fixtures as fx
+
+    d = fx.eval_offline_diarizer_fixture()
+    print(f"offline eval DER {d*100:.2f}%")
+    return d
+
+
+# --------------------------------------------------------------- lseend
+
+
+def train_lseend(steps: int, batch: int = 4, lr: float = 1e-3,
+                 seed: int = 0) -> Path:
+    """Trained LS-EEND fixture: recurrent attractor diarizer, streaming.
+
+    Trains EXACTLY as the manager infers: per-500 ms-step mel with
+    per_feature CMN computed on each step buffer independently (the manager's
+    `process_step` does per-step normalization, so whole-file mel would be a
+    train/infer mismatch), subsample+context stacking, then a `lax.scan` of
+    the attractor step carrying `LsEendState`. Arrival-order BCE labels;
+    warmup frames (first 900 ms, forced to zero by the model) are masked."""
+    from fluidaudio_tpu.models.lseend import (
+        LSEEND_SAMPLE_RATE, LSEEND_TEST, MAX_SPEAKERS, LsEendModel,
+        init_state, subsample_with_context,
+    )
+    from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+
+    cfg = LSEEND_TEST
+    step_frames = 5  # 500 ms manager default
+    step_samples = step_frames * LSEEND_SAMPLE_RATE // 10
+    n_steps = 40  # 20 s examples
+    T = n_steps * step_frames
+    model = LsEendModel(cfg)
+    mel = MelFrontend(MelConfig(
+        sample_rate=LSEEND_SAMPLE_RATE, n_mels=cfg.n_mels, n_fft=256,
+        hop_length=80, win_length=200, normalize="per_feature",
+    ))
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, step_frames, cfg.feat_dim), jnp.float32),
+        init_state(cfg, 1),
+    )
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps))
+    opt_state = tx.init(params)
+
+    def loss_fn(p, audio8k, labels):
+        B = audio8k.shape[0]
+        m, _ = mel(audio8k.reshape(B * n_steps, step_samples))
+        m = m[:, :, : step_frames * cfg.subsample]
+        feats = subsample_with_context(m, cfg).reshape(
+            B, n_steps, step_frames, cfg.feat_dim)
+
+        def scan_step(state, f):
+            acts, new_state = model.apply(p, f, state)
+            return new_state, acts
+
+        _, acts = jax.lax.scan(scan_step, init_state(cfg, B),
+                               jnp.transpose(feats, (1, 0, 2, 3)))
+        acts = jnp.transpose(acts, (1, 0, 2, 3)).reshape(B, T, MAX_SPEAKERS)
+        pr = jnp.clip(acts, 1e-6, 1 - 1e-6)
+        bce = -(labels * jnp.log(pr) + (1 - labels) * jnp.log1p(-pr))
+        warm = (jnp.arange(T) >= cfg.warmup_frames).astype(jnp.float32)
+        return jnp.sum(bce * warm[None, :, None]) / (
+            jnp.sum(warm) * B * MAX_SPEAKERS)
+
+    @jax.jit
+    def step_fn(p, o, audio, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(p, audio, labels)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss
+
+    rs = np.random.RandomState(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        audio, labels = tc.lseend_batch(rs, batch, n_steps, step_frames)
+        params, opt_state, loss = step_fn(params, opt_state,
+                                          jnp.asarray(audio), jnp.asarray(labels))
+        if i % 50 == 0 or i == steps - 1:
+            print(f"lseend step {i}: loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    out = ASSETS / "lseend"
+    out.mkdir(parents=True, exist_ok=True)
+    save_params(out / "model.npz", jax.device_get(params))
+    print(f"lseend checkpoint -> {out}")
+    return out
+
+
+def eval_lseend(_: Path) -> float:
+    from fluidaudio_tpu.train import fixtures as fx
+
+    d = fx.eval_lseend_fixture()
+    print(f"lseend eval DER {d*100:.2f}%")
+    return d
+
+
+# ------------------------------------------------------------------ eou
+
+
+def train_eou(steps: int, batch: int = 8, lr: float = 2e-3, seed: int = 0) -> Path:
+    """Trained streaming EOU fixture: cache-carrying conformer + RNN-T.
+
+    The encoder trains EXACTLY as it infers — a `lax.scan` of the per-chunk
+    step (mel pre-cache, attention channel cache, conv time cache) over 320 ms
+    chunks — so the cache semantics themselves are under the quality gate, not
+    just the offline math. Labels end with the EOU token (id 16 in EOU_TEST),
+    teaching end-of-utterance detection; the decode loop flags it without
+    emitting it into the transcript (`ops/tdt_decode.py` eou_id semantics,
+    reference `RnntDecoder.swift:31-32`)."""
+    from fluidaudio_tpu.asr.streaming_eou import EOU_TEST, MEL_HOP, MEL_WIN
+    from fluidaudio_tpu.models.conformer_streaming import (
+        StreamingConformerEncoder, init_caches,
+    )
+    from fluidaudio_tpu.models.predictor import (
+        PredictorConfig, RnntJoint, RnntPredictor,
+    )
+    from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+    from fluidaudio_tpu.train import fixtures as fx
+    from fluidaudio_tpu.train.transducer_loss import rnnt_loss
+
+    spec = EOU_TEST
+    cfg = spec.enc_cfg
+    chunk_samples = 320 * 16000 // 1000  # train at the 320 ms tier
+    mel_frames = chunk_samples // MEL_HOP  # 32 mel frames / chunk
+    n_chunks = 12  # 3.84 s window fits 7 words + trailing silence
+    window = n_chunks * chunk_samples + (MEL_WIN - MEL_HOP)
+    enc_per_chunk = mel_frames // 8
+    T = n_chunks * enc_per_chunk
+    max_words = 7
+    u_max = max_words + 1  # + EOU label
+
+    encoder = StreamingConformerEncoder(cfg)
+    pcfg = PredictorConfig(
+        vocab_size=spec.blank_id, pred_hidden=spec.pred_hidden, n_layers=1,
+        enc_hidden=cfg.d_model, joint_hidden=spec.joint_hidden, n_durations=0,
+    )
+    predictor = RnntPredictor(pcfg)
+    joint = RnntJoint(pcfg)
+    mel = MelFrontend(MelConfig(center=False, normalize=None))
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    params = {
+        "encoder": jax.jit(encoder.init)(
+            k1, jnp.zeros((1, cfg.n_mels, mel_frames), jnp.float32),
+            init_caches(cfg, 1),
+        ),
+        "predictor": jax.jit(predictor.init)(
+            k2, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 1, pcfg.pred_hidden)),
+            jnp.zeros((1, 1, pcfg.pred_hidden)),
+        ),
+        "joint": jax.jit(joint.init)(
+            k3, jnp.zeros((1, cfg.d_model)), jnp.zeros((1, pcfg.pred_hidden)),
+        ),
+    }
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps))
+    opt_state = tx.init(params)
+
+    def loss_fn(p, audio, labels, label_lens, t_lens):
+        B = audio.shape[0]
+        m, _ = mel(audio, jnp.full((B,), audio.shape[1], jnp.int32))
+        m = m[:, :, : n_chunks * mel_frames]
+        chunks = jnp.transpose(
+            m.reshape(B, cfg.n_mels, n_chunks, mel_frames), (2, 0, 1, 3))
+
+        def enc_step(caches, mel_chunk):
+            out, new_caches = encoder.apply(p["encoder"], mel_chunk, caches)
+            return new_caches, out
+
+        _, outs = jax.lax.scan(enc_step, init_caches(cfg, B), chunks)
+        f = jnp.transpose(outs, (1, 0, 2, 3)).reshape(B, T, cfg.d_model)
+
+        # teacher-forced predictor over [SOS(blank), y_0 .. y_{U-1}]
+        U = labels.shape[1]
+        toks = jnp.concatenate(
+            [jnp.full((B, 1), pcfg.blank_id, jnp.int32), labels], axis=1)
+        h0 = jnp.zeros((pcfg.n_layers, B, pcfg.pred_hidden))
+
+        def pred_step(carry, tok):
+            h, c = carry
+            g, h2, c2 = predictor.apply(p["predictor"], tok, h, c)
+            return (h2, c2), g
+
+        _, gs = jax.lax.scan(pred_step, (h0, h0), jnp.transpose(toks))
+        g = jnp.transpose(gs, (1, 0, 2))  # [B, U+1, H]
+
+        logits = joint.apply(p["joint"], f[:, :, None, :], g[:, None, :, :])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = rnnt_loss(logp, labels, t_lens, label_lens, pcfg.blank_id)
+        return jnp.mean(nll / jnp.maximum(label_lens, 1))
+
+    @jax.jit
+    def step_fn(p, o, audio, labels, label_lens, t_lens):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            p, audio, labels, label_lens, t_lens)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss
+
+    # EOU is SILENCE-driven (reference ParakeetEouCommand.swift:22 — "minimum
+    # silence duration before EOU triggers"): the model must observe a pause,
+    # then flag. Free RNN-T alignment would let it defer EOU arbitrarily deep
+    # into silence, so the lattice is cut `eou_deadline` frames (~1 s) after
+    # the utterance ends — bounded detection latency, trained directly.
+    eou_deadline = 12  # encoder frames (80 ms each) after utterance end
+    rs = np.random.RandomState(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        audio = np.zeros((batch, window), np.float32)
+        labels = np.zeros((batch, u_max), np.int32)
+        lens = np.zeros((batch,), np.int32)
+        t_lens = np.zeros((batch,), np.int32)
+        for r in range(batch):
+            n = int(rs.randint(2, max_words + 1))
+            ids = rs.randint(0, tc.N_WORDS, size=n)
+            utt = tc.make_utterance(ids, rs)[:window]
+            # random placement, always leaving >= deadline frames of silence
+            max_off = max(0, window - utt.size - eou_deadline * 1280)
+            off = int(rs.randint(0, max_off + 1))
+            audio[r, off : off + utt.size] = utt
+            labels[r, :n] = ids
+            labels[r, n] = spec.eou_token_id
+            lens[r] = n + 1
+            t_lens[r] = min(T, -(-(off + utt.size) // 1280) + eou_deadline)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(audio),
+            jnp.asarray(labels), jnp.asarray(lens), jnp.asarray(t_lens),
+        )
+        if i % 50 == 0 or i == steps - 1:
+            print(f"eou step {i}: loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    out = ASSETS / "eou"
+    out.mkdir(parents=True, exist_ok=True)
+    for part in ("encoder", "predictor", "joint"):
+        save_params(out / f"{part}.npz", jax.device_get(params[part]))
+    fx.write_family_vocab(out / "vocab.json", 0, {16: "<eou>"})
+    print(f"eou checkpoint -> {out}")
+    return out
+
+
+def eval_eou(_: Path) -> float:
+    from fluidaudio_tpu.train import fixtures as fx
+
+    scores = fx.eval_eou_fixture()
+    print(f"eou eval avg WER {scores['wer_avg']*100:.2f}%, "
+          f"EOU detect rate {scores['eou_detect_rate']*100:.0f}%")
+    return scores["wer_avg"]
+
+
 def main() -> int:
-    families = ["asr", "vad", "sortformer", "sensevoice", "paraformer", "cohere"]
+    families = ["asr", "vad", "sortformer", "sensevoice", "paraformer",
+                "cohere", "eou", "lseend", "offline"]
     ap = argparse.ArgumentParser()
     ap.add_argument("family", nargs="?", default="all",
                     choices=families + ["all", "core"])
@@ -553,13 +978,18 @@ def main() -> int:
     else:
         fams = [args.family]
     defaults = {"asr": 700, "vad": 3000, "sortformer": 500,
-                "sensevoice": 1500, "paraformer": 1500, "cohere": 1500}
+                "sensevoice": 1500, "paraformer": 1500, "cohere": 1500,
+                "eou": 1800, "lseend": 1200, "offline": 800}
     train_fns = {"asr": train_asr, "vad": train_vad,
                  "sortformer": train_sortformer, "sensevoice": train_sensevoice,
-                 "paraformer": train_paraformer, "cohere": train_cohere}
+                 "paraformer": train_paraformer, "cohere": train_cohere,
+                 "eou": train_eou, "lseend": train_lseend,
+                 "offline": train_offline}
     eval_fns = {"asr": eval_asr, "vad": eval_vad,
                 "sortformer": eval_sortformer, "sensevoice": eval_sensevoice,
-                "paraformer": eval_paraformer, "cohere": eval_cohere}
+                "paraformer": eval_paraformer, "cohere": eval_cohere,
+                "eou": eval_eou, "lseend": eval_lseend,
+                "offline": eval_offline}
     print(f"backend: {jax.default_backend()}")
     for fam in fams:
         steps = args.steps or defaults[fam]

@@ -215,6 +215,142 @@ class TestTrainedParaformer:
             assert len(result.text.split()) == n, (n, result.text)
 
 
+class TestTrainedOfflineDiarizer:
+    """The multi-stage offline pipeline proven functional end to end:
+    batched powerset segmentation -> overlap-suppressed masked embeddings ->
+    FITTED PLDA rho/psi -> AHC warm start -> VBx sticky-HMM refinement ->
+    segment reconstruction. This is the reference's headline diarization
+    surface (Benchmarks.md:570-591, AMI DER 10.6%); here the same chain runs
+    on trained tiny models over the synthetic 2-speaker corpus."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("offline"),
+        reason="trained offline-diarizer fixture not committed",
+    )
+
+    def test_der_below_gate(self):
+        assert fx.eval_offline_diarizer_fixture() <= fx.DIAR_DER_GATE
+
+    def test_speaker_count_and_exactly_constraint(self):
+        from fluidaudio_tpu.diarizer.offline.manager import OfflineDiarizerManager
+        from fluidaudio_tpu.diarizer.offline.types import OfflineDiarizerConfig
+
+        seg_cfg, emb_cfg = fx.offline_tiny_configs()
+        rs = np.random.RandomState(31415)
+        mix, ref, _ = tc.diarizer_mixture(rs, 45.0, overlap_prob=0.0)
+
+        mgr = OfflineDiarizerManager(
+            checkpoint_dir=fx.trained_assets_dir() / "offline",
+            seg_config=seg_cfg, emb_config=emb_cfg)
+        assert mgr.process(mix).speaker_count == 2
+
+        # withSpeakers(exactly:) parity: constraint must hold on output
+        forced = OfflineDiarizerManager(
+            OfflineDiarizerConfig().with_speakers(exactly=2),
+            checkpoint_dir=fx.trained_assets_dir() / "offline",
+            seg_config=seg_cfg, emb_config=emb_cfg)
+        assert forced.process(mix).speaker_count == 2
+
+
+class TestTrainedLsEend:
+    """Online attractor diarizer proven functional through the FULL
+    LSEENDDiarizer paths: offline process(), AND the persistent streaming
+    session (process_stream chunk-queue + finish_stream drain) — the
+    reference's LSEENDQueueTests/SpeakerEnrollmentTests surface, but gated
+    on real DER instead of random-weight smoke."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("lseend"),
+        reason="trained lseend fixture not committed",
+    )
+
+    def test_offline_der_below_gate(self):
+        assert fx.eval_lseend_fixture() <= fx.LSEEND_DER_GATE
+
+    def test_streaming_session_matches_offline(self):
+        from fluidaudio_tpu.diarizer.lseend import LSEENDDiarizer
+        from fluidaudio_tpu.diarizer.metrics import compute_der
+        from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
+        from fluidaudio_tpu.models.lseend import LSEEND_TEST
+
+        rs = np.random.RandomState(123)
+        mix, ref, _ = tc.diarizer_mixture(rs, 30.0, overlap_prob=0.0)
+        diar = LSEENDDiarizer(LSEEND_TEST, step_ms=500,
+                              checkpoint_dir=fx.trained_assets_dir() / "lseend")
+        diar.reset_session()
+        segs = []
+        feed = 16000  # ragged 1 s pushes exercise the chunk queue
+        for off in range(0, mix.size, feed):
+            segs.extend(diar.process_stream(mix[off : off + feed]).segments)
+        segs.extend(diar.finish_stream().segments)
+        refs = [TimedSpeakerSegment(speaker_id=s, start_time=a, end_time=b)
+                for s, a, b in ref]
+        assert compute_der(refs, segs, collar=0.25).der <= fx.LSEEND_DER_GATE
+        assert len({s.speaker_id for s in segs}) == 2
+
+
+class TestTrainedEou:
+    """True-streaming family proven functional through the FULL
+    StreamingEouAsrManager path: per-chunk cache-carrying encoder steps,
+    incremental RNN-T decode, EOU flagging with debounce, finish() flush.
+    This is the one fixture whose quality gate covers the STREAMING cache
+    semantics (mel pre-cache, attention channel cache, conv time cache) —
+    an offline-equivalent bug in any cache would show up as nonzero WER here
+    (reference StreamingEouAsrManagerTests strategy)."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("eou"),
+        reason="trained eou fixture not committed",
+    )
+
+    def test_wer_below_gate_and_eou_fires(self):
+        scores = fx.eval_eou_fixture()
+        assert scores["wer_avg"] <= fx.ASR_WER_GATE, scores
+        assert scores["eou_detect_rate"] >= 0.99, scores
+
+    def test_incremental_feed_matches_one_shot(self):
+        """Feeding 0.1 s at a time must produce the same transcript as one
+        process() call — chunking is internal, caches carry across feeds."""
+        from fluidaudio_tpu.asr.streaming_eou import (
+            EOU_TEST, StreamingEouAsrManager,
+        )
+
+        mgr = StreamingEouAsrManager(
+            chunk_ms=320, spec=EOU_TEST,
+            checkpoint_dir=fx.trained_assets_dir() / "eou")
+        rs = np.random.RandomState(55)
+        ids = rs.randint(0, tc.N_WORDS, size=5)
+        audio = tc.make_utterance(ids, rs)
+
+        st1 = mgr.make_state()
+        mgr.process(audio, st1)
+        one_shot = mgr.finish(st1).text
+
+        st2 = mgr.make_state()
+        for off in range(0, audio.size, 1600):
+            mgr.process(audio[off : off + 1600], st2)
+        incremental = mgr.finish(st2).text
+
+        assert one_shot == incremental == tc.transcript_text(ids)
+
+    def test_eou_token_not_in_transcript_and_timestamps_monotone(self):
+        from fluidaudio_tpu.asr.streaming_eou import (
+            EOU_TEST, StreamingEouAsrManager,
+        )
+
+        mgr = StreamingEouAsrManager(
+            chunk_ms=320, spec=EOU_TEST,
+            checkpoint_dir=fx.trained_assets_dir() / "eou")
+        rs = np.random.RandomState(56)
+        ids = rs.randint(0, tc.N_WORDS, size=4)
+        st = mgr.make_state()
+        mgr.process(tc.make_utterance(ids, rs), st)
+        final = mgr.finish(st)
+        assert "<eou>" not in final.text
+        assert final.timestamps_ms == sorted(final.timestamps_ms)
+        assert len(final.token_ids) == len(final.timestamps_ms) == 4
+
+
 class TestTrainedCohere:
     """Attention enc-dec family proven functional through
     CoherePipeline.transcribe: KV-cache greedy decode with EOS stop."""
