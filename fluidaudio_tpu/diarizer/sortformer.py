@@ -74,6 +74,29 @@ class SortformerDiarizer:
         self._session_state = init_state(self.cfg, 1)
         self._session_frames = 0
         self._slot_names: dict[int, str] = {}
+        # multichip serving: offline window batches shard over the mesh
+        # 'data' axis (SURVEY §2.10 batch-axis-as-worker-pool)
+        self._mesh = None
+        self._sharded_params = None
+
+    def set_mesh(self, mesh) -> None:
+        """Enable (or with None disable) mesh-sharded offline diarization:
+        the fused windows program constrains its on-device window axis to
+        the mesh 'data' axis, so mel + encoder + transformer run SPMD across
+        chips; stitching/segments are bit-identical to single-device
+        (tests/test_multichip.py). Mirrors AsrManager.set_mesh."""
+        if mesh is None:
+            self._mesh = None
+            self._sharded_params = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._mesh = mesh
+            self._sharded_params = jax.device_put(
+                self.params, NamedSharding(mesh, PartitionSpec())
+            )
+        # fused programs bake the sharding constraint in: rebuild
+        self._offline_fused_cache.clear()
 
     def _stream_scan(self, n_chunks: int):
         """One jit for a whole recording: raw chunk buffers [N, chunk_samples]
@@ -103,6 +126,8 @@ class SortformerDiarizer:
         if key not in self._offline_fused_cache:
             overlap = window_samples - step
 
+            mesh = self._mesh
+
             def run(params, flat):
                 x = flat.astype(jnp.float32)
                 if jnp.issubdtype(flat.dtype, jnp.integer):  # trace-time branch
@@ -112,6 +137,13 @@ class SortformerDiarizer:
                     :, :overlap
                 ]
                 windows = jnp.concatenate([base, tails], axis=1)
+                if mesh is not None:
+                    # shard the on-device window axis over the mesh: mel +
+                    # encoder + transformer run SPMD, one window group/chip
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    windows = jax.lax.with_sharding_constraint(
+                        windows, NamedSharding(mesh, P("data", None)))
                 mel, _ = self.mel(windows)
                 mel = mel[:, :, :OFFLINE_WINDOW_MEL]
                 return self.model.apply(params, mel)
@@ -288,7 +320,8 @@ class SortformerDiarizer:
         flat = np.zeros((bucket + 1) * step, samples.dtype)
         flat[: min(samples.size, flat.size)] = samples[: flat.size]
         fn = self._offline_fused(bucket, step, window_samples)
-        preds_all = np.asarray(fn(self.params, jnp.asarray(flat)))
+        params = self._sharded_params if self._mesh is not None else self.params
+        preds_all = np.asarray(fn(params, jnp.asarray(flat)))
 
         windows = []
         for i, (start, size) in enumerate(zip(starts, sizes)):

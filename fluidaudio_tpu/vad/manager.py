@@ -81,8 +81,30 @@ class VadManager:
         self.model = SileroVadV5(self.model_cfg)
         self.params: Any | None = None
         self._program_cache: dict[tuple[int, int], Any] = {}
+        # multichip serving: utterance batches shard over the mesh 'data'
+        # axis (SURVEY §2.10 — the batch dimension IS the worker pool)
+        self._mesh = None
+        self._sharded_params = None
         if not skip_model_loading:
             self._load_params(checkpoint_dir, rng_seed)
+
+    def set_mesh(self, mesh) -> None:
+        """Enable (or with None disable) mesh-sharded batch VAD: each
+        `_run_batch` dispatch pads the utterance batch up to a multiple of
+        the mesh 'data' axis and runs the SAME jitted frame program SPMD
+        across chips; probabilities are bit-identical to single-device
+        (tests/test_multichip.py). Mirrors AsrManager.set_mesh."""
+        if mesh is None:
+            self._mesh = None
+            self._sharded_params = None
+            return
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert self.params is not None, "model not loaded (skip_model_loading)"
+        self._mesh = mesh
+        self._sharded_params = jax.device_put(
+            self.params, NamedSharding(mesh, PartitionSpec())
+        )
 
     def _load_params(self, checkpoint_dir: str | Path | None, rng_seed: int) -> None:
         dummy = (
@@ -170,14 +192,36 @@ class VadManager:
         last_idx = np.asarray(
             [nc * FRAMES_PER_CHUNK - 1 for nc in n_chunks], np.int32
         )  # causal scan: pad tail can't leak back into the last real frame
-        fn = self._frame_program(B, n_frames)
-        probs, h_fin, c_fin = fn(
-            self.params, jnp.asarray(audio), jnp.asarray(h0), jnp.asarray(c0),
-            jnp.asarray(last_idx),
-        )
-        probs = np.asarray(probs)
-        h_fin = np.asarray(h_fin)
-        c_fin = np.asarray(c_fin)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # pad the utterance batch to the mesh 'data' axis, shard rows
+            n_data = self._mesh.shape["data"]
+            Bp = -(-B // n_data) * n_data
+            if Bp != B:
+                audio = np.concatenate(
+                    [audio, np.zeros((Bp - B,) + audio.shape[1:], audio.dtype)])
+                h0 = np.concatenate([h0, np.zeros((Bp - B, h0.shape[1]), h0.dtype)])
+                c0 = np.concatenate([c0, np.zeros((Bp - B, c0.shape[1]), c0.dtype)])
+                last_idx = np.concatenate(
+                    [last_idx, np.zeros(Bp - B, last_idx.dtype)])
+            fn = self._frame_program(Bp, n_frames)
+            row2 = NamedSharding(self._mesh, P("data", None))
+            row1 = NamedSharding(self._mesh, P("data"))
+            probs, h_fin, c_fin = fn(
+                self._sharded_params,
+                jax.device_put(audio, row2), jax.device_put(h0, row2),
+                jax.device_put(c0, row2), jax.device_put(last_idx, row1),
+            )
+        else:
+            fn = self._frame_program(B, n_frames)
+            probs, h_fin, c_fin = fn(
+                self.params, jnp.asarray(audio), jnp.asarray(h0), jnp.asarray(c0),
+                jnp.asarray(last_idx),
+            )
+        probs = np.asarray(probs)[:B]
+        h_fin = np.asarray(h_fin)[:B]
+        c_fin = np.asarray(c_fin)[:B]
 
         chunk_probs = probs.reshape(B, bucket, FRAMES_PER_CHUNK).max(axis=2)
         finals = []

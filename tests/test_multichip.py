@@ -96,6 +96,69 @@ def test_manager_sharded_long_file_matches_single_device():
     ]
 
 
+def test_vad_sharded_batch_matches_single_device():
+    """VadManager.process_batch over the mesh 'data' axis: probabilities
+    bit-identical to single-device, including the padded-batch rows the
+    shard requires (batch 5 -> padded to 8 on a 4-way data axis)."""
+    from fluidaudio_tpu.parallel.mesh import make_mesh
+    from fluidaudio_tpu.train import fixtures as fx
+    from fluidaudio_tpu.train import tiny_corpus as tc
+    from fluidaudio_tpu.vad import VadManager
+
+    if not fx.fixtures_available("vad"):
+        pytest.skip("trained VAD fixture not committed")
+
+    rs = np.random.RandomState(77)
+    utts = [tc.speechish(1.5, rs) for _ in range(3)] + [
+        (rs.randn(24000) * 0.002).astype(np.float32) for _ in range(2)
+    ]
+    ckpt = fx.trained_assets_dir() / "vad"
+    single = VadManager(checkpoint_dir=ckpt)
+    ref = single.process_batch(utts)
+
+    sharded = VadManager(checkpoint_dir=ckpt)
+    sharded.set_mesh(make_mesh(8, data=4, model=2))
+    got = sharded.process_batch(utts)
+
+    ref_probs = [[r.probability for r in b] for b in ref]
+    got_probs = [[r.probability for r in b] for b in got]
+    assert got_probs == ref_probs
+    # trained model still detects: speech rows over, noise rows under
+    assert np.mean(got_probs[0]) >= 0.5 and np.mean(got_probs[3]) < 0.5
+
+
+def test_sortformer_sharded_offline_matches_single_device():
+    """SortformerDiarizer.process_offline with the fused window axis
+    constrained to the mesh: identical segments vs single-device, real DER
+    on the trained fixture."""
+    from fluidaudio_tpu.diarizer.sortformer import SortformerDiarizer
+    from fluidaudio_tpu.models.sortformer import SORTFORMER_TEST
+    from fluidaudio_tpu.parallel.mesh import make_mesh
+    from fluidaudio_tpu.train import fixtures as fx
+    from fluidaudio_tpu.train import tiny_corpus as tc
+
+    if not fx.fixtures_available("sortformer"):
+        pytest.skip("trained sortformer fixture not committed")
+
+    rs = np.random.RandomState(4242)
+    mix, _, _ = tc.diarizer_mixture(rs, 60.0, overlap_prob=0.0)
+    ckpt = fx.trained_assets_dir() / "sortformer"
+
+    single = SortformerDiarizer(SORTFORMER_TEST, checkpoint_dir=ckpt)
+    ref = single.process_offline(mix)
+
+    sharded = SortformerDiarizer(SORTFORMER_TEST, checkpoint_dir=ckpt)
+    sharded.set_mesh(make_mesh(8, data=4, model=2))
+    got = sharded.process_offline(mix)
+
+    assert [(s.speaker_id, round(s.start_time, 3), round(s.end_time, 3))
+            for s in got.segments] == [
+        (s.speaker_id, round(s.start_time, 3), round(s.end_time, 3))
+        for s in ref.segments
+    ]
+    assert got.speaker_count == ref.speaker_count == 2
+
+
 def test_manager_set_mesh_validates_batch_divisibility():
     from fluidaudio_tpu.asr.config import ASRConfig
     from fluidaudio_tpu.asr.manager import AsrManager
