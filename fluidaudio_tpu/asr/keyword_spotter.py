@@ -110,18 +110,12 @@ class CtcKeywordSpotter:
             self._fn_cache[width] = jax.jit(run)
         return self._fn_cache[width]
 
-    def spot(self, samples: np.ndarray) -> list[KeywordSpot]:
-        """Spot all context terms across the recording (chunked, merged)."""
+    def log_probs(self, samples: np.ndarray) -> np.ndarray | None:
+        """Whole-recording CTC log-probs `[T, V+1]` (blank last): 15 s chunks
+        with the 2 s overlaps merged probability-space (logmeanexp), the same
+        canvas `spot()` searches — public so decode/rescoring consumers
+        (Earnings22 CTC path) can share one acoustic pass."""
         samples = np.asarray(samples, np.float32).reshape(-1)
-        keywords = {
-            t.text: t.ctc_token_ids
-            for t in self.context.terms
-            if t.ctc_token_ids
-        }
-        if not keywords:
-            logger.warning("no pre-tokenized terms; call context.pretokenize()")
-            return []
-
         stride = CHUNK_SAMPLES - OVERLAP_SAMPLES
         fn = self._log_probs_fn(CHUNK_SAMPLES)
         # concatenate all chunks' log-probs into ONE buffer, merging the 2 s
@@ -140,7 +134,9 @@ class CtcKeywordSpotter:
                 jnp.asarray(buf)[None, :], jnp.array([seg.size], jnp.int32),
             )
             n = int(enc_len[0])
-            chunk_lp = np.asarray(lp[0][:n], np.float32)
+            # np.array (copy), NOT np.asarray: a zero-copy view of a jax
+            # buffer is read-only and the seam merge below writes in place
+            chunk_lp = np.array(lp[0][:n], np.float32)
             if canvas is None or start == 0:
                 canvas = chunk_lp
             else:
@@ -153,6 +149,19 @@ class CtcKeywordSpotter:
                     canvas = np.concatenate([canvas, chunk_lp[ov:]])
             if start + CHUNK_SAMPLES >= samples.size:
                 break
+        return canvas
+
+    def spot(self, samples: np.ndarray) -> list[KeywordSpot]:
+        """Spot all context terms across the recording (chunked, merged)."""
+        keywords = {
+            t.text: t.ctc_token_ids
+            for t in self.context.terms
+            if t.ctc_token_ids
+        }
+        if not keywords:
+            logger.warning("no pre-tokenized terms; call context.pretokenize()")
+            return []
+        canvas = self.log_probs(samples)
         if canvas is None or not len(canvas):
             return []
         return spot_keywords(

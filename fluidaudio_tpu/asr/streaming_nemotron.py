@@ -141,6 +141,8 @@ class NemotronSpec:
     d_model: int = 1024
     n_layers: int = 24
     multilingual: bool = False
+    pred_hidden: int = 640
+    joint_hidden: int = 640
 
 
 NEMOTRON_EN = NemotronSpec("nemotron-en", Repo.NEMOTRON_EN, vocab_size=1024)
@@ -151,6 +153,14 @@ NEMOTRON_MULTI_LATIN = NemotronSpec(
 NEMOTRON_MULTI_FULL = NemotronSpec(
     "nemotron-multilingual", Repo.NEMOTRON_MULTILINGUAL, vocab_size=13087,
     multilingual=True,
+)
+#: hermetic trained-fixture spec (zoo `test-tiny` pattern): two synthetic
+#: "languages" (pure-tone w-words ids 0-15 / harmonic v-words ids 16-31),
+#: lang tags <aa-AA>=32 <bb-BB>=33, blank 34; prompts {auto:0, aa:1, bb:2}
+NEMOTRON_TEST = NemotronSpec(
+    "nemotron-test", Repo.NEMOTRON_MULTILINGUAL, vocab_size=34,
+    d_model=64, n_layers=2, multilingual=True,
+    pred_hidden=64, joint_hidden=64,
 )
 
 
@@ -223,8 +233,9 @@ class StreamingNemotronAsrManager:
             self.enc_cfg, self.metadata.num_prompts if spec.multilingual else 0
         )
         self.pred_cfg = PredictorConfig(
-            vocab_size=spec.vocab_size, pred_hidden=640, n_layers=1,
-            enc_hidden=self.enc_cfg.d_model, joint_hidden=640, n_durations=0,
+            vocab_size=spec.vocab_size, pred_hidden=spec.pred_hidden, n_layers=1,
+            enc_hidden=self.enc_cfg.d_model, joint_hidden=spec.joint_hidden,
+            n_durations=0,
         )
         self.predictor = RnntPredictor(self.pred_cfg)
         self.joint = RnntJoint(self.pred_cfg)

@@ -564,6 +564,11 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
       trained_eou_detect_pct  EOU flag must fire per utterance (>= 99%)
       trained_lseend_der_pct  online attractor diarizer — HARD GATE <= 10%
       trained_offline_der_pct offline seg->emb->PLDA->AHC->VBx — GATE <= 5%
+      trained_nemotron_{wer,detect}_pct  multilingual prompts + auto-detect
+      trained_ctc_wer_pct / trained_kws_{recall,precision}_pct  CTC decode +
+                            DP keyword spotting (Earnings22-KWS path)
+      trained_tts_roundtrip_wer_pct  Kokoro synth -> resample -> trained ASR
+                            (the tts-asr-verify contract) — GATE <= 2%
     A gate failure exits nonzero regardless of --baseline: the framework must
     demonstrably transcribe / detect speech / diarize.
 
@@ -650,6 +655,58 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
             gate_failures.append(
                 f"trained lseend DER {out['trained_lseend_der_pct']}% > "
                 f"{fx.LSEEND_DER_GATE * 100}%")
+
+    # multilingual streaming Nemotron: prompt conditioning + auto-detect
+    if fx.fixtures_available("nemotron"):
+        nem = fx.eval_nemotron_fixture(n_utts=4)
+        out["trained_nemotron_wer_pct"] = round(nem["wer_avg"] * 100, 2)
+        out["trained_nemotron_detect_pct"] = round(
+            nem["lang_detect_rate"] * 100, 1)
+        if nem["wer_avg"] > fx.ASR_WER_GATE:
+            gate_failures.append(
+                f"trained nemotron WER {out['trained_nemotron_wer_pct']}% > "
+                f"{fx.ASR_WER_GATE * 100}%")
+        if nem["lang_detect_rate"] < 0.99:
+            gate_failures.append(
+                f"trained nemotron lang detect "
+                f"{out['trained_nemotron_detect_pct']}% < 99%")
+
+    # CTC decode + keyword spotting (Earnings22-KWS path)
+    if fx.fixtures_available("ctc"):
+        ctc = fx.eval_ctc_fixture()
+        kws = fx.eval_ctc_spotting_fixture()
+        out["trained_ctc_wer_pct"] = round(ctc["wer_avg"] * 100, 2)
+        out["trained_kws_recall_pct"] = round(kws["recall"] * 100, 1)
+        out["trained_kws_precision_pct"] = round(kws["precision"] * 100, 1)
+        if ctc["wer_avg"] > fx.ASR_WER_GATE:
+            gate_failures.append(
+                f"trained ctc WER {out['trained_ctc_wer_pct']}% > "
+                f"{fx.ASR_WER_GATE * 100}%")
+        if kws["recall"] < fx.KWS_RECALL_GATE:
+            gate_failures.append(
+                f"trained KWS recall {out['trained_kws_recall_pct']}% < "
+                f"{fx.KWS_RECALL_GATE * 100}%")
+        if kws["precision"] < fx.KWS_PRECISION_GATE:
+            gate_failures.append(
+                f"trained KWS precision {out['trained_kws_precision_pct']}% < "
+                f"{fx.KWS_PRECISION_GATE * 100}%")
+
+    # TTS: trained Kokoro fixture, closed-loop verified by the trained ASR
+    # fixture (the reference tts-asr-verify contract)
+    if fx.fixtures_available("tts", "asr"):
+        tts = fx.eval_tts_fixture()
+        out["trained_tts_roundtrip_wer_pct"] = round(
+            tts["roundtrip_wer_avg"] * 100, 2)
+        out["trained_tts_dur_mae_frames"] = round(tts["dur_mae_frames"], 3)
+        if tts["roundtrip_wer_avg"] > fx.TTS_ROUNDTRIP_WER_GATE:
+            gate_failures.append(
+                f"trained TTS roundtrip WER "
+                f"{out['trained_tts_roundtrip_wer_pct']}% > "
+                f"{fx.TTS_ROUNDTRIP_WER_GATE * 100}%")
+        if tts["dur_mae_frames"] >= 0.5:
+            gate_failures.append(
+                f"trained TTS duration MAE {out['trained_tts_dur_mae_frames']}"
+                f" frames >= 0.5 (rounding-unsafe)")
 
     # offline multi-stage pipeline (seg -> emb -> PLDA -> AHC -> VBx)
     if fx.fixtures_available("offline"):

@@ -190,6 +190,21 @@ def cmd_tts_asr_verify(args: argparse.Namespace) -> int:
     from fluidaudio_tpu.models.zoo import AsrModels
     from fluidaudio_tpu.tts import KokoroManager, tts_asr_roundtrip
 
+    if args.trained_fixture:
+        # hermetic mode: both ends are the committed trained tiny fixtures
+        # (tone-word language) — works with zero downloaded assets
+        from fluidaudio_tpu.train import fixtures as fx
+
+        tts = fx.load_tts_manager()
+        asr = AsrManager(AsrModels.load(
+            "test-tiny", checkpoint_dir=fx.trained_assets_dir() / "asr",
+            allow_random_init=False))
+        result = tts_asr_roundtrip(tts, asr, args.text)
+        print(f"text:       {result.text}")
+        print(f"transcript: {result.transcript}")
+        print(f"wer: {result.wer:.3f}  audio: {result.audio_seconds:.2f}s")
+        return 0 if result.wer <= args.max_wer else 1
+
     tts = KokoroManager()
     asr = AsrManager(AsrModels.load(args.version, allow_random_init=args.allow_random_init))
     result = tts_asr_roundtrip(tts, asr, args.text, voice=args.voice)
@@ -345,6 +360,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", default="v3")
     p.add_argument("--max-wer", type=float, default=1.0)
     p.add_argument("--allow-random-init", action="store_true")
+    p.add_argument("--trained-fixture", action="store_true",
+                   help="hermetic mode on the committed trained tiny "
+                        "fixtures (tone-word language, e.g. 'w3 w7 w1')")
     p.set_defaults(fn=cmd_tts_asr_verify)
 
     p = sub.add_parser("benchmark", help="synthetic throughput benchmarks")

@@ -52,6 +52,11 @@ _FIXTURE_FILES = {
     "lseend": ("lseend/model.npz",),
     "offline": ("offline/segmentation.npz", "offline/embedding.npz",
                 "offline/plda_rho.npz"),
+    "nemotron": ("nemotron/encoder.npz", "nemotron/predictor.npz",
+                 "nemotron/joint.npz", "nemotron/vocab.json",
+                 "nemotron/metadata.json"),
+    "ctc": ("ctc/encoder.npz", "ctc/ctc_head.npz", "ctc/vocab.json"),
+    "tts": ("tts/text.npz", "tts/audio.npz", "tts/voices.npz"),
 }
 
 
@@ -75,6 +80,315 @@ SENSEVOICE_WORD_OFFSET = 1
 PARAFORMER_WORD_OFFSET = 1
 #: Cohere: ids 0-4 are special (pad 2, eos 3, bos 4), words at 5..20
 COHERE_WORD_OFFSET = 5
+#: Nemotron multilingual tiny: language A (pure tones, "w*") at 0..15,
+#: language B (harmonic, "v*") at 16..31, lang tags <aa-AA>/<bb-BB> at 32/33,
+#: blank 34; prompt ids {auto: 0, aa-AA: 1, bb-BB: 2}
+NEMOTRON_B_OFFSET = 16
+NEMOTRON_TAG_A = 32
+NEMOTRON_TAG_B = 33
+
+
+def nemotron_tiny_enc_cfg():
+    """Streaming-conformer size for the NEMOTRON_TEST fixture (matches the
+    EOU_TEST encoder so both streaming families share convention coverage)."""
+    from fluidaudio_tpu.models.conformer_streaming import StreamingConformerConfig
+
+    return StreamingConformerConfig(
+        d_model=64, n_layers=2, n_heads=4, subsampling_channels=32,
+        att_context_left=16,
+    )
+
+
+def eval_nemotron_fixture(seed: int = 9753, n_utts: int = 6) -> dict[str, float]:
+    """The multilingual streaming contract through the FULL manager:
+    per-language WER with explicit prompts, auto-mode language detection
+    (leading <xx-XX> tag parsed + filtered from text), and forced-prefix
+    decoding (the Whisper-style hard language lock). Reference:
+    StreamingNemotronMultilingualAsrManager + FLEURS benchmark semantics."""
+    from fluidaudio_tpu.asr.streaming_nemotron import (
+        NEMOTRON_TEST, StreamingNemotronAsrManager,
+    )
+    from fluidaudio_tpu.metrics.wer import wer
+
+    ckpt = trained_assets_dir() / "nemotron"
+    mgr = StreamingNemotronAsrManager(
+        NEMOTRON_TEST, 560, language="auto",
+        enc_cfg=nemotron_tiny_enc_cfg(), checkpoint_dir=ckpt,
+    )
+    rs = np.random.RandomState(seed)
+    rates, detected = [], 0
+    langs = []
+    for u in range(n_utts):
+        lang = "a" if u % 2 == 0 else "b"
+        langs.append(lang)
+        ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 8)))
+        audio = tc.make_utterance(ids, rs, lang=lang)
+        words = (tc.word_text(i) if lang == "a" else tc.word_text_b(i)
+                 for i in ids)
+        ref = " ".join(words)
+
+        # explicit prompt for this language
+        mgr.set_language("aa-AA" if lang == "a" else "bb-BB")
+        state = mgr.make_state()
+        mgr.process(audio, state)
+        final = mgr.finish(state)
+        rates.append(wer(ref, final.text).rate)
+
+        # auto-detect mode on the same audio
+        mgr.set_language("auto")
+        state = mgr.make_state()
+        mgr.process(audio, state)
+        mgr.finish(state)
+        want = "aa-AA" if lang == "a" else "bb-BB"
+        detected += state.detected_language == want
+    return {"wer_avg": float(np.mean(rates)),
+            "lang_detect_rate": detected / n_utts}
+
+
+#: CTC fixture: 16 tone words at 0..15, blank LAST (id 16 — the parakeet-ctc
+#: head layout `KeywordSpotterConfig.blank_id`), unlike SenseVoice's blank-0
+CTC_BLANK_ID = tc.N_WORDS
+#: spotting gates: every planted term found, nothing absent spotted
+KWS_RECALL_GATE = 0.99
+KWS_PRECISION_GATE = 0.99
+
+
+def ctc_tiny_enc_cfg():
+    """Offline-conformer size for the CTC fixture — the zoo `test-tiny`
+    encoder shape, so the CtcKeywordSpotter's default graph is what trains."""
+    from fluidaudio_tpu.models.conformer import ConformerConfig
+
+    return ConformerConfig(d_model=64, n_layers=2, n_heads=4,
+                           subsampling_channels=32, dtype="float32")
+
+
+def _ctc_spotter(terms=None):
+    from fluidaudio_tpu.asr.custom_vocab.context import (
+        CustomVocabularyContext, VocabularyTerm,
+    )
+    from fluidaudio_tpu.asr.keyword_spotter import (
+        CtcKeywordSpotter, KeywordSpotterConfig,
+    )
+    from fluidaudio_tpu.asr.tokenizer import Tokenizer
+
+    ckpt = trained_assets_dir() / "ctc"
+    tok = Tokenizer.from_json(ckpt / "vocab.json")
+    ctx = CustomVocabularyContext(
+        [VocabularyTerm(text=t) for t in (terms or [])], tok,
+        min_term_length=2,
+    )
+    spotter = CtcKeywordSpotter(
+        ctx, KeywordSpotterConfig(vocab_size=tc.N_WORDS),
+        encoder_cfg=ctc_tiny_enc_cfg(), checkpoint_dir=ckpt,
+    )
+    return spotter, tok
+
+
+def eval_ctc_fixture(seed: int = 24680, n_utts: int = 3) -> dict[str, float]:
+    """Greedy CTC decode WER on the trained posteriors + prefix-beam-search
+    agreement (the CtcDecoder/ARPA stack's acoustic front, reference
+    `CtcAsrManager` greedy path + Earnings22 CTC benchmark)."""
+    import jax.numpy as jnp
+
+    from fluidaudio_tpu.metrics.wer import wer
+    from fluidaudio_tpu.ops.ctc_decode import ctc_beam_search, ctc_greedy_decode
+
+    spotter, tok = _ctc_spotter()
+    rs = np.random.RandomState(seed)
+    rates, beam_agree = [], 0
+    # 38 words ≈ 16 s: crosses the 15 s chunk boundary, so the greedy WER
+    # also covers the logmeanexp overlap-merge seam
+    for n in (6, 20, 38)[:n_utts]:
+        ids = rs.randint(0, tc.N_WORDS, size=n)
+        audio = tc.make_utterance(ids, rs)
+        canvas = spotter.log_probs(audio)
+        toks, _, counts = ctc_greedy_decode(
+            jnp.asarray(canvas)[None], jnp.array([len(canvas)]), CTC_BLANK_ID)
+        greedy_ids = [int(t) for t in np.asarray(toks[0][: int(counts[0])])]
+        rates.append(wer(tc.transcript_text(ids), tok.decode(greedy_ids)).rate)
+        beam_ids = ctc_beam_search(canvas, CTC_BLANK_ID, beam_width=4)
+        beam_agree += beam_ids == greedy_ids
+    return {"wer_avg": float(np.mean(rates)),
+            "beam_agree_rate": beam_agree / n_utts}
+
+
+def eval_ctc_spotting_fixture(seed: int = 13579) -> dict[str, float]:
+    """Functional keyword spotting through the FULL CtcKeywordSpotter path
+    (chunked 15 s windows, logmeanexp overlap merge, per-keyword DP):
+    multi-word terms planted ONCE in a long recording among disjoint
+    background words must spot at the right frames; an absent term must not
+    spot at all. Reference `WordSpotting/CtcKeywordSpotter.swift` +
+    Earnings22-KWS benchmark semantics."""
+    rs = np.random.RandomState(seed)
+    # keyword words 0..7, background words 8..15: no accidental occurrences
+    planted = [("w0 w3", [0, 3]), ("w5", [5]), ("w1 w2 w6", [1, 2, 6])]
+    absent = "w4 w7"
+    word_span = tc.WORD_SEC + tc.GAP_SEC
+
+    # 34 background + 6 planted words ≈ 17 s: the spot canvas spans two
+    # 15 s chunks, so DP search runs over a logmeanexp-merged seam
+    seq: list[int] = list(rs.randint(8, tc.N_WORDS, size=34))
+    slots = sorted(rs.choice(len(seq), size=len(planted), replace=False))
+    starts: dict[str, int] = {}  # term -> word index in final sequence
+    grown = 0
+    for slot, (term, term_ids) in zip(slots, planted):
+        pos = slot + grown
+        seq[pos:pos] = term_ids
+        starts[term] = pos
+        grown += len(term_ids)
+    audio = tc.make_utterance(np.asarray(seq), rs)
+
+    spotter, _ = _ctc_spotter([t for t, _ in planted] + [absent])
+    spots = {s.keyword: s for s in spotter.spot(audio)}
+
+    hits, timing_ok = 0, 0
+    for term, term_ids in planted:
+        s = spots.get(term)
+        if s is None:
+            continue
+        hits += 1
+        # expected encoder-frame window (80 ms frames; 0.10 s lead)
+        t0 = (0.10 + starts[term] * word_span) / 0.080
+        t1 = t0 + len(term_ids) * word_span / 0.080
+        timing_ok += (s.start_frame >= t0 - 4) and (s.end_frame <= t1 + 4)
+    false_alarms = int(absent in spots)
+    n_spots = len(spots)
+    return {
+        "recall": hits / len(planted),
+        "precision": (n_spots - false_alarms) / max(n_spots, 1),
+        "timing_rate": timing_ok / len(planted),
+    }
+
+
+# --------------------------------------------------------------------- TTS
+#: Kokoro tiny fixture conventions: tone word i renders as IPA letter
+#: 'a'+i (all 16 in the 178-symbol StyleTTS2 table); custom-lexicon entries
+#: map the text words "w0".."w15" onto them. 25 ms acoustic frames (HOP 600
+#: @ 24 kHz): a word is 12 frames of tone, the inter-word space 5 frames,
+#: the BOS/EOS pad symbol 1 frame of silence each.
+TTS_WORD_SYMBOLS = "abcdefghijklmnop"
+TTS_WORD_FRAMES = 12
+TTS_GAP_FRAMES = 5
+TTS_PAD_FRAMES = 1
+#: roundtrip gate: synthesized speech must be transcribed by the trained
+#: ASR fixture at ~0 WER (the reference's tts-asr-verify CLI contract)
+TTS_ROUNDTRIP_WER_GATE = 0.02
+
+
+def kokoro_tiny_config():
+    """Tiny KokoroConfig: full 7-stage topology (ALBERT, duration/prosody,
+    AdaIN iSTFTNet vocoder with harmonic source) at fixture scale. style_dim
+    stays 128 — the manager's voice-pack slicing contract (timbre[:128] /
+    prosody[128:]) is part of what the fixture proves."""
+    from fluidaudio_tpu.models.kokoro import KokoroConfig
+
+    return KokoroConfig(
+        d_model=64, n_layer=1,
+        albert_emb=32, albert_hidden=64, albert_heads=4, albert_inter=128,
+        albert_layers=2,
+        decoder_hidden=64, asr_res_ch=16, upsample_initial=64,
+        resblock_kernels=(3, 7), resblock_dilations=((1, 3), (1, 3)),
+        max_frames=384,
+    )
+
+
+def tts_lexicon() -> dict[str, str]:
+    """Custom-lexicon entries wiring the tone-word texts to their symbols."""
+    return {tc.word_text(i): TTS_WORD_SYMBOLS[i] for i in range(tc.N_WORDS)}
+
+
+def tts_durations(n_words: int) -> np.ndarray:
+    """Ground-truth per-token frame durations for the wrapped id sequence
+    [pad, sym, space, sym, ..., sym, pad]."""
+    out = [TTS_PAD_FRAMES]
+    for w in range(n_words):
+        out.append(TTS_WORD_FRAMES)
+        out.append(TTS_GAP_FRAMES if w + 1 < n_words else TTS_PAD_FRAMES)
+    return np.asarray(out, np.float32)
+
+
+def tts_target_audio(word_ids: np.ndarray, total_frames: int) -> np.ndarray:
+    """Construction target at 24 kHz: per-frame silence/tone layout matching
+    `tts_durations`, tone frequencies on the ASR corpus grid (`word_freq`)."""
+    from fluidaudio_tpu.models.kokoro import HOP, SAMPLE_RATE
+
+    parts = [np.zeros(TTS_PAD_FRAMES * HOP, np.float32)]
+    for k, w in enumerate(word_ids):
+        n = TTS_WORD_FRAMES * HOP
+        t = np.arange(n) / SAMPLE_RATE
+        sig = 0.35 * np.sin(2 * np.pi * tc.word_freq(int(w)) * t)
+        ramp = int(0.010 * SAMPLE_RATE)
+        env = np.ones(n, np.float32)
+        env[:ramp] = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp)
+        env[-ramp:] = env[:ramp][::-1]
+        parts.append((sig * env).astype(np.float32))
+        gap = TTS_GAP_FRAMES if k + 1 < len(word_ids) else TTS_PAD_FRAMES
+        parts.append(np.zeros(gap * HOP, np.float32))
+    audio = np.concatenate(parts)
+    out = np.zeros(total_frames * HOP, np.float32)
+    out[: min(audio.size, out.size)] = audio[: out.size]
+    return out
+
+
+def load_tts_manager():
+    from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
+
+    mgr = KokoroManager(
+        variant="english", default_voice="af_test",
+        checkpoint_dir=trained_assets_dir() / "tts",
+        config=kokoro_tiny_config(),
+    )
+    mgr.set_english_custom_lexicon(tts_lexicon())
+    return mgr
+
+
+def eval_tts_fixture(seed: int = 8642, n_utts: int = 3) -> dict[str, float]:
+    """The full synthesis contract proven functional: text -> custom-lexicon
+    G2P -> duration -> prosody/vocoder -> 24 kHz wav -> post-process, then
+    CLOSED LOOP through the trained ASR fixture after 24->16 kHz resampling —
+    the reference's `tts-asr-verify` command (`TtsAsrVerifyCommand.swift`)
+    as a hermetic quality gate. Also reports mean absolute duration error
+    in frames (rounding-safe is < 0.5)."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.zoo import AsrModels
+    from fluidaudio_tpu.tts.roundtrip import tts_asr_roundtrip
+
+    tts = load_tts_manager()
+    asr = AsrManager(
+        AsrModels.load("test-tiny", checkpoint_dir=trained_assets_dir() / "asr",
+                       allow_random_init=False),
+        ASRConfig(),
+    )
+    rs = np.random.RandomState(seed)
+    rates, dur_errs = [], []
+    for u in range(n_utts):
+        ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 9)))
+        text = tc.transcript_text(ids)
+        # the PUBLIC roundtrip harness: synthesize -> resample 24->16 kHz ->
+        # transcribe -> normalized WER (peak-normalized synth level is fine:
+        # the ASR mel is per_feature-normalized, so gain cancels)
+        rates.append(tts_asr_roundtrip(tts, asr, text).wer)
+
+        # duration head accuracy on the same phoneme sequence
+        import jax.numpy as jnp
+
+        phonemes = " ".join(TTS_WORD_SYMBOLS[int(i)] for i in ids)
+        tok = [0, *tts.encode_phonemes(phonemes), 0]
+        tokens = np.zeros((1, 32), np.int32)
+        tokens[0, : len(tok)] = tok
+        pack = tts.voices["af_test"]
+        dur, _, _ = tts._text_fn(
+            tts.params["text"], jnp.asarray(tokens),
+            jnp.asarray([len(tok)], jnp.int32),
+            jnp.asarray(pack[len(phonemes) - 1][128:][None, :]),
+            jnp.float32(1.0),
+        )
+        want = tts_durations(len(ids))
+        got = np.asarray(dur[0][: len(tok)])
+        dur_errs.append(float(np.abs(got - want).mean()))
+    return {"roundtrip_wer_avg": float(np.mean(rates)),
+            "dur_mae_frames": float(np.mean(dur_errs))}
 
 
 def cohere_tiny_config():

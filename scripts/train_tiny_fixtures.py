@@ -537,6 +537,397 @@ def eval_cohere(_: Path) -> float:
     return w
 
 
+# ------------------------------------------------------------- nemotron
+
+
+def train_nemotron(steps: int, batch: int = 8, lr: float = 2e-3,
+                   seed: int = 0) -> Path:
+    """Trained multilingual streaming Nemotron fixture.
+
+    Two synthetic languages (pure-tone A words / harmonic B words) + leading
+    `<xx-XX>` language-tag labels + additive prompt conditioning: each sample
+    trains under its own language prompt half the time and the auto prompt
+    half the time, so explicit prompting AND acoustic auto-detection both
+    work at decode. Same per-chunk cache-carrying scan as the EOU trainer,
+    at the 560 ms Nemotron tier."""
+    import json
+
+    from fluidaudio_tpu.asr.streaming_eou import MEL_HOP, MEL_WIN
+    from fluidaudio_tpu.asr.streaming_nemotron import NEMOTRON_TEST, _PromptedEncoder
+    from fluidaudio_tpu.models.conformer_streaming import init_caches
+    from fluidaudio_tpu.models.predictor import (
+        PredictorConfig, RnntJoint, RnntPredictor,
+    )
+    from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+    from fluidaudio_tpu.train import fixtures as fx
+    from fluidaudio_tpu.train.transducer_loss import rnnt_loss
+
+    spec = NEMOTRON_TEST
+    cfg = fx.nemotron_tiny_enc_cfg()
+    n_prompts = 4
+    chunk_samples = 560 * 16000 // 1000  # 8960 (the smallest Nemotron tier)
+    mel_frames = chunk_samples // MEL_HOP  # 56
+    n_chunks = 8  # 4.48 s window
+    window = n_chunks * chunk_samples + (MEL_WIN - MEL_HOP)
+    T = n_chunks * (mel_frames // 8)
+    max_words = 7
+    u_max = max_words + 1  # + leading lang tag
+
+    encoder = _PromptedEncoder(cfg, n_prompts)
+    pcfg = PredictorConfig(
+        vocab_size=spec.vocab_size, pred_hidden=spec.pred_hidden, n_layers=1,
+        enc_hidden=cfg.d_model, joint_hidden=spec.joint_hidden, n_durations=0,
+    )
+    predictor = RnntPredictor(pcfg)
+    joint = RnntJoint(pcfg)
+    mel = MelFrontend(MelConfig(center=False, normalize=None))
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    params = {
+        "encoder": jax.jit(encoder.init)(
+            k1, jnp.zeros((1, cfg.n_mels, mel_frames), jnp.float32),
+            init_caches(cfg, 1), jnp.zeros((1,), jnp.int32),
+        ),
+        "predictor": jax.jit(predictor.init)(
+            k2, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 1, pcfg.pred_hidden)),
+            jnp.zeros((1, 1, pcfg.pred_hidden)),
+        ),
+        "joint": jax.jit(joint.init)(
+            k3, jnp.zeros((1, cfg.d_model)), jnp.zeros((1, pcfg.pred_hidden)),
+        ),
+    }
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps))
+    opt_state = tx.init(params)
+
+    def loss_fn(p, audio, prompts, labels, label_lens, tag_min):
+        B = audio.shape[0]
+        m, _ = mel(audio, jnp.full((B,), audio.shape[1], jnp.int32))
+        m = m[:, :, : n_chunks * mel_frames]
+        chunks = jnp.transpose(
+            m.reshape(B, cfg.n_mels, n_chunks, mel_frames), (2, 0, 1, 3))
+
+        def enc_step(caches, mel_chunk):
+            out, new_caches = encoder.apply(p["encoder"], mel_chunk, caches,
+                                            prompts)
+            return new_caches, out
+
+        _, outs = jax.lax.scan(enc_step, init_caches(cfg, B), chunks)
+        f = jnp.transpose(outs, (1, 0, 2, 3)).reshape(B, T, cfg.d_model)
+
+        U = labels.shape[1]
+        toks = jnp.concatenate(
+            [jnp.full((B, 1), pcfg.blank_id, jnp.int32), labels], axis=1)
+        h0 = jnp.zeros((pcfg.n_layers, B, pcfg.pred_hidden))
+
+        def pred_step(carry, tok):
+            h, c = carry
+            g, h2, c2 = predictor.apply(p["predictor"], tok, h, c)
+            return (h2, c2), g
+
+        _, gs = jax.lax.scan(pred_step, (h0, h0), jnp.transpose(toks))
+        g = jnp.transpose(gs, (1, 0, 2))
+
+        logits = joint.apply(p["joint"], f[:, :, None, :], g[:, None, :, :])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        # RNN-T alignment freedom would let the leading <xx-XX> tag be
+        # consumed at t=0 — off leading SILENCE, before any acoustic
+        # evidence — so under the auto prompt the model would learn the
+        # class prior, not the acoustics (measured: auto detect collapsed
+        # to one language at 50%). Forbid consuming labels[:,0] (the tag,
+        # the u=0 lattice row) before `tag_min` frames (the first word's
+        # audio): the tag posterior is then only ever reinforced where the
+        # language is audible. The EOU deadline lesson, mirrored.
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        gate = (t_idx[None, :] < tag_min[:, None]).astype(logp.dtype)  # [B,T]
+        tag_onehot = jax.nn.one_hot(labels[:, 0], logits.shape[-1],
+                                    dtype=logp.dtype)  # [B,V]
+        logp = logp.at[:, :, 0, :].add(
+            -1e4 * gate[:, :, None] * tag_onehot[:, None, :])
+        t_len = jnp.full((B,), T, jnp.int32)
+        nll = rnnt_loss(logp, labels, t_len, label_lens, pcfg.blank_id)
+        return jnp.mean(nll / jnp.maximum(label_lens, 1))
+
+    @jax.jit
+    def step_fn(p, o, audio, prompts, labels, label_lens, tag_min):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            p, audio, prompts, labels, label_lens, tag_min)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss
+
+    rs = np.random.RandomState(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        audio = np.zeros((batch, window), np.float32)
+        prompts = np.zeros((batch,), np.int32)
+        labels = np.zeros((batch, u_max), np.int32)
+        lens = np.zeros((batch,), np.int32)
+        tag_min = np.zeros((batch,), np.int32)
+        for r in range(batch):
+            lang_b = bool(rs.randint(0, 2))
+            n = int(rs.randint(2, max_words + 1))
+            ids = rs.randint(0, tc.N_WORDS, size=n)
+            utt = tc.make_utterance(ids, rs, lang="b" if lang_b else "a")[:window]
+            off = int(rs.randint(0, window - utt.size + 1))
+            audio[r, off : off + utt.size] = utt
+            labels[r, 0] = fx.NEMOTRON_TAG_B if lang_b else fx.NEMOTRON_TAG_A
+            labels[r, 1 : 1 + n] = ids + (fx.NEMOTRON_B_OFFSET if lang_b else 0)
+            lens[r] = n + 1
+            # half explicit language prompt, half auto (prompt 0)
+            prompts[r] = (2 if lang_b else 1) if rs.rand() < 0.5 else 0
+            # tag consumable only once half the first word is audible
+            # (encoder frame = 8 mel hops = 80 ms)
+            tag_min[r] = int((off / tc.SR + 0.10 + tc.WORD_SEC / 2) / 0.080)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(audio), jnp.asarray(prompts),
+            jnp.asarray(labels), jnp.asarray(lens), jnp.asarray(tag_min),
+        )
+        if i % 50 == 0 or i == steps - 1:
+            print(f"nemotron step {i}: loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    out = ASSETS / "nemotron"
+    out.mkdir(parents=True, exist_ok=True)
+    for part in ("encoder", "predictor", "joint"):
+        save_params(out / f"{part}.npz", jax.device_get(params[part]))
+    vocab = {i: "▁" + tc.word_text(i) for i in range(tc.N_WORDS)}
+    vocab.update({fx.NEMOTRON_B_OFFSET + i: "▁" + tc.word_text_b(i)
+                  for i in range(tc.N_WORDS)})
+    vocab[fx.NEMOTRON_TAG_A] = "<aa-AA>"
+    vocab[fx.NEMOTRON_TAG_B] = "<bb-BB>"
+    (out / "vocab.json").write_text(json.dumps(
+        {str(k): v for k, v in sorted(vocab.items())}, ensure_ascii=False))
+    (out / "metadata.json").write_text(json.dumps({
+        "num_prompts": n_prompts,
+        "default_prompt_id": 0,
+        "prompt_dictionary": {"auto": 0, "aa-AA": 1, "bb-BB": 2},
+        "lang_tag_token_ids": [fx.NEMOTRON_TAG_A, fx.NEMOTRON_TAG_B],
+    }))
+    print(f"nemotron checkpoint -> {out}")
+    return out
+
+
+def eval_nemotron(_: Path) -> float:
+    from fluidaudio_tpu.train import fixtures as fx
+
+    scores = fx.eval_nemotron_fixture()
+    print(f"nemotron eval avg WER {scores['wer_avg']*100:.2f}%, "
+          f"lang detect rate {scores['lang_detect_rate']*100:.0f}%")
+    return scores["wer_avg"]
+
+
+# ------------------------------------------------------------------ ctc
+
+
+def train_ctc(steps: int, batch: int = 8, lr: float = 2e-3, seed: int = 0) -> Path:
+    """Trained CTC fixture for the keyword-spotting / CTC-decode stack.
+
+    The zoo test-tiny conformer + a linear CTC head (blank LAST, id 16 —
+    the parakeet-ctc layout `KeywordSpotterConfig.blank_id`) trained with
+    `optax.ctc_loss` via the in-repo `parallel.train` step on the 16-tone-word
+    corpus at the CtcKeywordSpotter's exact 15 s chunk window, under the
+    spotter's own mel frontend (per_feature). Proves the Earnings22-KWS path
+    functional: greedy/beam decode ~0 WER and DP keyword spotting."""
+    from dataclasses import replace
+
+    from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+    from fluidaudio_tpu.parallel.train import create_train_state, make_train_step
+    from fluidaudio_tpu.train import fixtures as fx
+
+    window = 240_000  # CtcKeywordSpotter CHUNK_SAMPLES
+    cfg = replace(fx.ctc_tiny_enc_cfg(), attention_backend="xla")
+    mel = MelFrontend(MelConfig(normalize="per_feature"))
+    mel_frames = window // 160 + 1
+
+    rng = jax.random.PRNGKey(seed)
+    state, encoder, tx = create_train_state(rng, cfg, tc.N_WORDS, mel_frames, lr)
+    step_fn = jax.jit(make_train_step(encoder, tx, blank_id=fx.CTC_BLANK_ID))
+    mel_fn = jax.jit(lambda a, l: mel(a, l))
+
+    rs = np.random.RandomState(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        b = tc.asr_batch(rs, batch, window)
+        m, mlen = mel_fn(jnp.asarray(b["audio"]), jnp.asarray(b["audio_lengths"]))
+        state, metrics = step_fn(
+            state,
+            {
+                "mel": m,
+                "mel_lengths": mlen,
+                "labels": jnp.asarray(b["labels"]),
+                "label_lengths": jnp.asarray(b["label_lengths"]),
+            },
+        )
+        if i % 25 == 0 or i == steps - 1:
+            print(f"ctc step {i}: loss {float(metrics['loss']):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    out = ASSETS / "ctc"
+    out.mkdir(parents=True, exist_ok=True)
+    save_params(out / "encoder.npz", jax.device_get(state.params["encoder"]))
+    np.savez(out / "ctc_head.npz", head=np.asarray(state.params["ctc_head"]))
+    import json
+
+    (out / "vocab.json").write_text(json.dumps(
+        {str(i): "▁" + tc.word_text(i) for i in range(tc.N_WORDS)},
+        ensure_ascii=False))
+    print(f"ctc checkpoint -> {out}")
+    return out
+
+
+def eval_ctc(_: Path) -> float:
+    from fluidaudio_tpu.train import fixtures as fx
+
+    d = fx.eval_ctc_fixture()
+    s = fx.eval_ctc_spotting_fixture()
+    print(f"ctc eval WER {d['wer_avg']*100:.2f}%, beam agree "
+          f"{d['beam_agree_rate']*100:.0f}%, KWS recall {s['recall']*100:.0f}% "
+          f"precision {s['precision']*100:.0f}% timing {s['timing_rate']*100:.0f}%")
+    return d["wer_avg"]
+
+
+# ------------------------------------------------------------------ tts
+
+
+def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Path:
+    """Trained tiny Kokoro fixture — the TTS side of the functional proof.
+
+    The REAL Kokoro graph (ALBERT + duration head + prosody/F0 + AdaIN
+    iSTFTNet vocoder with harmonic source, `models/kokoro.py`) at fixture
+    scale, trained jointly: duration MSE on the ground-truth frame layout +
+    log-mel L1 between the vocoded waveform (teacher-forced alignment from
+    true durations) and the constructed 24 kHz tone-word target. The closed
+    loop — synthesize text, resample 24->16 kHz, transcribe with the trained
+    ASR fixture — is the reference's `tts-asr-verify` contract as a hermetic
+    quality gate."""
+    from fluidaudio_tpu.models.kokoro import (
+        HOP, KokoroAudioProgram, KokoroTextProgram,
+    )
+    from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
+    from fluidaudio_tpu.train import fixtures as fx
+    from fluidaudio_tpu.tts.kokoro_manager import VOICE_PACK_ROWS, VOCAB
+
+    cfg = fx.kokoro_tiny_config()
+    text_prog = KokoroTextProgram(cfg)
+    audio_prog = KokoroAudioProgram(cfg)
+    sym_ids = [VOCAB[c] for c in fx.TTS_WORD_SYMBOLS]
+    space_id = VOCAB[" "]
+
+    T_pad, F_pad, max_words = 32, 160, 8
+
+    # one fixed synthetic voice; rows identical (length-bucket invariant)
+    style_row = (np.random.RandomState(4242).randn(256) * 0.2).astype(np.float32)
+    style_s = jnp.asarray(np.tile(style_row[128:], (batch, 1)))
+    style_t = jnp.asarray(np.tile(style_row[:128], (batch, 1)))
+
+    # loss features: log-mel at the native 24 kHz (tones are narrowband;
+    # phase is free — the harmonic source's random initial phase must not
+    # be penalized)
+    loss_mel = MelFrontend(MelConfig(
+        sample_rate=24_000, n_fft=512, win_length=480, hop_length=120,
+        n_mels=80, normalize=None))
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    ids0 = jnp.zeros((batch, T_pad), jnp.int32)
+    len0 = jnp.full((batch,), T_pad, jnp.int32)
+    params = {
+        "text": jax.jit(text_prog.init)(k1, ids0, len0, style_s),
+        "audio": jax.jit(audio_prog.init)(
+            {"params": k2, "noise": k3},
+            jnp.zeros((batch, T_pad, cfg.d_model + cfg.style_dim)),
+            jnp.zeros((batch, T_pad, cfg.d_model)),
+            jnp.zeros((batch, F_pad), jnp.int32),
+            jnp.full((batch,), F_pad, jnp.int32),
+            style_s, style_t,
+        ),
+    }
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps))
+    opt_state = tx.init(params)
+
+    def loss_fn(p, tokens, tok_lens, dur_tgt, dur_mask, frame_idx, n_frames,
+                target, key):
+        dur, d, t_en = text_prog.apply(p["text"], tokens, tok_lens, style_s)
+        dur_loss = jnp.sum(((dur - dur_tgt) ** 2) * dur_mask) / jnp.sum(dur_mask)
+        audio = audio_prog.apply(
+            p["audio"], d, t_en, frame_idx, n_frames, style_s, style_t,
+            rngs={"noise": key})
+        smask = (jnp.arange(F_pad * HOP)[None, :]
+                 < (n_frames * HOP)[:, None]).astype(audio.dtype)
+        lens = jnp.full((batch,), F_pad * HOP, jnp.int32)
+        mel_pred, _ = loss_mel(audio * smask, lens)
+        mel_tgt, _ = loss_mel(target, lens)
+        mel_loss = jnp.mean(jnp.abs(mel_pred - mel_tgt))
+        return mel_loss + 0.05 * dur_loss, (mel_loss, dur_loss)
+
+    @jax.jit
+    def step_fn(p, o, tokens, tok_lens, dur_tgt, dur_mask, frame_idx,
+                n_frames, target, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, tokens, tok_lens, dur_tgt, dur_mask, frame_idx, n_frames,
+            target, key)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss, aux
+
+    rs = np.random.RandomState(seed + 1)
+    key = jax.random.PRNGKey(seed + 2)
+    t0 = time.time()
+    for i in range(steps):
+        tokens = np.zeros((batch, T_pad), np.int32)
+        tok_lens = np.zeros((batch,), np.int32)
+        dur_tgt = np.zeros((batch, T_pad), np.float32)
+        dur_mask = np.zeros((batch, T_pad), np.float32)
+        frame_idx = np.zeros((batch, F_pad), np.int32)
+        n_frames = np.zeros((batch,), np.int32)
+        target = np.zeros((batch, F_pad * HOP), np.float32)
+        for r in range(batch):
+            n = int(rs.randint(1, max_words + 1))
+            ids = rs.randint(0, tc.N_WORDS, size=n)
+            seq = [0]
+            for k_, w in enumerate(ids):
+                seq.append(sym_ids[int(w)])
+                if k_ + 1 < n:
+                    seq.append(space_id)
+            seq.append(0)
+            tokens[r, : len(seq)] = seq
+            tok_lens[r] = len(seq)
+            durs = fx.tts_durations(n)
+            dur_tgt[r, : len(seq)] = durs
+            dur_mask[r, : len(seq)] = 1.0
+            total = int(durs.sum())
+            frame_idx[r, :total] = np.repeat(
+                np.arange(len(seq), dtype=np.int32), durs.astype(np.int64))
+            n_frames[r] = total
+            target[r] = fx.tts_target_audio(ids, F_pad)[: F_pad * HOP]
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, aux = step_fn(
+            params, opt_state, jnp.asarray(tokens), jnp.asarray(tok_lens),
+            jnp.asarray(dur_tgt), jnp.asarray(dur_mask),
+            jnp.asarray(frame_idx), jnp.asarray(n_frames),
+            jnp.asarray(target), sub)
+        if i % 50 == 0 or i == steps - 1:
+            print(f"tts step {i}: loss {float(loss):.4f} "
+                  f"(mel {float(aux[0]):.4f} dur {float(aux[1]):.4f}) "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    out = ASSETS / "tts"
+    out.mkdir(parents=True, exist_ok=True)
+    save_params(out / "text.npz", jax.device_get(params["text"]))
+    save_params(out / "audio.npz", jax.device_get(params["audio"]))
+    np.savez(out / "voices.npz",
+             af_test=np.tile(style_row[None, :], (VOICE_PACK_ROWS, 1)))
+    print(f"tts checkpoint -> {out}")
+    return out
+
+
+def eval_tts(_: Path) -> float:
+    from fluidaudio_tpu.train import fixtures as fx
+
+    d = fx.eval_tts_fixture()
+    print(f"tts eval roundtrip WER {d['roundtrip_wer_avg']*100:.2f}%, "
+          f"duration MAE {d['dur_mae_frames']:.3f} frames")
+    return d["roundtrip_wer_avg"]
+
+
 # -------------------------------------------------------------- offline
 
 
@@ -647,7 +1038,17 @@ def train_offline(steps: int, batch: int = 8, lr: float = 1e-3,
         mel, _ = fbank(audio)
         mel_t = jnp.transpose(mel, (0, 2, 1))
         emb = embedder.apply(p["emb"], mel_t, masks)
-        logits = emb @ p["head"]
+        # AM-softmax (wespeaker's own training objective): cosine logits
+        # with an additive margin. Plain CE separates via a hyperplane but
+        # leaves inter-class COSINE similarity high — and the downstream
+        # AHC warm start clusters on cosine (ahc.py), so margin training is
+        # a functional requirement, not a nicety (first run: mean inter-
+        # class cos 0.70 > the 0.4 merge threshold -> 1 cluster, DER 45%).
+        e = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
+        w = p["head"] / (jnp.linalg.norm(p["head"], axis=0, keepdims=True) + 1e-6)
+        cos = e @ w  # [B, 2]
+        onehot = jax.nn.one_hot(labels, 2)
+        logits = 10.0 * (cos - 0.3 * onehot)
         logp = jax.nn.log_softmax(logits, axis=-1)
         return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
@@ -963,7 +1364,7 @@ def eval_eou(_: Path) -> float:
 
 def main() -> int:
     families = ["asr", "vad", "sortformer", "sensevoice", "paraformer",
-                "cohere", "eou", "lseend", "offline"]
+                "cohere", "eou", "lseend", "offline", "nemotron", "ctc", "tts"]
     ap = argparse.ArgumentParser()
     ap.add_argument("family", nargs="?", default="all",
                     choices=families + ["all", "core"])
@@ -979,17 +1380,20 @@ def main() -> int:
         fams = [args.family]
     defaults = {"asr": 700, "vad": 3000, "sortformer": 500,
                 "sensevoice": 1500, "paraformer": 1500, "cohere": 1500,
-                "eou": 1800, "lseend": 1200, "offline": 800}
+                "eou": 1800, "lseend": 1200, "offline": 800,
+                "nemotron": 2400, "ctc": 600, "tts": 3000}
     train_fns = {"asr": train_asr, "vad": train_vad,
                  "sortformer": train_sortformer, "sensevoice": train_sensevoice,
                  "paraformer": train_paraformer, "cohere": train_cohere,
                  "eou": train_eou, "lseend": train_lseend,
-                 "offline": train_offline}
+                 "offline": train_offline, "nemotron": train_nemotron,
+                 "ctc": train_ctc, "tts": train_tts}
     eval_fns = {"asr": eval_asr, "vad": eval_vad,
                 "sortformer": eval_sortformer, "sensevoice": eval_sensevoice,
                 "paraformer": eval_paraformer, "cohere": eval_cohere,
                 "eou": eval_eou, "lseend": eval_lseend,
-                "offline": eval_offline}
+                "offline": eval_offline, "nemotron": eval_nemotron,
+                "ctc": eval_ctc, "tts": eval_tts}
     print(f"backend: {jax.default_backend()}")
     for fam in fams:
         steps = args.steps or defaults[fam]

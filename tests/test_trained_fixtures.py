@@ -215,6 +215,63 @@ class TestTrainedParaformer:
             assert len(result.text.split()) == n, (n, result.text)
 
 
+class TestTrainedNemotron:
+    """Multilingual streaming contract proven functional: per-language WER
+    under explicit prompt conditioning, acoustic auto language detection
+    (leading <xx-XX> tag parsed + filtered), forced-prefix decoding, and
+    prompt switching without recompilation (the prompt id is traced data).
+    Reference: StreamingNemotronMultilingualAsrManager + the FLEURS
+    benchmark's forcedPrefix semantics."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("nemotron"),
+        reason="trained nemotron fixture not committed",
+    )
+
+    def test_wer_below_gate_and_autodetect(self):
+        scores = fx.eval_nemotron_fixture()
+        assert scores["wer_avg"] <= fx.ASR_WER_GATE, scores
+        assert scores["lang_detect_rate"] >= 0.99, scores
+
+    def test_tag_not_in_text_and_forced_prefix(self):
+        from fluidaudio_tpu.asr.streaming_nemotron import (
+            NEMOTRON_TEST, StreamingNemotronAsrManager,
+        )
+
+        mgr = StreamingNemotronAsrManager(
+            NEMOTRON_TEST, 560, language="auto",
+            enc_cfg=fx.nemotron_tiny_enc_cfg(),
+            checkpoint_dir=fx.trained_assets_dir() / "nemotron")
+        rs = np.random.RandomState(91)
+        ids = rs.randint(0, tc.N_WORDS, size=4)
+        audio = tc.make_utterance(ids, rs, lang="b")
+
+        # forced-prefix decode: seed the decoder with <bb-BB> (hard lock)
+        tag = mgr.lang_tag_token("bb-BB")
+        assert tag is not None
+        state = mgr.make_state(forced_prefix=tag)
+        mgr.process(audio, state)
+        final = mgr.finish(state)
+        assert "<" not in final.text  # tags never leak into the transcript
+        want = " ".join(tc.word_text_b(int(i)) for i in ids)
+        assert final.text == want
+
+    def test_prompt_switching_changes_no_compile(self):
+        from fluidaudio_tpu.asr.streaming_nemotron import (
+            NEMOTRON_TEST, StreamingNemotronAsrManager,
+        )
+
+        mgr = StreamingNemotronAsrManager(
+            NEMOTRON_TEST, 560, language="aa-AA",
+            enc_cfg=fx.nemotron_tiny_enc_cfg(),
+            checkpoint_dir=fx.trained_assets_dir() / "nemotron")
+        assert mgr.prompt_id == 1
+        mgr.set_language("bb-BB")
+        assert mgr.prompt_id == 2
+        mgr.set_language(None)
+        assert mgr.prompt_id == 0  # back to auto/default
+
+
 class TestTrainedOfflineDiarizer:
     """The multi-stage offline pipeline proven functional end to end:
     batched powerset segmentation -> overlap-suppressed masked embeddings ->
@@ -374,3 +431,95 @@ class TestTrainedCohere:
         result = mgr.transcribe(tc.make_utterance(ids, rs))
         # 3 words in, exactly 3 words out: EOS fired, cap (14 words) did not
         assert result.text == tc.transcript_text(ids)
+
+
+class TestTrainedCtcSpotting:
+    """CTC decode + keyword-spotting stack proven functional on trained
+    posteriors: greedy/beam decode at ~0 WER, DP spotting of multi-word
+    terms at the right frames, absent terms rejected — the Earnings22-KWS
+    path (reference `WordSpotting/CtcKeywordSpotter.swift` + CtcEarnings
+    benchmark), chunked 15 s windows with logmeanexp seam merge included."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("ctc"),
+        reason="trained ctc fixture not committed",
+    )
+
+    def test_greedy_and_beam_wer_below_gate(self):
+        d = fx.eval_ctc_fixture()
+        assert d["wer_avg"] <= fx.ASR_WER_GATE, d
+        assert d["beam_agree_rate"] == 1.0, d
+
+    def test_spotting_recall_precision_timing(self):
+        s = fx.eval_ctc_spotting_fixture()
+        assert s["recall"] >= fx.KWS_RECALL_GATE, s
+        assert s["precision"] >= fx.KWS_PRECISION_GATE, s
+        assert s["timing_rate"] >= fx.KWS_RECALL_GATE, s
+
+    def test_rescorer_accepts_spot_confirmation(self):
+        """A CTC spot relaxes the TDT rescorer's similarity gate
+        (spot-confirmation relief): the spotted term must splice into the
+        token stream via its pretokenized ids."""
+        from fluidaudio_tpu.asr.custom_vocab.context import (
+            CustomVocabularyContext, VocabularyTerm,
+        )
+        from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+            TokenWindow, VocabularyRescorer,
+        )
+        from fluidaudio_tpu.asr.tokenizer import Tokenizer
+
+        tok = Tokenizer.from_json(fx.trained_assets_dir() / "ctc" / "vocab.json")
+        ctx = CustomVocabularyContext(
+            [VocabularyTerm(text="w0 w3")], tok, min_term_length=2)
+        spotter, _ = fx._ctc_spotter(["w0 w3"])
+        rs = np.random.RandomState(5)
+        seq = [9, 0, 3, 11]
+        audio = tc.make_utterance(np.asarray(seq), rs)
+        spots = spotter.spot(audio)
+        assert [s.keyword for s in spots] == ["w0 w3"]
+        tokens = [TokenWindow(i, t, 0.9) for t, i in enumerate(seq)]
+        out = VocabularyRescorer(ctx, tok).rescore(tokens, spots=spots)
+        assert [t.token for t in out.tokens] == seq  # already exact: unchanged
+
+
+class TestTrainedTts:
+    """TTS side of the functional proof: the trained tiny Kokoro fixture
+    synthesizes the tone-word language through the FULL KokoroManager path
+    (custom-lexicon G2P, duration rounding + frame expansion, prosody/
+    vocoder, post-process, peak normalization) and the result is verified
+    CLOSED-LOOP by the trained ASR fixture after 24->16 kHz resampling —
+    the reference `tts-asr-verify` command as a hermetic gate."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("tts", "asr"),
+        reason="trained tts fixture not committed",
+    )
+
+    def test_roundtrip_wer_and_duration(self):
+        d = fx.eval_tts_fixture()
+        assert d["roundtrip_wer_avg"] <= fx.TTS_ROUNDTRIP_WER_GATE, d
+        assert d["dur_mae_frames"] < 0.5, d  # rounding-safe durations
+
+    def test_synthesize_from_phonemes_matches_text_path(self):
+        tts = fx.load_tts_manager()
+        rs = np.random.RandomState(3)
+        ids = rs.randint(0, tc.N_WORDS, size=3)
+        text = tc.transcript_text(ids)
+        phonemes = " ".join(fx.TTS_WORD_SYMBOLS[int(i)] for i in ids)
+        assert tts.phonemes_for(text) == phonemes
+        a = tts.synthesize(text).samples
+        b = tts.synthesize_from_phonemes(phonemes).samples
+        np.testing.assert_array_equal(a, b)
+
+    def test_output_is_tonal_at_word_frequencies(self):
+        """Direct spectral check, independent of the ASR loop: the dominant
+        frequency of each synthesized word must be its construction tone."""
+        tts = fx.load_tts_manager()
+        for w in (0, 7, 15):
+            r = tts.synthesize(tc.word_text(w))
+            x = r.samples
+            # trim pad frames, keep the tone body
+            body = x[int(0.05 * 24000): int(0.28 * 24000)]
+            spec = np.abs(np.fft.rfft(body * np.hanning(body.size)))
+            f_peak = np.argmax(spec) * 24000 / body.size
+            assert abs(f_peak - tc.word_freq(w)) < 40.0, (w, f_peak)
