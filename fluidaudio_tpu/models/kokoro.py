@@ -82,6 +82,12 @@ class KokoroConfig:
     gen_hop: int = 5
     max_frames: int = MAX_FRAMES
     dtype: str = "float32"
+    # output scale of the prosody F0 head, in Hz per unit of raw head
+    # output. The shipping kokoro-v1_0 weights emit Hz directly (1.0);
+    # trained-from-scratch fixture configs set ~500 so a 1x1-conv head with
+    # O(1) activations can reach the fixture corpus's multi-kHz tones
+    # within Adam-sized steps (gradient conditioning, not a graph change).
+    f0_scale: float = 1.0
 
     @property
     def compute_dtype(self):
@@ -439,7 +445,10 @@ class Prosody(nn.Module):
             mask2 = jnp.repeat(mask, 2, axis=1)
             h = AdainResBlk1d(d // 2, d // 2, name=f"{head}_2")(h, s, mask2)
             h = nn.Conv(1, (1,), name=f"{head}_proj")(h)
-            outs.append(h[..., 0] * mask2[..., 0])
+            # Prosody is shared with StyleTTS2, whose config carries no
+            # f0_scale (it always ships real weights; Hz head, scale 1)
+            scale = getattr(cfg, "f0_scale", 1.0) if head == "f0" else 1.0
+            outs.append(h[..., 0] * mask2[..., 0] * scale)
         return outs[0], outs[1]
 
 
@@ -552,7 +561,10 @@ class Generator(nn.Module):
         x = nn.leaky_relu(x, 0.01)
         x = nn.Conv(cfg.gen_n_fft + 2, (7,), padding=3, name="conv_post")(x)
         n_bins = cfg.gen_n_fft // 2 + 1
-        spec = jnp.exp(x[..., :n_bins])
+        # numeric guard: log-magnitudes of real audio in a 20-point STFT sit
+        # well inside (-30, 8); clipping only prevents inf/NaN at random init
+        # (exp(8)=2981 would already be a ~300x-over-full-scale waveform)
+        spec = jnp.exp(jnp.clip(x[..., :n_bins], -30.0, 8.0))
         phase = jnp.sin(x[..., n_bins:])
         return istft_20(spec, phase, cfg.gen_n_fft, cfg.gen_hop)
 
@@ -571,8 +583,14 @@ class Decoder(nn.Module):
         B, F, _ = asr.shape
         mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(asr.dtype)
 
+        # Feature branch sees F0 in units of f0_scale (O(1) for the trained
+        # fixture configs; f0_scale=1.0 for the shipping weights makes this
+        # an identity). The Hz-scale curve still drives the harmonic source
+        # below — only the conv FEATURE conditioning is normalized, which is
+        # what kept fixture training from exploding (raw multi-kHz values as
+        # conv inputs put the log-magnitude head's exp() past float range).
         f0 = nn.Conv(1, (3,), strides=(2,), padding=1, name="f0_conv")(
-            f0_curve[..., None]
+            (f0_curve / cfg.f0_scale)[..., None]
         )
         nn_ = nn.Conv(1, (3,), strides=(2,), padding=1, name="n_conv")(
             n_curve[..., None]
@@ -610,15 +628,23 @@ class KokoroAudioProgram(nn.Module):
     deterministic: bool = False
 
     @nn.compact
-    def __call__(self, d, t_en, frame_idx, n_frames, style_s, style_timbre):
+    def __call__(self, d, t_en, frame_idx, n_frames, style_s, style_timbre,
+                 with_prosody: bool = False):
         B, F = frame_idx.shape
         mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(d.dtype)
         en = jnp.take_along_axis(d, frame_idx[..., None], axis=1) * mask
         asr = jnp.take_along_axis(t_en, frame_idx[..., None], axis=1) * mask
         f0, n_ = Prosody(self.cfg, name="prosody")(en, style_s, n_frames)
-        return Decoder(self.cfg, deterministic=self.deterministic, name="decoder")(
+        audio = Decoder(self.cfg, deterministic=self.deterministic, name="decoder")(
             asr, f0, n_, style_timbre, n_frames
         )
+        if with_prosody:
+            # training hook: expose the F0/N tracks (2x frame rate) so a
+            # fixture/finetune loss can supervise pitch directly — the
+            # `uv = f0 > threshold` gate in SourceModule has zero gradient,
+            # so F0 is unlearnable from a spectral loss alone.
+            return audio, f0, n_
+        return audio
 
 
 # ---------------------------------------------------------------------------

@@ -803,7 +803,6 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
     from fluidaudio_tpu.models.kokoro import (
         HOP, KokoroAudioProgram, KokoroTextProgram,
     )
-    from fluidaudio_tpu.ops.mel import MelConfig, MelFrontend
     from fluidaudio_tpu.train import fixtures as fx
     from fluidaudio_tpu.tts.kokoro_manager import VOICE_PACK_ROWS, VOCAB
 
@@ -820,12 +819,47 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
     style_s = jnp.asarray(np.tile(style_row[128:], (batch, 1)))
     style_t = jnp.asarray(np.tile(style_row[:128], (batch, 1)))
 
-    # loss features: log-mel at the native 24 kHz (tones are narrowband;
-    # phase is free — the harmonic source's random initial phase must not
-    # be penalized)
-    loss_mel = MelFrontend(MelConfig(
-        sample_rate=24_000, n_fft=512, win_length=480, hop_length=120,
-        n_mels=80, normalize=None))
+    # loss features: multi-resolution STFT magnitudes at the native 24 kHz.
+    # Phase stays free (the harmonic source's random initial phase must not
+    # be penalized), but magnitudes are compared LINEARLY (spectral
+    # convergence) as well as in log: a log-mel-only loss let silence be a
+    # local optimum — the tones are narrowband, so muting them costs ~3 of
+    # 80 mel bins while broadband attempts cost all 80, and the round-4
+    # checkpoint collapsed to exactly that (words at rms 0.0000). Linear
+    # magnitude L1 + SC is the standard discriminator-free vocoder recipe
+    # (Parallel WaveGAN aux loss) and weights the tone bins by their actual
+    # energy.
+    def stft_mag(x, n_fft, hop):
+        L = x.shape[-1]
+        nf = 1 + (L - n_fft) // hop
+        idx = np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]
+        frames = x[:, idx] * jnp.asarray(np.hanning(n_fft), x.dtype)
+        z = jnp.fft.rfft(frames, axis=-1)
+        # sqrt(|z|^2 + eps), NOT jnp.abs: the abs gradient is z/|z|, which
+        # is NaN on the exact-zero frames the length mask creates
+        return jnp.sqrt(z.real**2 + z.imag**2 + 1e-12)
+
+    MRSTFT_RES = ((512, 120), (128, 32), (2048, 480))
+
+    def mrstft_loss(pred, tgt):
+        total = 0.0
+        for n_fft, hop in MRSTFT_RES:
+            mp, mt = stft_mag(pred, n_fft, hop), stft_mag(tgt, n_fft, hop)
+            sc = jnp.linalg.norm(mt - mp) / (jnp.linalg.norm(mt) + 1e-6)
+            logl1 = jnp.mean(jnp.abs(jnp.log(mt + 1e-5) - jnp.log(mp + 1e-5)))
+            total = total + sc + logl1
+        return total / len(MRSTFT_RES)
+
+    def envelope_loss(pred, tgt):
+        # phase-free 5 ms moving-RMS envelope: forces energy ONTO words and
+        # silence into gaps regardless of phase alignment
+        k = 120
+        kernel = jnp.full((1, 1, k), 1.0 / k)
+        def env(x):
+            p = jax.lax.conv_general_dilated(
+                (x * x)[:, None, :], kernel, (k,), "VALID")
+            return jnp.sqrt(p[:, 0, :] + 1e-8)
+        return jnp.mean(jnp.abs(env(pred) - env(tgt)))
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
     ids0 = jnp.zeros((batch, T_pad), jnp.int32)
@@ -841,30 +875,44 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
             style_s, style_t,
         ),
     }
-    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps))
+    # global-norm clip: the spectral losses are steep near random init (the
+    # vocoder's exp log-magnitude head), and a single oversized step is what
+    # NaN'd earlier fixture runs
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(lr, steps)),
+    )
     opt_state = tx.init(params)
 
     def loss_fn(p, tokens, tok_lens, dur_tgt, dur_mask, frame_idx, n_frames,
-                target, key):
+                target, f0_tgt, key):
         dur, d, t_en = text_prog.apply(p["text"], tokens, tok_lens, style_s)
         dur_loss = jnp.sum(((dur - dur_tgt) ** 2) * dur_mask) / jnp.sum(dur_mask)
-        audio = audio_prog.apply(
+        audio, f0, _ = audio_prog.apply(
             p["audio"], d, t_en, frame_idx, n_frames, style_s, style_t,
-            rngs={"noise": key})
+            with_prosody=True, rngs={"noise": key})
+        # Direct F0 supervision (round-5 fix): the SourceModule's voiced gate
+        # `f0 > 10 Hz` has zero gradient and the sine-phase gradient is
+        # oscillatory, so a mel loss alone leaves F0 unvoiced and the vocoder
+        # collapses to silence (that was the round-4 failure). The target
+        # pitch track is known by construction; supervise it in units of
+        # 500 Hz at the prosody head's 2x frame rate.
+        fmask = (jnp.arange(2 * F_pad)[None, :]
+                 < (2 * n_frames)[:, None]).astype(f0.dtype)
+        f0_loss = jnp.sum((((f0 - f0_tgt) / 500.0) ** 2) * fmask) / jnp.sum(fmask)
         smask = (jnp.arange(F_pad * HOP)[None, :]
                  < (n_frames * HOP)[:, None]).astype(audio.dtype)
-        lens = jnp.full((batch,), F_pad * HOP, jnp.int32)
-        mel_pred, _ = loss_mel(audio * smask, lens)
-        mel_tgt, _ = loss_mel(target, lens)
-        mel_loss = jnp.mean(jnp.abs(mel_pred - mel_tgt))
-        return mel_loss + 0.05 * dur_loss, (mel_loss, dur_loss)
+        masked = audio * smask
+        spec_loss = mrstft_loss(masked, target) + envelope_loss(masked, target)
+        return (spec_loss + 0.05 * dur_loss + f0_loss,
+                (spec_loss, dur_loss, f0_loss))
 
     @jax.jit
     def step_fn(p, o, tokens, tok_lens, dur_tgt, dur_mask, frame_idx,
-                n_frames, target, key):
+                n_frames, target, f0_tgt, key):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, tokens, tok_lens, dur_tgt, dur_mask, frame_idx, n_frames,
-            target, key)
+            target, f0_tgt, key)
         updates, o2 = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o2, loss, aux
 
@@ -879,6 +927,7 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
         frame_idx = np.zeros((batch, F_pad), np.int32)
         n_frames = np.zeros((batch,), np.int32)
         target = np.zeros((batch, F_pad * HOP), np.float32)
+        f0_tgt = np.zeros((batch, 2 * F_pad), np.float32)
         for r in range(batch):
             n = int(rs.randint(1, max_words + 1))
             ids = rs.randint(0, tc.N_WORDS, size=n)
@@ -898,16 +947,25 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
                 np.arange(len(seq), dtype=np.int32), durs.astype(np.int64))
             n_frames[r] = total
             target[r] = fx.tts_target_audio(ids, F_pad)[: F_pad * HOP]
+            # per-frame pitch target: odd token positions are the word
+            # symbols ([pad, sym, space, sym, ..., pad] layout), voiced at
+            # the construction tone; everything else silent (0 Hz)
+            f0_frame = np.zeros(F_pad, np.float32)
+            tok_f0 = np.zeros(len(seq), np.float32)
+            tok_f0[1:-1:2] = [tc.word_freq(int(w)) for w in ids]
+            f0_frame[:total] = tok_f0[frame_idx[r, :total]]
+            f0_tgt[r] = np.repeat(f0_frame, 2)
         key, sub = jax.random.split(key)
         params, opt_state, loss, aux = step_fn(
             params, opt_state, jnp.asarray(tokens), jnp.asarray(tok_lens),
             jnp.asarray(dur_tgt), jnp.asarray(dur_mask),
             jnp.asarray(frame_idx), jnp.asarray(n_frames),
-            jnp.asarray(target), sub)
+            jnp.asarray(target), jnp.asarray(f0_tgt), sub)
         if i % 50 == 0 or i == steps - 1:
             print(f"tts step {i}: loss {float(loss):.4f} "
-                  f"(mel {float(aux[0]):.4f} dur {float(aux[1]):.4f}) "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+                  f"(spec {float(aux[0]):.4f} dur {float(aux[1]):.4f} "
+                  f"f0 {float(aux[2]):.4f}) ({time.time() - t0:.0f}s)",
+                  flush=True)
 
     out = ASSETS / "tts"
     out.mkdir(parents=True, exist_ok=True)
