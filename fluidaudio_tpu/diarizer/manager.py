@@ -58,14 +58,24 @@ class DiarizerManager:
         checkpoint_dir: str | Path | None = None,
         rng_seed: int = 0,
         segmentation_arch: str = "attention",
+        seg_config=None,
+        emb_config=None,
     ):
+        """`seg_config` / `emb_config` override the model sizes (default:
+        the full pyannote/WeSpeaker shapes the reference ships; the trained
+        tiny fixtures pass the same reduced configs as the offline manager,
+        so one segmentation/embedding checkpoint serves both pipelines —
+        exactly the reference's model sharing between `DiarizerManager` and
+        `OfflineDiarizerManager`)."""
         self.config = config or DiarizerConfig()
         c = self.config
+        emb_dim = emb_config.embedding_dim if emb_config else 256
         self.speaker_manager = SpeakerManager(
             speaker_threshold=c.clustering_threshold * 1.2,
             embedding_threshold=c.clustering_threshold * 0.8,
             min_speech_duration=c.min_speech_duration,
             min_embedding_update_duration=c.min_embedding_update_duration,
+            embedding_size=emb_dim,
         )
         # "attention": TPU-first redesign (parallel context ops);
         # "pyannet": upstream-exact PyanNet, loadable from converted
@@ -75,8 +85,9 @@ class DiarizerManager:
 
             self.segmentation = PyanNet()
         else:
-            self.segmentation = PyannoteSegmentation()
-        self.embedder = WeSpeakerEmbedder()
+            self.segmentation = (PyannoteSegmentation(seg_config) if seg_config
+                                 else PyannoteSegmentation())
+        self.embedder = WeSpeakerEmbedder(emb_config) if emb_config else WeSpeakerEmbedder()
         self.fbank = make_fbank_frontend()
         self._init_params(checkpoint_dir, rng_seed)
         self._seg_jit = jax.jit(

@@ -31,6 +31,15 @@ DIAR_DER_GATE = 0.05
 #: online diarizer gate is looser: the 900 ms warmup suppression and 500 ms
 #: step granularity cost a few points even on a perfectly-fit corpus
 LSEEND_DER_GATE = 0.10
+#: online pyannote streaming diarizer (10 s chunks, online nearest-centroid
+#: clustering): looser than the offline gate, mirroring the reference's
+#: streaming-vs-offline DER spread (26.2% vs 10.6% on AMI)
+ONLINE_DIAR_DER_GATE = 0.10
+#: online clustering threshold tuned to the TRAINED tiny embedding space:
+#: same-speaker cosine distance ~1e-5, cross-speaker ~0.54 on the fixture
+#: corpus, so assign new speakers past 0.25*1.2=0.30 (the reference default
+#: 0.7 is tuned for the real 256-dim WeSpeaker space, `DiarizerConfig.swift`)
+ONLINE_DIAR_CLUSTER_THRESHOLD = 0.25
 
 
 def trained_assets_dir() -> Path:
@@ -289,6 +298,8 @@ def kokoro_tiny_config():
         decoder_hidden=64, asr_res_ch=16, upsample_initial=64,
         resblock_kernels=(3, 7), resblock_dilations=((1, 3), (1, 3)),
         max_frames=384,
+        # fixture corpus tones span 240 Hz..4.2 kHz; see KokoroConfig.f0_scale
+        f0_scale=500.0,
     )
 
 
@@ -597,6 +608,47 @@ def eval_offline_diarizer_fixture(seed: int = 13579,
     refs = [TimedSpeakerSegment(speaker_id=s, start_time=a, end_time=b)
             for s, a, b in ref]
     return compute_der(refs, result.segments, collar=0.25).der
+
+
+def online_diarizer_manager():
+    """Streaming pyannote DiarizerManager over the trained OFFLINE
+    segmentation/embedding checkpoints (the reference shares these models
+    between its online and offline diarizers), with the online clustering
+    threshold tuned to the trained embedding space
+    (`ONLINE_DIAR_CLUSTER_THRESHOLD`)."""
+    from fluidaudio_tpu.diarizer.manager import DiarizerManager
+    from fluidaudio_tpu.diarizer.types import DiarizerConfig
+
+    seg_cfg, emb_cfg = offline_tiny_configs()
+    return DiarizerManager(
+        DiarizerConfig(clustering_threshold=ONLINE_DIAR_CLUSTER_THRESHOLD),
+        checkpoint_dir=trained_assets_dir() / "offline",
+        seg_config=seg_cfg, emb_config=emb_cfg,
+    )
+
+
+def eval_online_diarizer_fixture(seed: int = 97531, seconds: float = 60.0,
+                                 ) -> dict[str, float]:
+    """DER + online speaker count through the FULL streaming pyannote
+    pipeline (`DiarizerManager.process`: 10 s chunks -> powerset
+    segmentation -> clean-frame masks -> masked embeddings -> online
+    nearest-centroid SpeakerManager with dual thresholds -> overlap-aware
+    segment extraction) on a held-out 2-speaker mixture, REUSING the
+    trained offline segmentation/embedding checkpoints — the reference
+    shares these models between its online and offline diarizers
+    (`Core/DiarizerManager.swift:6`, `Clustering/SpeakerManager.swift:8-55`;
+    measured streaming DER `Benchmarks.md:656-676`)."""
+    from fluidaudio_tpu.diarizer.metrics import compute_der
+    from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
+
+    mgr = online_diarizer_manager()
+    rs = np.random.RandomState(seed)
+    mix, ref, _ = tc.diarizer_mixture(rs, seconds, overlap_prob=0.0)
+    result = mgr.process(mix)
+    refs = [TimedSpeakerSegment(speaker_id=s, start_time=a, end_time=b)
+            for s, a, b in ref]
+    der = compute_der(refs, result.segments, collar=0.25)
+    return {"der": float(der.der), "speaker_count": float(result.speaker_count)}
 
 
 def eval_lseend_fixture(seed: int = 8642, seconds: float = 60.0) -> float:

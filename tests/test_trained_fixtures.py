@@ -25,6 +25,7 @@ pytestmark = pytest.mark.skipif(
 
 
 class TestTrainedAsr:
+    @pytest.mark.quick
     def test_single_window_and_chunked_wer_zero(self):
         scores = fx.eval_asr_fixture(n_words=(5, 40), seed=12345)
         # 5 words = single-window path; 40 words (~17 s) = chunked long-form
@@ -71,6 +72,7 @@ class TestTrainedAsr:
 
 
 class TestTrainedVad:
+    @pytest.mark.quick
     def test_clip_f1_above_gate(self):
         assert fx.eval_vad_fixture(seed=777) >= fx.VAD_F1_GATE
 
@@ -94,6 +96,7 @@ class TestTrainedVad:
 
 
 class TestTrainedSortformer:
+    @pytest.mark.quick
     def test_offline_der_below_gate(self):
         assert fx.eval_sortformer_fixture(seed=4242) <= fx.DIAR_DER_GATE
 
@@ -169,6 +172,7 @@ class TestTrainedSenseVoice:
         reason="trained sensevoice fixture not committed",
     )
 
+    @pytest.mark.quick
     def test_wer_below_gate(self):
         assert fx.eval_sensevoice_fixture() <= fx.ASR_WER_GATE
 
@@ -198,6 +202,7 @@ class TestTrainedParaformer:
         reason="trained paraformer fixture not committed",
     )
 
+    @pytest.mark.quick
     def test_wer_below_gate(self):
         assert fx.eval_paraformer_fixture() <= fx.ASR_WER_GATE
 
@@ -228,6 +233,7 @@ class TestTrainedNemotron:
         reason="trained nemotron fixture not committed",
     )
 
+    @pytest.mark.quick
     def test_wer_below_gate_and_autodetect(self):
         scores = fx.eval_nemotron_fixture()
         assert scores["wer_avg"] <= fx.ASR_WER_GATE, scores
@@ -285,6 +291,7 @@ class TestTrainedOfflineDiarizer:
         reason="trained offline-diarizer fixture not committed",
     )
 
+    @pytest.mark.quick
     def test_der_below_gate(self):
         assert fx.eval_offline_diarizer_fixture() <= fx.DIAR_DER_GATE
 
@@ -309,6 +316,42 @@ class TestTrainedOfflineDiarizer:
         assert forced.process(mix).speaker_count == 2
 
 
+class TestTrainedOnlineDiarizer:
+    """Streaming pyannote diarizer proven functional end to end: 10 s chunk
+    loop -> trained powerset segmentation -> clean-frame masks -> trained
+    masked embeddings -> online nearest-centroid SpeakerManager with dual
+    thresholds -> overlap-aware segment extraction. Reuses the trained
+    OFFLINE segmentation/embedding checkpoints, exactly the reference's
+    model sharing between its online and offline diarizers
+    (`Core/DiarizerManager.swift:6`, `Clustering/SpeakerManager.swift:8-55`;
+    streaming DER row `Benchmarks.md:656-676`)."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("offline"),
+        reason="trained offline-diarizer fixture not committed "
+               "(the online diarizer reuses its checkpoints)",
+    )
+
+    @pytest.mark.quick
+    def test_streaming_der_below_gate_and_speaker_count(self):
+        scores = fx.eval_online_diarizer_fixture()
+        assert scores["der"] <= fx.ONLINE_DIAR_DER_GATE, scores
+        assert scores["speaker_count"] == 2, scores
+
+    def test_enrolled_speaker_keeps_identity(self):
+        """Enrollment parity (`DiarizerManager.swift:74-119`): an enrolled
+        speaker's id must be reused by the online clusterer instead of a
+        fresh `speaker_N`."""
+        mgr = fx.online_diarizer_manager()
+        solo = tc.speaker_wave(0, 8.0, np.random.RandomState(2468))
+        mgr.enroll_speaker(solo, "alice")
+        result = mgr.process(tc.speaker_wave(0, 20.0,
+                                             np.random.RandomState(1357)))
+        assert result.segments, "no segments emitted"
+        ids = {s.speaker_id for s in result.segments}
+        assert "alice" in ids, ids
+
+
 class TestTrainedLsEend:
     """Online attractor diarizer proven functional through the FULL
     LSEENDDiarizer paths: offline process(), AND the persistent streaming
@@ -321,6 +364,7 @@ class TestTrainedLsEend:
         reason="trained lseend fixture not committed",
     )
 
+    @pytest.mark.quick
     def test_offline_der_below_gate(self):
         assert fx.eval_lseend_fixture() <= fx.LSEEND_DER_GATE
 
@@ -360,6 +404,7 @@ class TestTrainedEou:
         reason="trained eou fixture not committed",
     )
 
+    @pytest.mark.quick
     def test_wer_below_gate_and_eou_fires(self):
         scores = fx.eval_eou_fixture()
         assert scores["wer_avg"] <= fx.ASR_WER_GATE, scores
@@ -417,6 +462,7 @@ class TestTrainedCohere:
         reason="trained cohere fixture not committed",
     )
 
+    @pytest.mark.quick
     def test_wer_below_gate(self):
         assert fx.eval_cohere_fixture() <= fx.ASR_WER_GATE
 
@@ -445,6 +491,7 @@ class TestTrainedCtcSpotting:
         reason="trained ctc fixture not committed",
     )
 
+    @pytest.mark.quick
     def test_greedy_and_beam_wer_below_gate(self):
         d = fx.eval_ctc_fixture()
         assert d["wer_avg"] <= fx.ASR_WER_GATE, d
@@ -511,6 +558,7 @@ class TestTrainedTts:
         b = tts.synthesize_from_phonemes(phonemes).samples
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.quick
     def test_output_is_tonal_at_word_frequencies(self):
         """Direct spectral check, independent of the ASR loop: the dominant
         frequency of each synthesized word must be its construction tone."""
