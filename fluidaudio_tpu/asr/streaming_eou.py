@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fluidaudio_tpu.asr.multistream import MultiStreamMixin
 from fluidaudio_tpu.asr.tokenizer import Tokenizer
 from fluidaudio_tpu.models.conformer_streaming import (
     EOU_120M,
@@ -115,7 +116,7 @@ class _StreamState:
     detected_language: str | None = None
 
 
-class StreamingEouAsrManager:
+class StreamingEouAsrManager(MultiStreamMixin):
     def __init__(
         self,
         chunk_ms: int = 320,
@@ -239,32 +240,29 @@ class StreamingEouAsrManager:
             )
             while state.pending.size >= need:
                 self._process_one(state)
-        text = self.tokenizer.decode(state.tokens)
+        return self._final_result(state)
+
+    def _final_result(self, state) -> EouPartialResult:
         return EouPartialResult(
-            text=text,
+            text=self.tokenizer.decode(state.tokens),
             token_ids=list(state.tokens),
             timestamps_ms=list(state.timestamps_ms),
             is_final=True,
             eou_detected=False,
         )
 
-    def _process_one(self, state: _StreamState) -> EouPartialResult:
-        window = state.pending[: self.chunk_samples + MEL_WIN - MEL_HOP]
-        result, new_caches = self._step(
-            self.params,
-            jnp.asarray(window)[None, :],
-            jnp.array([state.last_sample], jnp.float32),
-            state.caches,
-            state.dec_state,
-        )
+    def _apply_encoder(self, params, mel_chunk, caches, prompt_ids):
+        """MultiStreamMixin hook (prompt conditioning is a Nemotron-only
+        feature; the EOU encoder ignores it)."""
+        del prompt_ids
+        return self.encoder.apply(params["encoder"], mel_chunk, caches)
 
-        # one device->host transfer for every host-consumed output
-        tokens_h, counts_h, times_h, eou_h = jax.device_get(
-            (result.tokens, result.counts, result.token_times, result.eou_detected)
-        )
-        count = int(counts_h[0])
-        ids = [int(t) for t in tokens_h[0][:count]]
-        frames = times_h[0][:count]
+    def _host_advance(self, state, raw_ids, frames,
+                      eou_raw: bool) -> EouPartialResult:
+        """Host-side chunk bookkeeping — shared VERBATIM between the
+        single-stream (`_process_one`) and batched multi-stream
+        (`MultiStreamMixin._serve_tick`) paths, so they cannot drift."""
+        ids = [int(t) for t in raw_ids]
         ts_ms = compute_token_timestamps_ms(
             state.enc_frames_emitted, [int(f) for f in frames]
         )
@@ -275,14 +273,8 @@ class StreamingEouAsrManager:
         state.last_sample = float(state.pending[self.chunk_samples - 1])
         state.pending = state.pending[self.chunk_samples :]
         state.consumed_samples += self.chunk_samples
-        state.caches = new_caches
-        # decode state carries across chunks; reset per-window time_jump
-        state.dec_state = result.state._replace(
-            time_jump=jnp.zeros_like(result.state.time_jump)
-        )
 
         now_ms = state.consumed_samples / SAMPLE_RATE * 1000.0
-        eou_raw = bool(eou_h[0])
         eou = eou_raw and (now_ms - state.last_eou_ms) >= EOU_DEBOUNCE_MS
         if eou:
             state.last_eou_ms = now_ms
@@ -299,3 +291,27 @@ class StreamingEouAsrManager:
         if eou and self.on_eou:
             self.on_eou(partial)
         return partial
+
+    def _process_one(self, state: _StreamState) -> EouPartialResult:
+        window = state.pending[: self.chunk_samples + MEL_WIN - MEL_HOP]
+        result, new_caches = self._step(
+            self.params,
+            jnp.asarray(window)[None, :],
+            jnp.array([state.last_sample], jnp.float32),
+            state.caches,
+            state.dec_state,
+        )
+
+        # one device->host transfer for every host-consumed output
+        tokens_h, counts_h, times_h, eou_h = jax.device_get(
+            (result.tokens, result.counts, result.token_times, result.eou_detected)
+        )
+        count = int(counts_h[0])
+        state.caches = new_caches
+        # decode state carries across chunks; reset per-window time_jump
+        state.dec_state = result.state._replace(
+            time_jump=jnp.zeros_like(result.state.time_jump)
+        )
+        return self._host_advance(
+            state, tokens_h[0][:count], times_h[0][:count], bool(eou_h[0])
+        )

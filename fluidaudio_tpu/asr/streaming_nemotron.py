@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fluidaudio_tpu.asr.multistream import MultiStreamMixin
 from fluidaudio_tpu.asr.streaming_eou import (
     MEL_HOP,
     MEL_WIN,
@@ -200,7 +201,7 @@ def fleurs_to_multilingual_language(fleurs_code: str) -> str:
     return fleurs_code
 
 
-class StreamingNemotronAsrManager:
+class StreamingNemotronAsrManager(MultiStreamMixin):
     def __init__(
         self,
         spec: NemotronSpec = NEMOTRON_EN,
@@ -359,6 +360,27 @@ class StreamingNemotronAsrManager:
                 return p2i[cand]
         return None
 
+    def make_multi_state(self, n_streams: int, *,
+                         languages: list[str | None] | None = None,
+                         prompt_ids: np.ndarray | None = None,
+                         forced_prefix: list[int | None] | None = None):
+        """Multi-stream session with PER-STREAM language prompts: each row
+        of the batched chunk program is conditioned by its own prompt id
+        (`languages[i]`; None/'auto' = auto-detect), the TPU mapping of the
+        reference's one-language-per-stream multi-stream bench."""
+        if languages is not None:
+            prompt_ids = np.asarray([
+                self.metadata.prompt_id(
+                    None if lang in (None, "auto") else lang)
+                if self.spec.multilingual else 0
+                for lang in languages
+            ], np.int32)
+        elif prompt_ids is None:
+            prompt_ids = np.full(n_streams, self.prompt_id, np.int32)
+        return super().make_multi_state(
+            n_streams, prompt_ids=prompt_ids, forced_prefix=forced_prefix
+        )
+
     # public API mirrors the EOU manager
     def make_state(self, forced_prefix: int | None = None) -> _StreamState:
         """`forced_prefix`: seed the decoder as if that token (a `<xx-XX>`
@@ -396,6 +418,9 @@ class StreamingNemotronAsrManager:
             state.pending = np.concatenate([state.pending, np.zeros(pad, np.float32)])
             while state.pending.size >= need:
                 self._process_one(state)
+        return self._final_result(state)
+
+    def _final_result(self, state) -> EouPartialResult:
         return EouPartialResult(
             text=self.tokenizer.decode(state.tokens),
             token_ids=list(state.tokens),
@@ -404,22 +429,20 @@ class StreamingNemotronAsrManager:
             eou_detected=False,
         )
 
-    def _process_one(self, state: _StreamState) -> EouPartialResult:
-        window = state.pending[: self.chunk_samples + MEL_WIN - MEL_HOP]
-        result, new_caches = self._step(
-            self.params,
-            jnp.asarray(window)[None, :],
-            jnp.array([state.last_sample], jnp.float32),
-            state.caches,
-            state.dec_state,
-            jnp.array([self.prompt_id], jnp.int32),
-        )
-        tokens_h, counts_h, times_h = jax.device_get(
-            (result.tokens, result.counts, result.token_times)
-        )
-        count = int(counts_h[0])
-        raw_ids = [int(t) for t in tokens_h[0][:count]]
-        frames = times_h[0][:count]
+    def _apply_encoder(self, params, mel_chunk, caches, prompt_ids):
+        """MultiStreamMixin hook: per-STREAM prompt conditioning — each row
+        of a multi-stream batch can run a different language prompt (the
+        reference's multi-stream bench runs one language per stream,
+        `NemotronMultilingualMultiStreamBench.swift`)."""
+        return self.encoder.apply(params["encoder"], mel_chunk, caches, prompt_ids)
+
+    def _host_advance(self, state, raw_tokens, frames,
+                      eou_raw: bool = False) -> EouPartialResult:
+        """Host-side chunk bookkeeping — shared VERBATIM between the
+        single-stream (`_process_one`) and batched multi-stream
+        (`MultiStreamMixin._serve_tick`) paths, so they cannot drift."""
+        del eou_raw  # Nemotron has no EOU head
+        raw_ids = [int(t) for t in raw_tokens]
         # multilingual: the model emits leading <xx-XX> language-tag tokens —
         # filter them from the transcript, surface the first as the detected
         # language (NemotronMultilingualStreamingConfig.swift:44-47)
@@ -442,10 +465,6 @@ class StreamingNemotronAsrManager:
         state.last_sample = float(state.pending[self.chunk_samples - 1])
         state.pending = state.pending[self.chunk_samples :]
         state.consumed_samples += self.chunk_samples
-        state.caches = new_caches
-        state.dec_state = result.state._replace(
-            time_jump=jnp.zeros_like(result.state.time_jump)
-        )
         partial = EouPartialResult(
             text=self.tokenizer.decode(state.tokens),
             token_ids=ids,
@@ -456,3 +475,23 @@ class StreamingNemotronAsrManager:
         if self.on_partial:
             self.on_partial(partial)
         return partial
+
+    def _process_one(self, state: _StreamState) -> EouPartialResult:
+        window = state.pending[: self.chunk_samples + MEL_WIN - MEL_HOP]
+        result, new_caches = self._step(
+            self.params,
+            jnp.asarray(window)[None, :],
+            jnp.array([state.last_sample], jnp.float32),
+            state.caches,
+            state.dec_state,
+            jnp.array([self.prompt_id], jnp.int32),
+        )
+        tokens_h, counts_h, times_h = jax.device_get(
+            (result.tokens, result.counts, result.token_times)
+        )
+        count = int(counts_h[0])
+        state.caches = new_caches
+        state.dec_state = result.state._replace(
+            time_jump=jnp.zeros_like(result.state.time_jump)
+        )
+        return self._host_advance(state, tokens_h[0][:count], times_h[0][:count])
