@@ -590,31 +590,51 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
     out: dict[str, object] = {"backend": _jax_backend(), "jax": _jax.__version__}
     rng = np.random.RandomState(0)
 
+    # --- family selection (fast verification tier): `--families asr,vad`
+    # runs only those gate sections so a regression is provable inside a
+    # 10-minute window on a 1-core host; "pins" selects the seeded-random
+    # drift-pin battery. Default = everything.
+    all_families = ("asr", "vad", "sortformer", "sensevoice", "paraformer",
+                    "cohere", "eou", "lseend", "nemotron", "ctc", "tts",
+                    "offline", "online", "pins")
+    if getattr(args, "families", None):
+        want = {f.strip() for f in args.families.split(",") if f.strip()}
+        unknown = want - set(all_families)
+        if unknown:
+            print(f"unknown families: {sorted(unknown)}; "
+                  f"choose from {all_families}")
+            return 2
+        out["families"] = sorted(want)
+    else:
+        want = set(all_families)
+
     # --- tier 1: REAL quality gates on the committed trained fixtures ------
     from fluidaudio_tpu.train import fixtures as fx
 
     gate_failures: list[str] = []
-    if fx.fixtures_available():
+    if not fx.fixtures_available():
+        out["trained_fixtures"] = "absent"
+    if "asr" in want and fx.fixtures_available("asr"):
         asr_scores = fx.eval_asr_fixture(n_words=(5, 40))
         out["trained_asr_wer_pct"] = round(asr_scores["wer_avg"] * 100, 2)
-        vad_f1 = fx.eval_vad_fixture()
-        out["trained_vad_f1_pct"] = round(vad_f1 * 100, 1)
-        der = fx.eval_sortformer_fixture()
-        out["trained_diar_der_pct"] = round(der * 100, 2)
         if asr_scores["wer_avg"] > fx.ASR_WER_GATE:
             gate_failures.append(
                 f"trained ASR WER {out['trained_asr_wer_pct']}% > "
                 f"{fx.ASR_WER_GATE * 100}%")
+    if "vad" in want and fx.fixtures_available("vad"):
+        vad_f1 = fx.eval_vad_fixture()
+        out["trained_vad_f1_pct"] = round(vad_f1 * 100, 1)
         if vad_f1 < fx.VAD_F1_GATE:
             gate_failures.append(
                 f"trained VAD F1 {out['trained_vad_f1_pct']}% < "
                 f"{fx.VAD_F1_GATE * 100}%")
+    if "sortformer" in want and fx.fixtures_available("sortformer"):
+        der = fx.eval_sortformer_fixture()
+        out["trained_diar_der_pct"] = round(der * 100, 2)
         if der > fx.DIAR_DER_GATE:
             gate_failures.append(
                 f"trained diarizer DER {out['trained_diar_der_pct']}% > "
                 f"{fx.DIAR_DER_GATE * 100}%")
-    else:
-        out["trained_fixtures"] = "absent"
 
     # per-architecture ASR families (SANM+CTC / CIF / attention enc-dec):
     # gated only when their fixtures are committed
@@ -623,7 +643,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
         ("paraformer", fx.eval_paraformer_fixture),
         ("cohere", fx.eval_cohere_fixture),
     ):
-        if not fx.fixtures_available(fam):
+        if fam not in want or not fx.fixtures_available(fam):
             continue
         w = evaluator(n_utts=3)
         out[f"trained_{fam}_wer_pct"] = round(w * 100, 2)
@@ -634,7 +654,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
 
     # streaming EOU family: WER through the chunked cache-carrying path AND
     # the end-of-utterance flag itself
-    if fx.fixtures_available("eou"):
+    if "eou" in want and fx.fixtures_available("eou"):
         eou_scores = fx.eval_eou_fixture(n_utts=3)
         out["trained_eou_wer_pct"] = round(eou_scores["wer_avg"] * 100, 2)
         out["trained_eou_detect_pct"] = round(
@@ -648,7 +668,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                 f"trained eou detect {out['trained_eou_detect_pct']}% < 99%")
 
     # online LS-EEND diarizer
-    if fx.fixtures_available("lseend"):
+    if "lseend" in want and fx.fixtures_available("lseend"):
         lseend_der = fx.eval_lseend_fixture(seconds=30.0)
         out["trained_lseend_der_pct"] = round(lseend_der * 100, 2)
         if lseend_der > fx.LSEEND_DER_GATE:
@@ -657,7 +677,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                 f"{fx.LSEEND_DER_GATE * 100}%")
 
     # multilingual streaming Nemotron: prompt conditioning + auto-detect
-    if fx.fixtures_available("nemotron"):
+    if "nemotron" in want and fx.fixtures_available("nemotron"):
         nem = fx.eval_nemotron_fixture(n_utts=4)
         out["trained_nemotron_wer_pct"] = round(nem["wer_avg"] * 100, 2)
         out["trained_nemotron_detect_pct"] = round(
@@ -672,7 +692,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                 f"{out['trained_nemotron_detect_pct']}% < 99%")
 
     # CTC decode + keyword spotting (Earnings22-KWS path)
-    if fx.fixtures_available("ctc"):
+    if "ctc" in want and fx.fixtures_available("ctc"):
         ctc = fx.eval_ctc_fixture()
         kws = fx.eval_ctc_spotting_fixture()
         out["trained_ctc_wer_pct"] = round(ctc["wer_avg"] * 100, 2)
@@ -693,7 +713,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
 
     # TTS: trained Kokoro fixture, closed-loop verified by the trained ASR
     # fixture (the reference tts-asr-verify contract)
-    if fx.fixtures_available("tts", "asr"):
+    if "tts" in want and fx.fixtures_available("tts", "asr"):
         tts = fx.eval_tts_fixture()
         out["trained_tts_roundtrip_wer_pct"] = round(
             tts["roundtrip_wer_avg"] * 100, 2)
@@ -709,7 +729,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                 f" frames >= 0.5 (rounding-unsafe)")
 
     # offline multi-stage pipeline (seg -> emb -> PLDA -> AHC -> VBx)
-    if fx.fixtures_available("offline"):
+    if "offline" in want and fx.fixtures_available("offline"):
         off_der = fx.eval_offline_diarizer_fixture(seconds=30.0)
         out["trained_offline_der_pct"] = round(off_der * 100, 2)
         if off_der > fx.DIAR_DER_GATE:
@@ -717,75 +737,93 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                 f"trained offline DER {out['trained_offline_der_pct']}% > "
                 f"{fx.DIAR_DER_GATE * 100}%")
 
-    def speechish(seconds: float, seed: int) -> np.ndarray:
-        r = np.random.RandomState(seed)
-        t = np.arange(int(seconds * 16000)) / 16000.0
-        env = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t)) * (
-            0.3 + 0.7 * (np.sin(2 * np.pi * 0.31 * t) > 0)
+    # online streaming pyannote diarizer (reuses the offline checkpoints,
+    # like the reference's model sharing between DiarizerManager and
+    # OfflineDiarizerManager)
+    if "online" in want and fx.fixtures_available("offline"):
+        online = fx.eval_online_diarizer_fixture(seconds=30.0)
+        out["trained_online_der_pct"] = round(online["der"] * 100, 2)
+        out["trained_online_speakers"] = online["speaker_count"]
+        if online["der"] > fx.ONLINE_DIAR_DER_GATE:
+            gate_failures.append(
+                f"trained online-diarizer DER {out['trained_online_der_pct']}%"
+                f" > {fx.ONLINE_DIAR_DER_GATE * 100}%")
+        if online["speaker_count"] != 2:
+            gate_failures.append(
+                f"trained online-diarizer speakers "
+                f"{online['speaker_count']} != 2")
+
+    # --- tier 2: seeded-random drift pins (selectable as 'pins') ---------
+    if "pins" in want:
+        def speechish(seconds: float, seed: int) -> np.ndarray:
+            r = np.random.RandomState(seed)
+            t = np.arange(int(seconds * 16000)) / 16000.0
+            env = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t)) * (
+                0.3 + 0.7 * (np.sin(2 * np.pi * 0.31 * t) > 0)
+            )
+            return (r.randn(t.size) * 0.1 * (0.05 + env)).astype(np.float32)
+
+        # --- asr: merge determinism + token-stream checksum --------------------
+        from fluidaudio_tpu.asr.config import ASRConfig
+        from fluidaudio_tpu.asr.manager import AsrManager
+        from fluidaudio_tpu.models.zoo import AsrModels
+
+        # plain gaussian, not speech-shaped: seeded-random weights happen to stay
+        # blank-dominated on AM-modulated noise, and a 0-token stream would make
+        # the determinism check vacuous
+        audio = (np.random.RandomState(7).randn(700_000) * 0.1).astype(np.float32)
+        streams = []
+        for bs in (1, 3):
+            m = AsrManager(
+                AsrModels.load(args.version, allow_random_init=True),
+                ASRConfig(parallel_chunk_batch=bs),
+            )
+            r = m.transcribe(audio)
+            streams.append([(t.token_id, round(t.start_time, 3)) for t in r.token_timings])
+        out["asr_batch_invariant"] = streams[0] == streams[1]
+        out["asr_tokens"] = len(streams[0])
+        out["asr_stream_sha"] = hashlib.sha1(
+            json.dumps(streams[0]).encode()
+        ).hexdigest()[:16]
+
+        # --- tts -> asr roundtrip ---------------------------------------------
+        from fluidaudio_tpu.metrics.text_normalizer import normalize_for_scoring
+        from fluidaudio_tpu.metrics.wer import wer
+        from fluidaudio_tpu.tts import KokoroManager
+        from fluidaudio_tpu.utils.converter import resample
+
+        sentences = [
+            "the quick brown fox jumps over the lazy dog",
+            "speech synthesis round trips through recognition",
+            "numbers like twenty five stay stable across rounds",
+        ][: args.sentences]
+        tts = KokoroManager()
+        asr = AsrManager(
+            AsrModels.load(args.version, allow_random_init=True), ASRConfig()
         )
-        return (r.randn(t.size) * 0.1 * (0.05 + env)).astype(np.float32)
+        wers = []
+        for s in sentences:
+            audio_tts = tts.synthesize(s)
+            a16 = resample(np.asarray(audio_tts.samples, np.float32),
+                           audio_tts.sample_rate, 16000)
+            hyp = asr.transcribe(a16).text
+            wers.append(wer(normalize_for_scoring(s), normalize_for_scoring(hyp)).rate)
+        # random-weight drift pin, NOT quality (the trained gate above is quality)
+        out["roundtrip_pin_wer_pct"] = round(100 * sum(wers) / len(wers), 2)
 
-    # --- asr: merge determinism + token-stream checksum --------------------
-    from fluidaudio_tpu.asr.config import ASRConfig
-    from fluidaudio_tpu.asr.manager import AsrManager
-    from fluidaudio_tpu.models.zoo import AsrModels
+        # --- vad probability checksum (drift pin) -------------------------------
+        from fluidaudio_tpu.vad import VadManager
 
-    # plain gaussian, not speech-shaped: seeded-random weights happen to stay
-    # blank-dominated on AM-modulated noise, and a 0-token stream would make
-    # the determinism check vacuous
-    audio = (np.random.RandomState(7).randn(700_000) * 0.1).astype(np.float32)
-    streams = []
-    for bs in (1, 3):
-        m = AsrManager(
-            AsrModels.load(args.version, allow_random_init=True),
-            ASRConfig(parallel_chunk_batch=bs),
-        )
-        r = m.transcribe(audio)
-        streams.append([(t.token_id, round(t.start_time, 3)) for t in r.token_timings])
-    out["asr_batch_invariant"] = streams[0] == streams[1]
-    out["asr_tokens"] = len(streams[0])
-    out["asr_stream_sha"] = hashlib.sha1(
-        json.dumps(streams[0]).encode()
-    ).hexdigest()[:16]
-
-    # --- tts -> asr roundtrip ---------------------------------------------
-    from fluidaudio_tpu.metrics.text_normalizer import normalize_for_scoring
-    from fluidaudio_tpu.metrics.wer import wer
-    from fluidaudio_tpu.tts import KokoroManager
-    from fluidaudio_tpu.utils.converter import resample
-
-    sentences = [
-        "the quick brown fox jumps over the lazy dog",
-        "speech synthesis round trips through recognition",
-        "numbers like twenty five stay stable across rounds",
-    ][: args.sentences]
-    tts = KokoroManager()
-    asr = AsrManager(
-        AsrModels.load(args.version, allow_random_init=True), ASRConfig()
-    )
-    wers = []
-    for s in sentences:
-        audio_tts = tts.synthesize(s)
-        a16 = resample(np.asarray(audio_tts.samples, np.float32),
-                       audio_tts.sample_rate, 16000)
-        hyp = asr.transcribe(a16).text
-        wers.append(wer(normalize_for_scoring(s), normalize_for_scoring(hyp)).rate)
-    # random-weight drift pin, NOT quality (the trained gate above is quality)
-    out["roundtrip_pin_wer_pct"] = round(100 * sum(wers) / len(wers), 2)
-
-    # --- vad probability checksum (drift pin) -------------------------------
-    from fluidaudio_tpu.vad import VadManager
-
-    vad = VadManager()
-    utts = [speechish(2.0, seed=100 + i) for i in range(4)] + [
-        (np.random.RandomState(200 + i).randn(32000) * 0.002).astype(np.float32)
-        for i in range(4)
-    ]
-    batches = vad.process_batch(utts)
-    probs = [float(np.mean([r.probability for r in b])) for b in batches]
-    out["vad_prob_sha"] = hashlib.sha1(
-        json.dumps([round(p, 5) for p in probs]).encode()
-    ).hexdigest()[:16]
+        vad = VadManager()
+        utts = [speechish(2.0, seed=100 + i) for i in range(4)] + [
+            (np.random.RandomState(200 + i).randn(32000) * 0.002).astype(np.float32)
+            for i in range(4)
+        ]
+        batches = vad.process_batch(utts)
+        probs = [float(np.mean([r.probability for r in b])) for b in batches]
+        out["vad_prob_sha"] = hashlib.sha1(
+            json.dumps([round(p, 5) for p in probs]).encode()
+        ).hexdigest()[:16]
 
     print(json.dumps(out))
 
@@ -812,13 +850,16 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                "trained_diar_der_pct": 3.0, "trained_sensevoice_wer_pct": 2.0,
                "trained_paraformer_wer_pct": 2.0, "trained_cohere_wer_pct": 2.0}
         failures = []
-        for key, want in base.items():
+        for key, ref in base.items():
+            if key == "families" or (key not in out and want != set(all_families)):
+                # family-selected run: compare only the sections that ran
+                continue
             got = out.get(key)
-            if isinstance(want, (int, float)) and not isinstance(want, bool):
-                if abs(float(got) - float(want)) > tol.get(key, 0.0):
-                    failures.append(f"{key}: {got} vs baseline {want}")
-            elif got != want:
-                failures.append(f"{key}: {got!r} vs baseline {want!r}")
+            if isinstance(ref, (int, float)) and not isinstance(ref, bool):
+                if abs(float(got) - float(ref)) > tol.get(key, 0.0):
+                    failures.append(f"{key}: {got} vs baseline {ref}")
+            elif got != ref:
+                failures.append(f"{key}: {got!r} vs baseline {ref!r}")
         if failures:
             print("guardrail DRIFT: " + "; ".join(failures))
             return 1
@@ -841,6 +882,12 @@ def register(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--version", default="v3", help="ASR zoo version (test-tiny for CI)")
     p.add_argument("--sentences", type=int, default=3)
     p.add_argument("--baseline", help="baseline JSON to compare against")
+    p.add_argument(
+        "--families",
+        help="comma-separated gate selection (asr,vad,sortformer,sensevoice,"
+             "paraformer,cohere,eou,lseend,nemotron,ctc,tts,offline,pins); "
+             "default all. Use for a fast per-family verification tier.",
+    )
     p.set_defaults(fn=cmd_synthetic_guardrail)
 
     p = sub.add_parser(

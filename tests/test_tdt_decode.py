@@ -76,6 +76,7 @@ def python_reference_decode(modules, enc_row, enc_len, cfg):
     return out, times, max(t - enc_len, 0)
 
 
+@pytest.mark.quick
 def test_batched_matches_sequential(modules):
     predictor, pparams, joint, jparams = modules
     rng = np.random.RandomState(42)
