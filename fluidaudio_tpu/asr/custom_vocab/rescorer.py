@@ -612,6 +612,22 @@ class VocabularyRescorer:
         raw_words = [self._word_text(w) for w in words]
 
         spotted = {s.keyword.lower() for s in (spots or [])}
+        if spotted:
+            # a spot whose term ALREADY appears verbatim in the hypothesis
+            # is explained by that occurrence — relaxing the gate for it
+            # would let fuzzy NEIGHBOR spans (sharing a word with the exact
+            # occurrence) steal a replacement and duplicate the term
+            norm_words = [normalize_for_similarity(w) for w in raw_words]
+            for term in self.context.terms:
+                if term.text.lower() not in spotted:
+                    continue
+                t_norm = normalize_for_similarity(term.text).split()
+                n = len(t_norm)
+                if n and any(
+                    norm_words[i : i + n] == t_norm
+                    for i in range(len(norm_words) - n + 1)
+                ):
+                    spotted.discard(term.text.lower())
         relief: dict[int, float] = {}
         if spotted:
             # a spot confirms the TERM acoustically; relax the gate at

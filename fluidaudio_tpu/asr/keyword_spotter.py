@@ -29,9 +29,20 @@ from fluidaudio_tpu.utils.logging import get_logger
 logger = get_logger("asr.kws")
 
 CHUNK_SAMPLES = 240_000  # 15 s
-OVERLAP_SAMPLES = 32_000  # 2 s
+OVERLAP_SAMPLES = 32_000  # 2 s (nominal; stride below is frame-aligned)
 FRAME_SECONDS = 0.08
-OVERLAP_FRAMES = OVERLAP_SAMPLES // 1280  # 25 encoder frames
+FRAME_SAMPLES = 1280  # 80 ms encoder frames (10 ms mel hop x8 subsampling)
+OVERLAP_FRAMES = OVERLAP_SAMPLES // FRAME_SAMPLES  # 25 encoder frames
+# chunk stride MUST be an exact number of encoder frames: 240000-32000 =
+# 208000 samples is 162.5 frames, which would merge every later chunk's
+# log-probs half-a-frame misaligned with the canvas (observed as dropped
+# words exactly at the 15 s seam). Round the stride DOWN to the frame grid
+# (effective overlap 2.04 s >= the nominal 2 s).
+CHUNK_STRIDE = (CHUNK_SAMPLES - OVERLAP_SAMPLES) // FRAME_SAMPLES * FRAME_SAMPLES
+# frames at a chunk edge whose receptive field is truncated by the chunk
+# boundary (conformer conv kernel ~ a few 80 ms frames each side); within an
+# overlap these are replaced by the other chunk's interior frames
+SEAM_EDGE_FRAMES = 4
 
 
 def merge_overlap_frames(existing: np.ndarray, incoming: np.ndarray) -> np.ndarray:
@@ -116,7 +127,7 @@ class CtcKeywordSpotter:
         canvas `spot()` searches — public so decode/rescoring consumers
         (Earnings22 CTC path) can share one acoustic pass."""
         samples = np.asarray(samples, np.float32).reshape(-1)
-        stride = CHUNK_SAMPLES - OVERLAP_SAMPLES
+        stride = CHUNK_STRIDE
         fn = self._log_probs_fn(CHUNK_SAMPLES)
         # concatenate all chunks' log-probs into ONE buffer, merging the 2 s
         # overlaps probability-space (logmeanexp), then spot once over the
@@ -140,11 +151,33 @@ class CtcKeywordSpotter:
             if canvas is None or start == 0:
                 canvas = chunk_lp
             else:
-                ov = min(OVERLAP_FRAMES, len(canvas), len(chunk_lp))
+                # exact frame alignment: this chunk's frame 0 is global frame
+                # start/FRAME_SAMPLES (stride is frame-aligned), so the true
+                # overlap is whatever the canvas already covers past it —
+                # NOT a fixed constant (the encoder may emit ceil-length
+                # frame counts per chunk)
+                ov = max(0, min(len(canvas) - start // FRAME_SAMPLES,
+                                len(chunk_lp)))
                 if ov > 0:
-                    canvas[len(canvas) - ov :] = merge_overlap_frames(
-                        canvas[len(canvas) - ov :], chunk_lp[:ov]
-                    )
+                    # edge-aware merge: a chunk's first/last few frames see
+                    # zero-padding instead of real context (truncated
+                    # receptive field), so logmeanexp-ing them with the other
+                    # chunk's INTERIOR frames blurs the posterior (observed:
+                    # a word dropped exactly at the previous chunk's final
+                    # frame). Within the overlap, prefer the interior chunk
+                    # at each edge and blend only the middle.
+                    e = min(SEAM_EDGE_FRAMES, ov // 2)
+                    tail = len(canvas) - ov
+                    if ov > 2 * e:
+                        canvas[tail + e : len(canvas) - e] = (
+                            merge_overlap_frames(
+                                canvas[tail + e : len(canvas) - e],
+                                chunk_lp[e : ov - e],
+                            )
+                        )
+                    if e > 0:
+                        # previous chunk's edge -> take this chunk's interior
+                        canvas[len(canvas) - e :] = chunk_lp[ov - e : ov]
                 if ov < len(chunk_lp):
                     canvas = np.concatenate([canvas, chunk_lp[ov:]])
             if start + CHUNK_SAMPLES >= samples.size:

@@ -710,6 +710,14 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
             gate_failures.append(
                 f"trained KWS precision {out['trained_kws_precision_pct']}% < "
                 f"{fx.KWS_PRECISION_GATE * 100}%")
+        # end-to-end vocabulary-boost WER-improvement claim
+        boost = fx.eval_vocab_boost_fixture()
+        out["trained_boost_wer_before_pct"] = round(
+            boost["wer_before"] * 100, 2)
+        out["trained_boost_wer_after_pct"] = round(boost["wer_after"] * 100, 2)
+        if not (boost["wer_before"] > 0 and boost["wer_after"] == 0.0
+                and boost["corrected"] == 1.0 and boost["false_boost"] == 0.0):
+            gate_failures.append(f"vocab boost gate failed: {boost}")
 
     # TTS: trained Kokoro fixture, closed-loop verified by the trained ASR
     # fixture (the reference tts-asr-verify contract)

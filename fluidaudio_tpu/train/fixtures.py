@@ -269,6 +269,95 @@ def eval_ctc_spotting_fixture(seed: int = 13579) -> dict[str, float]:
     }
 
 
+def eval_vocab_boost_fixture(seed: int = 555) -> dict[str, float]:
+    """End-to-end vocabulary-boost WER-improvement proof on the TRAINED CTC
+    fixture: a forced misrecognition is CORRECTED by `ctc_token_rescore`,
+    and a decoy term must NOT over-fire on a correctly-recognized word.
+
+    The reference's claim shape (`Rescorer/VocabularyRescorer.swift`,
+    measured boosting row `Documentation/Benchmarks.md:158-171`): custom
+    vocabulary with an alias ("Evenity" aliased by its common
+    mistranscription) lowers WER because the term's constrained CTC score
+    plus the context-biasing weight beats the hypothesis span's own score
+    — while correct words keep winning against decoy terms.
+
+    Construction: one slot renders the true word `w12` under stronger
+    `w13` interference (a 60/40 amplitude blend of the two adjacent grid
+    tones — cross-talk, acoustically), so trained greedy CTC decodes
+    `w13`: a REAL acoustic misrecognition with a genuinely split
+    posterior (constrained-CTC score gap ~1.1 nats, inside the default
+    cbw=3.0 boost). The vocabulary carries `w12` with alias `w13` (the
+    OOV-alias recipe) plus a decoy `w0` aliased to the correctly-spoken
+    `w8`: the alias string-matches the hypothesis exactly, so ONLY the
+    acoustic CTC-vs-CTC gate can reject it (score gap ~7.5 nats >> cbw)
+    — proving replacements are acoustically gated, not string-triggered.
+    Everything runs the DEFAULT RescorerConfig."""
+    import jax.numpy as jnp
+
+    from fluidaudio_tpu.asr.custom_vocab.context import (
+        CustomVocabularyContext, VocabularyTerm,
+    )
+    from fluidaudio_tpu.asr.custom_vocab.rescorer import (
+        WordTiming, ctc_token_rescore,
+    )
+    from fluidaudio_tpu.metrics.wer import wer
+    from fluidaudio_tpu.ops.ctc_decode import ctc_greedy_decode
+
+    spotter, tok = _ctc_spotter()
+    rs = np.random.RandomState(seed)
+    truth = [5, 8, 12, 1, 2, 14]
+    confused_slot, true_word = 2, 12
+
+    # build the waveform by hand so the confused slot carries the blend
+    lead = int(0.10 * tc.SR)
+    gap = np.zeros(int(tc.GAP_SEC * tc.SR), np.float32)
+    parts = [np.zeros(lead, np.float32)]
+    for slot, w in enumerate(truth):
+        if slot == confused_slot:
+            blend = (0.6 * tc.word_audio(13, amp=1.0)
+                     + 0.4 * tc.word_audio(true_word, amp=1.0))
+            parts.append((0.35 * blend).astype(np.float32))
+        else:
+            parts.append(tc.word_audio(int(w), amp=float(rs.uniform(0.25, 0.45))))
+        parts.append(gap)
+    audio = np.concatenate(parts)
+    audio += rs.randn(audio.size).astype(np.float32) * 0.002
+
+    canvas = spotter.log_probs(audio)  # [T, V+1] merged log-probs
+    toks, frames, counts = ctc_greedy_decode(
+        jnp.asarray(canvas)[None], jnp.array([len(canvas)]), CTC_BLANK_ID)
+    n = int(counts[0])
+    hyp_ids = [int(t) for t in np.asarray(toks[0][:n])]
+    hyp_frames = [int(f) for f in np.asarray(frames[0][:n])]
+    frame_dur = 0.080
+    word_span = tc.WORD_SEC + tc.GAP_SEC
+    timings = [
+        WordTiming(word=tc.word_text(i), start_time=f * frame_dur,
+                   end_time=f * frame_dur + word_span)
+        for i, f in zip(hyp_ids, hyp_frames)
+    ]
+    truth_text = tc.transcript_text(truth)
+    before = " ".join(t.word for t in timings)
+
+    ctx = CustomVocabularyContext(
+        [VocabularyTerm(text=tc.word_text(true_word), aliases=["w13"]),
+         # decoy: alias exact-matches the correctly-spoken w8, but w0 is
+         # acoustically absent — only the CTC-vs-CTC gate can reject it
+         VocabularyTerm(text="w0", aliases=["w8"])],
+        tok, min_term_length=2,
+    )
+    out = ctc_token_rescore(
+        timings, canvas, frame_dur, ctx, tok, blank_id=CTC_BLANK_ID)
+    return {
+        "wer_before": wer(truth_text, before).rate,
+        "wer_after": wer(truth_text, out.text).rate,
+        "corrected": float(any(
+            r.replacement == tc.word_text(true_word) for r in out.replacements
+        )),
+        "false_boost": float("w0" in out.text.split()),
+    }
+
+
 # --------------------------------------------------------------------- TTS
 #: Kokoro tiny fixture conventions: tone word i renders as IPA letter
 #: 'a'+i (all 16 in the 178-symbol StyleTTS2 table); custom-lexicon entries
@@ -299,7 +388,7 @@ def kokoro_tiny_config():
         resblock_kernels=(3, 7), resblock_dilations=((1, 3), (1, 3)),
         max_frames=384,
         # fixture corpus tones span 240 Hz..4.2 kHz; see KokoroConfig.f0_scale
-        f0_scale=500.0,
+        f0_scale=500.0, phase_scale=float(np.pi),
     )
 
 

@@ -503,6 +503,21 @@ class TestTrainedCtcSpotting:
         assert s["precision"] >= fx.KWS_PRECISION_GATE, s
         assert s["timing_rate"] >= fx.KWS_RECALL_GATE, s
 
+    @pytest.mark.quick
+    def test_vocab_boost_corrects_misrecognition(self):
+        """The reference's measured boosting claim, end to end on trained
+        models (`Rescorer/VocabularyRescorer.swift`; WER-improvement row
+        `Documentation/Benchmarks.md:158-171`): a REAL acoustic
+        misrecognition (adjacent-tone cross-talk) is corrected by
+        `ctc_token_rescore` under the DEFAULT config — WER drops to 0 —
+        while a decoy term whose alias string-matches a correctly-spoken
+        word is rejected by the acoustic CTC-vs-CTC gate alone."""
+        s = fx.eval_vocab_boost_fixture()
+        assert s["wer_before"] > 0, s       # misrecognition really happened
+        assert s["corrected"] == 1.0, s     # the boost fixed it
+        assert s["wer_after"] == 0.0, s     # net WER win
+        assert s["false_boost"] == 0.0, s   # decoy rejected acoustically
+
     def test_rescorer_accepts_spot_confirmation(self):
         """A CTC spot relaxes the TDT rescorer's similarity gate
         (spot-confirmation relief): the spotted term must splice into the
