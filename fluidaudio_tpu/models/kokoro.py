@@ -88,6 +88,15 @@ class KokoroConfig:
     # O(1) activations can reach the fixture corpus's multi-kHz tones
     # within Adam-sized steps (gradient conditioning, not a graph change).
     f0_scale: float = 1.0
+    # output scale of the generator's sin() phase head, in radians. The
+    # shipping weights were GAN-trained against the ±1 rad convention
+    # (StyleTTS2 hifigan.py `phase = torch.sin(x)`), so 1.0 = parity.
+    # Trained-from-scratch fixtures set pi: with phases clamped to ±1 rad,
+    # a bin-0-dominant LOW tone is unrepresentable (its negative
+    # half-cycles need bin-0 phase near pi), and magnitude-only training
+    # provably collapses to a mid-band compromise tone (observed: every
+    # word rendered ~800 Hz).
+    phase_scale: float = 1.0
 
     @property
     def compute_dtype(self):
@@ -565,7 +574,7 @@ class Generator(nn.Module):
         # well inside (-30, 8); clipping only prevents inf/NaN at random init
         # (exp(8)=2981 would already be a ~300x-over-full-scale waveform)
         spec = jnp.exp(jnp.clip(x[..., :n_bins], -30.0, 8.0))
-        phase = jnp.sin(x[..., n_bins:])
+        phase = jnp.sin(x[..., n_bins:]) * cfg.phase_scale
         return istft_20(spec, phase, cfg.gen_n_fft, cfg.gen_hop)
 
 
@@ -629,14 +638,21 @@ class KokoroAudioProgram(nn.Module):
 
     @nn.compact
     def __call__(self, d, t_en, frame_idx, n_frames, style_s, style_timbre,
-                 with_prosody: bool = False):
+                 with_prosody: bool = False, stop_f0_grad: bool = False):
         B, F = frame_idx.shape
         mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(d.dtype)
         en = jnp.take_along_axis(d, frame_idx[..., None], axis=1) * mask
         asr = jnp.take_along_axis(t_en, frame_idx[..., None], axis=1) * mask
         f0, n_ = Prosody(self.cfg, name="prosody")(en, style_s, n_frames)
+        # stop_f0_grad (training-only; identity in inference): the spectral
+        # loss's gradient through the harmonic source's sine phase is
+        # oscillatory with magnitude growing in t, and it FIGHTS the direct
+        # F0 supervision (observed: f0 MSE diverged after ~600 steps).
+        # FastSpeech2-style decoupling — pitch trains only from its own MSE,
+        # the decoder trains treating F0 as given.
+        f0_dec = jax.lax.stop_gradient(f0) if stop_f0_grad else f0
         audio = Decoder(self.cfg, deterministic=self.deterministic, name="decoder")(
-            asr, f0, n_, style_timbre, n_frames
+            asr, f0_dec, n_, style_timbre, n_frames
         )
         if with_prosody:
             # training hook: expose the F0/N tracks (2x frame rate) so a

@@ -890,7 +890,7 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
         dur_loss = jnp.sum(((dur - dur_tgt) ** 2) * dur_mask) / jnp.sum(dur_mask)
         audio, f0, _ = audio_prog.apply(
             p["audio"], d, t_en, frame_idx, n_frames, style_s, style_t,
-            with_prosody=True, rngs={"noise": key})
+            with_prosody=True, stop_f0_grad=True, rngs={"noise": key})
         # Direct F0 supervision (round-5 fix): the SourceModule's voiced gate
         # `f0 > 10 Hz` has zero gradient and the sine-phase gradient is
         # oscillatory, so a mel loss alone leaves F0 unvoiced and the vocoder
@@ -915,6 +915,21 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
             target, f0_tgt, key)
         updates, o2 = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o2, loss, aux
+
+    out = ASSETS / "tts"
+    out.mkdir(parents=True, exist_ok=True)
+
+    def save_ckpt():
+        # atomic (write-then-rename): an eval or a kill mid-save must never
+        # observe a truncated npz
+        # tmp names must END in .npz: np.savez appends the suffix otherwise
+        for name, tree in (("text", params["text"]), ("audio", params["audio"])):
+            tmp = out / f".{name}.tmp.npz"
+            save_params(tmp, jax.device_get(tree))
+            tmp.replace(out / f"{name}.npz")
+        tmpv = out / ".voices.tmp.npz"
+        np.savez(tmpv, af_test=np.tile(style_row[None, :], (VOICE_PACK_ROWS, 1)))
+        tmpv.replace(out / "voices.npz")
 
     rs = np.random.RandomState(seed + 1)
     key = jax.random.PRNGKey(seed + 2)
@@ -966,13 +981,11 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
                   f"(spec {float(aux[0]):.4f} dur {float(aux[1]):.4f} "
                   f"f0 {float(aux[2]):.4f}) ({time.time() - t0:.0f}s)",
                   flush=True)
+        if i > 0 and i % 1000 == 0:
+            save_ckpt()
+            print(f"tts checkpoint @ step {i} -> {out}", flush=True)
 
-    out = ASSETS / "tts"
-    out.mkdir(parents=True, exist_ok=True)
-    save_params(out / "text.npz", jax.device_get(params["text"]))
-    save_params(out / "audio.npz", jax.device_get(params["audio"]))
-    np.savez(out / "voices.npz",
-             af_test=np.tile(style_row[None, :], (VOICE_PACK_ROWS, 1)))
+    save_ckpt()
     print(f"tts checkpoint -> {out}")
     return out
 
