@@ -43,9 +43,13 @@ def centroid_linkage(points: np.ndarray) -> np.ndarray:
         # Lance-Williams centroid merges run O(n) each (native/fastcluster.h)
         # — hour-scale diarization (n in the thousands) clusters in O(n^2)
         sq = np.einsum("ij,ij->i", pts, pts)
-        sqdist = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
+        # in-place: broadcast temporaries here are 3x n^2 doubles and cost
+        # more wall-clock than the entire merge loop at n=6000
+        sqdist = pts @ pts.T
+        sqdist *= -2.0
+        sqdist += sq[:, None]
+        sqdist += sq[None, :]
         np.maximum(sqdist, 0.0, out=sqdist)
-        sqdist = np.ascontiguousarray(sqdist, np.float64)
         fn = lib.fastcluster_centroid_linkage_lw
         fn.restype = ctypes.c_int
         fn.argtypes = [

@@ -130,6 +130,69 @@ extern "C" fc_error fastcluster_compute_centroid_linkage(
   }
 }
 
+namespace {
+
+// Indexed binary min-heap over cluster slots, keyed by an external double
+// array (the nn_dist lower bounds). Supports O(log n) key updates in either
+// direction and O(log n) removal — the Muellner generic-algorithm queue.
+struct SlotHeap {
+  std::vector<long> heap;  // heap[k] = slot
+  std::vector<long> pos;   // pos[slot] = k, or -1 if removed
+  const double* key;
+
+  SlotHeap(long n, const double* k) : heap(n), pos(n), key(k) {
+    for (long i = 0; i < n; ++i) heap[i] = pos[i] = i;
+    for (long i = n / 2 - 1; i >= 0; --i) sift_down(i);
+  }
+  long top() const { return heap[0]; }
+  void sift_up(long k) {
+    long s = heap[k];
+    while (k > 0) {
+      long p = (k - 1) / 2;
+      if (key[heap[p]] <= key[s]) break;
+      heap[k] = heap[p];
+      pos[heap[k]] = k;
+      k = p;
+    }
+    heap[k] = s;
+    pos[s] = k;
+  }
+  void sift_down(long k) {
+    long s = heap[k];
+    const long sz = static_cast<long>(heap.size());
+    for (;;) {
+      long c = 2 * k + 1;
+      if (c >= sz) break;
+      if (c + 1 < sz && key[heap[c + 1]] < key[heap[c]]) ++c;
+      if (key[heap[c]] >= key[s]) break;
+      heap[k] = heap[c];
+      pos[heap[k]] = k;
+      k = c;
+    }
+    heap[k] = s;
+    pos[s] = k;
+  }
+  void update(long slot) {  // key[slot] changed in either direction
+    long k = pos[slot];
+    sift_up(k);
+    if (pos[slot] == k) sift_down(k);
+  }
+  void remove(long slot) {
+    long k = pos[slot];
+    pos[slot] = -1;
+    long last = heap.back();
+    heap.pop_back();
+    if (k < static_cast<long>(heap.size())) {
+      heap[k] = last;
+      pos[last] = k;
+      sift_up(k);
+      if (pos[last] == k) sift_down(k);
+    }
+  }
+};
+
+}  // namespace
+
 extern "C" fc_error fastcluster_centroid_linkage_lw(double* sqdist, long n,
                                                     double* dendrogram_out) {
   if (sqdist == nullptr || dendrogram_out == nullptr || n < 2)
@@ -138,59 +201,58 @@ extern "C" fc_error fastcluster_centroid_linkage_lw(double* sqdist, long n,
     if (!std::isfinite(sqdist[i])) return FC_ERR_NAN;
 
   try {
+    const double kInf = std::numeric_limits<double>::infinity();
     auto D = [&](long i, long j) -> double& { return sqdist[i * n + j]; };
     std::vector<long> size(static_cast<size_t>(n), 1);
     std::vector<long> id(static_cast<size_t>(n));
     std::vector<char> active(static_cast<size_t>(n), 1);
     for (long i = 0; i < n; ++i) id[i] = i;
-    for (long i = 0; i < n; ++i) D(i, i) = std::numeric_limits<double>::infinity();
+    for (long i = 0; i < n; ++i) D(i, i) = kInf;
 
+    // Muellner generic algorithm: nn[i] is i's candidate nearest neighbor
+    // restricted to slots j > i (the pair min is still found because the
+    // SMALLER slot of the true closest pair owns it), and nn_dist[i] is a
+    // LOWER BOUND on min_{j>i active} D(i,j): distances to untouched
+    // clusters never change, a merged cluster that comes closer updates the
+    // bound explicitly in the merge loop, and removals only raise the true
+    // min. Merging into the LARGER slot keeps every j > b candidate set
+    // stale-free (the merged cluster is not in it), so only j < b rows need
+    // bound maintenance. A slot heap keyed by the bounds replaces the O(n)
+    // min scan per step.
     std::vector<long> nn(static_cast<size_t>(n), -1);
-    std::vector<double> nn_dist(static_cast<size_t>(n),
-                                std::numeric_limits<double>::infinity());
-    auto rescan = [&](long i) {
-      nn[i] = -1;
-      nn_dist[i] = std::numeric_limits<double>::infinity();
+    std::vector<double> nn_dist(static_cast<size_t>(n), kInf);
+    auto rescan_upper = [&](long i) {
+      long arg = -1;
+      double best = kInf;
       const double* row = sqdist + i * n;
-      for (long j = 0; j < n; ++j) {
-        if (j == i || !active[j]) continue;
-        if (row[j] < nn_dist[i]) {
-          nn_dist[i] = row[j];
-          nn[i] = j;
+      for (long j = i + 1; j < n; ++j) {
+        if (!active[j]) continue;
+        if (row[j] < best) {
+          best = row[j];
+          arg = j;
         }
       }
+      nn[i] = arg;
+      nn_dist[i] = best;
     };
-    for (long i = 0; i < n; ++i) rescan(i);
+    for (long i = 0; i < n; ++i) rescan_upper(i);
+    SlotHeap heap(n, nn_dist.data());
 
     long next_id = n;
     for (long step = 0; step < n - 1; ++step) {
-      // Muellner generic-algorithm invariant: a stale nn_dist[i] (cached NN
-      // merged away) is a LOWER BOUND on i's true min distance — distances
-      // to untouched clusters never change and any merged cluster that came
-      // closer already updated the cache in the merge loop below. So pick
-      // the global min of the bounds and validate only that one row,
-      // instead of eagerly rescanning every stale cluster per step
-      // (which degenerates to O(n^2) rescans/step on blobby data).
-      long a = -1;
+      // validate only the heap top: a popped bound is exact iff its cached
+      // candidate is live and the matrix still agrees (equality with a
+      // different live pair at the same value is still a correct min-merge)
+      long a;
       for (;;) {
-        long best_i = -1;
-        double best_lb = std::numeric_limits<double>::infinity();
-        for (long i = 0; i < n; ++i) {
-          if (!active[i]) continue;
-          if (nn_dist[i] < best_lb) {
-            best_lb = nn_dist[i];
-            best_i = i;
-          }
-        }
-        if (best_i < 0) return FC_ERR_INVALID_ARG;  // unreachable
-        if (nn[best_i] >= 0 && active[nn[best_i]]) {
-          a = best_i;
-          break;
-        }
-        rescan(best_i);  // true value >= its lower bound
+        a = heap.top();
+        long c = nn[a];
+        if (c >= 0 && active[c] && D(a, c) == nn_dist[a]) break;
+        rescan_upper(a);  // exact value >= the stale lower bound
+        heap.update(a);
       }
-      double best = nn_dist[a];
-      long b = nn[a];
+      const long b = nn[a];  // b > a by construction
+      const double best = nn_dist[a];
 
       long id_a = id[a], id_b = id[b];
       if (id_a > id_b) std::swap(id_a, id_b);
@@ -202,27 +264,37 @@ extern "C" fc_error fastcluster_centroid_linkage_lw(double* sqdist, long n,
       dendrogram_out[step * 4 + 2] = std::sqrt(std::max(best, 0.0));
       dendrogram_out[step * 4 + 3] = nt;
 
-      // Lance-Williams centroid update into a's slot, O(n) per merge
+      active[a] = 0;
+      heap.remove(a);
+
+      // Lance-Williams centroid update into slot b (the larger), O(n)/merge
       const double dab = best;
       const double wa = na / nt, wb = nb / nt, wc = -(na * nb) / (nt * nt);
-      for (long j = 0; j < n; ++j) {
-        if (j == a || j == b || !active[j]) continue;
-        double dd = wa * D(a, j) + wb * D(b, j) + wc * dab;
+      const double* row_a = sqdist + a * n;
+      const double* row_b = sqdist + b * n;
+      for (long j = 0; j < b; ++j) {
+        if (j == a || !active[j]) continue;
+        double dd = wa * row_a[j] + wb * row_b[j] + wc * dab;
         dd = std::max(dd, 0.0);
-        D(a, j) = D(j, a) = dd;
+        D(b, j) = D(j, b) = dd;
         // centroid linkage is non-reducible: the merged cluster may now be
-        // closer to j than j's cached NN was
+        // closer to j than j's (lower-bound) cached candidate
         if (dd < nn_dist[j]) {
           nn_dist[j] = dd;
-          nn[j] = a;
-        } else if (nn[j] == a || nn[j] == b) {
-          nn[j] = -1;  // stale; lazy rescan next round
+          nn[j] = b;
+          heap.update(j);
         }
       }
-      size[a] = static_cast<long>(nt);
-      id[a] = next_id++;
-      active[b] = 0;
-      rescan(a);
+      for (long j = b + 1; j < n; ++j) {
+        if (!active[j]) continue;
+        double dd = wa * row_a[j] + wb * row_b[j] + wc * dab;
+        D(b, j) = D(j, b) = std::max(dd, 0.0);
+        // j's candidates all exceed j > b: nothing to maintain
+      }
+      size[b] = static_cast<long>(nt);
+      id[b] = next_id++;
+      rescan_upper(b);
+      heap.update(b);
     }
     return FC_OK;
   } catch (const std::bad_alloc&) {
