@@ -596,7 +596,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
     # drift-pin battery. Default = everything.
     all_families = ("asr", "vad", "sortformer", "sensevoice", "paraformer",
                     "cohere", "eou", "lseend", "nemotron", "ctc", "tts",
-                    "offline", "online", "pins")
+                    "pocket", "offline", "online", "pins")
     if getattr(args, "families", None):
         want = {f.strip() for f in args.families.split(",") if f.strip()}
         unknown = want - set(all_families)
@@ -735,6 +735,26 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
             gate_failures.append(
                 f"trained TTS duration MAE {out['trained_tts_dur_mae_frames']}"
                 f" frames >= 0.5 (rounding-unsafe)")
+
+    # PocketTTS: trained streaming-AR fixture (flow-LM prefill + EOS +
+    # 8-step Euler flow + streaming Mimi decode), closed-loop verified by
+    # the trained ASR fixture; also gates the clone_voice path
+    if "pocket" in want and fx.fixtures_available("pocket", "asr"):
+        pk = fx.eval_pocket_fixture()
+        out["trained_pocket_roundtrip_wer_pct"] = round(
+            pk["roundtrip_wer_avg"] * 100, 2)
+        out["trained_pocket_clone_wer_pct"] = round(
+            pk["clone_roundtrip_wer"] * 100, 2)
+        if pk["roundtrip_wer_avg"] > fx.POCKET_ROUNDTRIP_WER_GATE:
+            gate_failures.append(
+                f"trained PocketTTS roundtrip WER "
+                f"{out['trained_pocket_roundtrip_wer_pct']}% > "
+                f"{fx.POCKET_ROUNDTRIP_WER_GATE * 100}%")
+        if pk["clone_roundtrip_wer"] > fx.POCKET_ROUNDTRIP_WER_GATE:
+            gate_failures.append(
+                f"trained PocketTTS clone-voice WER "
+                f"{out['trained_pocket_clone_wer_pct']}% > "
+                f"{fx.POCKET_ROUNDTRIP_WER_GATE * 100}%")
 
     # offline multi-stage pipeline (seg -> emb -> PLDA -> AHC -> VBx)
     if "offline" in want and fx.fixtures_available("offline"):

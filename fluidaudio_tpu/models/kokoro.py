@@ -518,6 +518,7 @@ class Generator(nn.Module):
 
     cfg: KokoroConfig
     deterministic: bool = False
+    with_spec: bool = False
 
     @nn.compact
     def __call__(self, x, s, f0_curve):
@@ -575,7 +576,19 @@ class Generator(nn.Module):
         # (exp(8)=2981 would already be a ~300x-over-full-scale waveform)
         spec = jnp.exp(jnp.clip(x[..., :n_bins], -30.0, 8.0))
         phase = jnp.sin(x[..., n_bins:]) * cfg.phase_scale
-        return istft_20(spec, phase, cfg.gen_n_fft, cfg.gen_hop)
+        audio = istft_20(spec, phase, cfg.gen_n_fft, cfg.gen_hop)
+        if self.with_spec:
+            # training hook: expose the iSTFT head's (mag, phase) so a
+            # fixture loss can supervise them at head resolution. Within one
+            # acoustic frame every generator input EXCEPT the harmonic
+            # source is piecewise-constant, so a spectral loss on the AUDIO
+            # alone lets the phase head ignore the source and emit
+            # feature-periodic output (the observed tone quantization) or
+            # collapse quiet. Direct delta-phase supervision forces the head
+            # to encode the true per-frame phase advance. Inference
+            # (with_spec=False) is untouched.
+            return audio, spec, phase
+        return audio
 
 
 class Decoder(nn.Module):
@@ -585,6 +598,7 @@ class Decoder(nn.Module):
 
     cfg: KokoroConfig
     deterministic: bool = False
+    with_spec: bool = False
 
     @nn.compact
     def __call__(self, asr, f0_curve, n_curve, s, n_frames):
@@ -619,7 +633,8 @@ class Decoder(nn.Module):
         for blk in blocks:
             x = jnp.concatenate([x, asr_res, f0, nn_], axis=-1)
             x = blk(x, s, mask)
-        return Generator(cfg, deterministic=self.deterministic, name="generator")(
+        return Generator(cfg, deterministic=self.deterministic,
+                         with_spec=self.with_spec, name="generator")(
             x, s, f0_curve
         )
 
@@ -638,7 +653,8 @@ class KokoroAudioProgram(nn.Module):
 
     @nn.compact
     def __call__(self, d, t_en, frame_idx, n_frames, style_s, style_timbre,
-                 with_prosody: bool = False, stop_f0_grad: bool = False):
+                 with_prosody: bool = False, stop_f0_grad: bool = False,
+                 with_spec: bool = False):
         B, F = frame_idx.shape
         mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(d.dtype)
         en = jnp.take_along_axis(d, frame_idx[..., None], axis=1) * mask
@@ -651,9 +667,15 @@ class KokoroAudioProgram(nn.Module):
         # FastSpeech2-style decoupling — pitch trains only from its own MSE,
         # the decoder trains treating F0 as given.
         f0_dec = jax.lax.stop_gradient(f0) if stop_f0_grad else f0
-        audio = Decoder(self.cfg, deterministic=self.deterministic, name="decoder")(
+        audio = Decoder(self.cfg, deterministic=self.deterministic,
+                        with_spec=with_spec, name="decoder")(
             asr, f0_dec, n_, style_timbre, n_frames
         )
+        if with_spec:
+            audio, mag, phase = audio
+            if with_prosody:
+                return audio, f0, n_, mag, phase
+            return audio, mag, phase
         if with_prosody:
             # training hook: expose the F0/N tracks (2x frame rate) so a
             # fixture/finetune loss can supervise pitch directly — the

@@ -123,6 +123,12 @@ class StyleTts2Config:
     max_frames: int = MAX_FRAMES
     max_tokens: int = 512
     dtype: str = "float32"
+    # F0 head output scale in Hz (shared ProsodyF0N reads it via getattr).
+    # 1.0 = upstream parity (real checkpoints carry Hz-scale weights); the
+    # trained tiny fixture sets 500.0 so the head reaches the fixture
+    # corpus's 240 Hz..4.2 kHz tone grid from O(1) conv outputs (same
+    # rationale as KokoroConfig.f0_scale).
+    f0_scale: float = 1.0
 
     @property
     def compute_dtype(self):
@@ -534,7 +540,8 @@ class StyleTts2AcousticProgram(nn.Module):
     deterministic: bool = False
 
     @nn.compact
-    def __call__(self, d, t_en, frame_idx, n_frames, s, ref):
+    def __call__(self, d, t_en, frame_idx, n_frames, s, ref,
+                 with_prosody: bool = False, stop_f0_grad: bool = False):
         B, F = frame_idx.shape
         mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(d.dtype)
         en = jnp.take_along_axis(d, frame_idx[..., None], axis=1) * mask
@@ -543,9 +550,17 @@ class StyleTts2AcousticProgram(nn.Module):
         en = jnp.concatenate([en[:, :1], en[:, :-1]], axis=1)
         asr = jnp.concatenate([asr[:, :1], asr[:, :-1]], axis=1)
         f0, n_ = ProsodyF0N(self.cfg, name="prosody")(en, s, n_frames)
-        return HifiDecoder(self.cfg, deterministic=self.deterministic, name="decoder")(
-            asr, f0, n_, ref, n_frames
-        )
+        # FastSpeech2-style decoupling for the fixture trainer: pitch trains
+        # only from its own MSE; the decoder treats F0 as given
+        f0_dec = jax.lax.stop_gradient(f0) if stop_f0_grad else f0
+        audio = HifiDecoder(self.cfg, deterministic=self.deterministic,
+                            name="decoder")(asr, f0_dec, n_, ref, n_frames)
+        if with_prosody:
+            # training hook (same convention as KokoroAudioProgram): expose
+            # the F0/N tracks (2x frame rate) so a fixture loss can
+            # supervise pitch directly. Inference path is untouched.
+            return audio, f0, n_
+        return audio
 
 
 def blend_style(s_pred, ref_s, alpha=0.3, beta=0.7):

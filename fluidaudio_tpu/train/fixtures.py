@@ -40,6 +40,14 @@ ONLINE_DIAR_DER_GATE = 0.10
 #: corpus, so assign new speakers past 0.25*1.2=0.30 (the reference default
 #: 0.7 is tuned for the real 256-dim WeSpeaker space, `DiarizerConfig.swift`)
 ONLINE_DIAR_CLUSTER_THRESHOLD = 0.25
+#: offline AHC warm-start threshold tuned to the same trained space — the
+#: BUT VBx recipe tunes the AHC cut per embedding model, and the default
+#: 0.6 is the real-WeSpeaker value. On the trained tiny embedder the
+#: dendrogram is cleanly bimodal (same-speaker centroid merges at cosine
+#: distance <= 0.003, the cross-speaker merge at ~0.595): 0.6 sat a hair
+#: ABOVE the cross merge and collapsed everything to one cluster. 0.30 cuts
+#: in the middle of the ~200x margin.
+OFFLINE_AHC_THRESHOLD = 0.30
 
 
 def trained_assets_dir() -> Path:
@@ -66,6 +74,10 @@ _FIXTURE_FILES = {
                  "nemotron/metadata.json"),
     "ctc": ("ctc/encoder.npz", "ctc/ctc_head.npz", "ctc/vocab.json"),
     "tts": ("tts/text.npz", "tts/audio.npz", "tts/voices.npz"),
+    "pocket": ("pocket/flowlm.npz", "pocket/flow.npz", "pocket/mimi.npz",
+               "pocket/mimi_enc.npz", "pocket/voices.npz"),
+    "styletts2": ("styletts2/text.npz", "styletts2/style.npz",
+                  "styletts2/predict.npz", "styletts2/acoustic.npz"),
 }
 
 
@@ -389,6 +401,17 @@ def kokoro_tiny_config():
         max_frames=384,
         # fixture corpus tones span 240 Hz..4.2 kHz; see KokoroConfig.f0_scale
         f0_scale=500.0, phase_scale=float(np.pi),
+        # iSTFT-head geometry for the TONE corpus: keep prod(rates)*gen_hop
+        # = 300 (the manager's HOP=600 contract) but put the hop at 1 so the
+        # head runs at the 24 kHz sample rate. The real geometry (rates
+        # (10,6), hop 5) assumes SPEECH-band F0: the harmonic source's
+        # wrapped STFT phase rotates f0*hop/sr = 0.02-0.08 cycles/frame —
+        # conv-smooth. Fixture tones up to 4.2 kHz rotate 0.87 cycles/frame
+        # on that grid (effectively noise to the smoothing convs; round-4's
+        # 400 Hz-quantized output was the result). hop=1 restores the
+        # dimensionless regime the real geometry sees for real speech
+        # (<=0.18 cycles/frame) with the SAME graph code.
+        upsample_rates=(20, 15), upsample_kernels=(40, 31), gen_hop=1,
     )
 
 
@@ -676,6 +699,32 @@ def offline_tiny_configs():
     return seg, emb
 
 
+def offline_diarizer_config():
+    """OfflineDiarizerConfig with the AHC cut tuned to the trained tiny
+    embedding space (`OFFLINE_AHC_THRESHOLD`); everything else default."""
+    from fluidaudio_tpu.diarizer.offline.types import (
+        ClusteringOptions, OfflineDiarizerConfig,
+    )
+
+    return OfflineDiarizerConfig(
+        clustering=ClusteringOptions(ahc_threshold=OFFLINE_AHC_THRESHOLD),
+    )
+
+
+def offline_diarizer_manager(config=None):
+    """OfflineDiarizerManager over the trained tiny checkpoints with the
+    fixture-tuned clustering config (pass `config` to override, e.g.
+    `offline_diarizer_config().with_speakers(exactly=2)`)."""
+    from fluidaudio_tpu.diarizer.offline.manager import OfflineDiarizerManager
+
+    seg_cfg, emb_cfg = offline_tiny_configs()
+    return OfflineDiarizerManager(
+        config or offline_diarizer_config(),
+        checkpoint_dir=trained_assets_dir() / "offline",
+        seg_config=seg_cfg, emb_config=emb_cfg,
+    )
+
+
 def eval_offline_diarizer_fixture(seed: int = 13579,
                                   seconds: float = 60.0) -> float:
     """DER through the FULL offline pipeline on trained tiny models:
@@ -683,14 +732,9 @@ def eval_offline_diarizer_fixture(seed: int = 13579,
     -> AHC warm start -> VBx HMM refinement -> segment reconstruction
     (reference OfflineDiarizerManager.process, Benchmarks.md:570-591)."""
     from fluidaudio_tpu.diarizer.metrics import compute_der
-    from fluidaudio_tpu.diarizer.offline.manager import OfflineDiarizerManager
     from fluidaudio_tpu.diarizer.types import TimedSpeakerSegment
 
-    seg_cfg, emb_cfg = offline_tiny_configs()
-    mgr = OfflineDiarizerManager(
-        checkpoint_dir=trained_assets_dir() / "offline",
-        seg_config=seg_cfg, emb_config=emb_cfg,
-    )
+    mgr = offline_diarizer_manager()
     rs = np.random.RandomState(seed)
     mix, ref, _ = tc.diarizer_mixture(rs, seconds, overlap_prob=0.0)
     result = mgr.process(mix)
@@ -758,6 +802,201 @@ def eval_lseend_fixture(seed: int = 8642, seconds: float = 60.0) -> float:
     refs = [TimedSpeakerSegment(speaker_id=s, start_time=a, end_time=b)
             for s, a, b in ref]
     return compute_der(refs, result.segments, collar=0.25).der
+
+
+# --------------------------------------------------------------- PocketTTS
+#: Roundtrip gate for the trained PocketTTS fixture — same contract as the
+#: Kokoro fixture gate: synthesized audio must be transcribed by the trained
+#: ASR fixture at ~0 WER (the reference's tts-asr-verify CLI applied to the
+#: PocketTTS backend, `PocketTtsSynthesizer.swift:498-707`).
+POCKET_ROUNDTRIP_WER_GATE = 0.02
+
+
+def pocket_tiny_config():
+    """Tiny PocketTtsConfig with the FULL streaming topology: flow-LM with
+    KV cache over 512 positions, 8-step Euler flow decoder, and a real Mimi
+    codec whose hop is 600 samples (25 ms @ 24 kHz) so the acoustic frame
+    grid matches the Kokoro fixture corpus (`tts_target_audio`). vocab 128
+    keeps the char-level fallback tokenizer collision-free over ASCII."""
+    from fluidaudio_tpu.models.mimi import MimiConfig
+    from fluidaudio_tpu.models.pocket_tts import PocketTtsConfig
+
+    mimi = MimiConfig(
+        latent_dim=8, dim=32, n_filters=4, ratios=(5, 5, 4, 3), kernel=5,
+        trans_layers=2, trans_heads=4, trans_ff=64, trans_context=16,
+    )
+    return PocketTtsConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=4, ff_hidden=96,
+        flow_blocks=2, flow_hidden=64, max_frames=160, mimi=mimi,
+    )
+
+
+def pocket_voice_reference() -> np.ndarray:
+    """Deterministic 24 kHz voice-cloning sample (three tone words, ~1.3 s)
+    — the training prompt and the eval `clone_voice` input are derived from
+    this same clip, so the cloned prompt must reproduce the trained voice."""
+    return tts_target_audio(np.asarray([2, 9, 14]), total_frames=52)
+
+
+def load_pocket_manager():
+    from fluidaudio_tpu.tts.pocket_manager import PocketTtsManager
+
+    return PocketTtsManager(
+        config=pocket_tiny_config(),
+        checkpoint_dir=trained_assets_dir() / "pocket",
+    )
+
+
+def eval_pocket_fixture(seed: int = 7531, n_utts: int = 3) -> dict[str, float]:
+    """The full PocketTTS streaming-AR contract proven functional: text ->
+    normalize/chunk -> char tokens -> KV prefill (BOS | 125-frame voice
+    prompt | text) -> per-80ms-grid flow-LM step + EOS threshold -> 8-step
+    Euler flow decode -> streaming Mimi decode (states carried), then CLOSED
+    LOOP through the trained ASR fixture after 24->16 kHz resampling. Also
+    exercises `clone_voice` (fixed 10 s encoder window, usable-frame tiling)
+    from the construction reference clip and gates its roundtrip too."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.zoo import AsrModels
+    from fluidaudio_tpu.tts.roundtrip import tts_asr_roundtrip
+
+    tts = load_pocket_manager()
+    asr = AsrManager(
+        AsrModels.load("test-tiny", checkpoint_dir=trained_assets_dir() / "asr",
+                       allow_random_init=False),
+        ASRConfig(),
+    )
+    rs = np.random.RandomState(seed)
+    rates = []
+    for _ in range(n_utts):
+        ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 7)))
+        rates.append(tts_asr_roundtrip(tts, asr, tc.transcript_text(ids)).wer)
+    tts.clone_voice(pocket_voice_reference(), "cloned")
+    clone_wer = tts_asr_roundtrip(
+        tts, asr, tc.transcript_text(np.asarray([1, 8])), voice="cloned"
+    ).wer
+    return {"roundtrip_wer_avg": float(np.mean(rates)),
+            "clone_roundtrip_wer": float(clone_wer)}
+
+
+# -------------------------------------------------------------- StyleTTS2
+#: Roundtrip gate for the trained StyleTTS2 fixture — same tts-asr-verify
+#: contract as Kokoro/PocketTTS.
+STYLETTS2_ROUNDTRIP_WER_GATE = 0.02
+
+
+def styletts2_tiny_config():
+    """Tiny StyleTts2Config with the FULL 4-program topology (ALBERT text
+    stack, StarGANv2 ref encoders + EDM transformer denoiser + ADPM2
+    sampler, BiLSTM duration predictor, AdaIN HiFi-GAN with harmonic
+    source). vocab stays 178 — the REAL TextCleaner symbol table is part of
+    what the fixture proves. upsample rates multiply to 300 (kernel parity
+    k=2r / 2r+1) so HOP=600 holds at fixture scale."""
+    from fluidaudio_tpu.models.styletts2 import StyleTts2Config
+
+    return StyleTts2Config(
+        d_model=64, style_dim=32, n_layer=1, max_dur=16,
+        albert_emb=32, albert_hidden=64, albert_heads=4, albert_inter=128,
+        albert_layers=2,
+        style_dim_in=8, style_max_conv_dim=32,
+        diff_width=64, diff_layers=2, diff_heads=4,
+        decoder_hidden=64, asr_res_ch=16,
+        upsample_initial=64, upsample_rates=(20, 15),
+        upsample_kernels=(40, 31),
+        resblock_kernels=(3, 7), resblock_dilations=((1, 3), (1, 3)),
+        max_frames=256, max_tokens=64,
+        # fixture corpus tones span 240 Hz..4.2 kHz (see config docstring)
+        f0_scale=500.0,
+    )
+
+
+def styletts2_ref_clip() -> np.ndarray:
+    """Deterministic 24 kHz style-reference clip (three tone words, ~1.3 s)
+    — the training reference and the eval `reference_audio` are this same
+    clip, so the diffusion-sampled + blended style must reproduce the
+    trained voice."""
+    return tts_target_audio(np.asarray([2, 9, 14]), total_frames=52)
+
+
+def load_styletts2_manager():
+    from fluidaudio_tpu.tts.styletts2_manager import StyleTTS2Manager
+
+    mgr = StyleTTS2Manager(
+        config=styletts2_tiny_config(),
+        checkpoint_dir=trained_assets_dir() / "styletts2",
+    )
+    # tone words resolve through the custom-lexicon slot of the shared
+    # English G2P cascade (the manager's phonemizer shares this instance)
+    mgr.g2p.custom_lexicon = tts_lexicon()
+    return mgr
+
+
+def eval_styletts2_fixture(seed: int = 6174, n_utts: int = 3) -> dict[str, float]:
+    """The full StyleTTS2 synthesis contract proven functional: text ->
+    phonemizer (custom lexicon + Misaki shorthand expansion) -> TextCleaner
+    ids -> ALBERT/text encoders -> ref-mel style encoders + ADPM2 diffusion
+    style sampling -> alpha/beta blend -> BiLSTM duration rounding ->
+    AdaIN HiFi-GAN with harmonic source -> 24 kHz audio (tail trim), then
+    CLOSED LOOP through the trained ASR fixture after 24->16 kHz resampling
+    (the reference's tts-asr-verify applied to the StyleTTS2 backend,
+    `StyleTTS2Synthesizer.swift:33-133`). Also reports the duration head's
+    mean absolute error in frames."""
+    from fluidaudio_tpu.asr.config import ASRConfig
+    from fluidaudio_tpu.asr.manager import AsrManager
+    from fluidaudio_tpu.models.styletts2 import round_durations
+    from fluidaudio_tpu.models.zoo import AsrModels
+    from fluidaudio_tpu.tts.roundtrip import tts_asr_roundtrip
+
+    tts = load_styletts2_manager()
+    asr = AsrManager(
+        AsrModels.load("test-tiny", checkpoint_dir=trained_assets_dir() / "asr",
+                       allow_random_init=False),
+        ASRConfig(),
+    )
+    ref = styletts2_ref_clip()
+    rs = np.random.RandomState(seed)
+    rates, dur_errs = [], []
+    for u in range(n_utts):
+        ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 8)))
+        text = tc.transcript_text(ids)
+        rates.append(tts_asr_roundtrip(
+            tts, asr, text, reference_audio=ref, noise_seed=u).wer)
+
+        # duration head accuracy through the real predict program
+        import jax.numpy as jnp
+
+        from fluidaudio_tpu.tts.styletts2_manager import text_cleaner_encode
+
+        phon = tts.phonemizer.phonemize(text)
+        tok = text_cleaner_encode(phon)
+        tokens = np.zeros((1, 64), np.int32)
+        tokens[0, : len(tok)] = tok
+        lengths = jnp.asarray([len(tok)], jnp.int32)
+        bert_dur, d_en, _ = tts._text_fn(
+            tts.params["text"], jnp.asarray(tokens), lengths)
+        from fluidaudio_tpu.tts.styletts2_manager import ref_mel_padded
+
+        mel_pad, used = ref_mel_padded(ref, tts.cfg.n_mels)
+        noise0 = np.random.RandomState(u).randn(
+            1, 2 * tts.cfg.style_dim).astype(np.float32)
+        from fluidaudio_tpu.models.styletts2 import DIFFUSION_STEPS, blend_style
+
+        noises = np.random.RandomState(u).randn(
+            DIFFUSION_STEPS - 1, 1, 2 * tts.cfg.style_dim).astype(np.float32)
+        s_pred, ref_s = tts._style_fn(
+            tts.params["style"], jnp.asarray(mel_pad),
+            jnp.asarray([used], jnp.int32), bert_dur, lengths,
+            jnp.asarray(noise0), jnp.asarray(noises))
+        _, s128 = blend_style(np.asarray(s_pred), np.asarray(ref_s))
+        _, dur_logits = tts._predict_fn(
+            tts.params["predict"], d_en, jnp.asarray(s128), lengths)
+        got = round_durations(np.asarray(dur_logits)[0], len(tok))
+        want = np.concatenate([[TTS_PAD_FRAMES],
+                               np.asarray([[TTS_WORD_FRAMES, TTS_GAP_FRAMES]
+                                           for _ in ids]).reshape(-1)[:-1]])
+        dur_errs.append(float(np.abs(got - want).mean()))
+    return {"roundtrip_wer_avg": float(np.mean(rates)),
+            "dur_mae_frames": float(np.mean(dur_errs))}
 
 
 def eval_cohere_fixture(seed: int = 987, n_utts: int = 6) -> float:

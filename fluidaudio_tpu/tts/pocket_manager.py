@@ -409,6 +409,9 @@ class PocketTtsManager:
                 ids.extend(enc)
             ids = [min(i, self.cfg.vocab_size - 1) for i in ids[:MAX_TEXT_TOKENS]]
             return jnp.asarray([ids or [1]], jnp.int32)
-        ids = [min(self.cfg.vocab_size - 1, 1 + (ord(c) % (self.cfg.vocab_size - 2)))
-               for c in text[:MAX_TEXT_TOKENS]]
-        return jnp.asarray([ids or [1]], jnp.int32)
+        from fluidaudio_tpu.tts.pocket_text import fallback_char_tokens
+
+        return jnp.asarray(
+            [fallback_char_tokens(text, self.cfg.vocab_size, MAX_TEXT_TOKENS)],
+            jnp.int32,
+        )

@@ -59,6 +59,16 @@ class TextChunk:
     is_mid_sentence: bool
 
 
+def fallback_char_tokens(text: str, vocab_size: int, max_tokens: int = 256) -> list[int]:
+    """Char-level stand-in token ids used when no SentencePiece model is
+    cached (PocketTtsManager._tokenize fallback; also the trained-fixture
+    convention — one source of truth so training and inference cannot
+    drift). Id 0 is reserved (BOS/pad)."""
+    ids = [min(vocab_size - 1, 1 + (ord(c) % (vocab_size - 2)))
+           for c in text[:max_tokens]]
+    return ids or [1]
+
+
 def normalize_smart_quotes(text: str) -> str:
     return (
         text.replace("‘", "'")

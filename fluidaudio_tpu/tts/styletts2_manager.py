@@ -218,6 +218,28 @@ def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     return buckets[-1]
 
 
+def ref_mel_padded(reference_audio: np.ndarray | None,
+                   n_mels: int) -> tuple[np.ndarray, int]:
+    """Reference audio -> (bucket-padded mel [1, n_mels, mb], frames used).
+
+    Single source of truth for the style-encoder input convention (the
+    trained fixture computes its training-time reference style through this
+    same helper, so train and inference cannot drift). None = the silence
+    default (1 s of zeros). Padding REPLICATES the last frame: the style
+    encoder's convs smear a few boundary columns of padding into the masked
+    pool at every scale, and zero (nowhere near log-mel silence) shifts the
+    style vector; an edge-continued signal keeps the bleed negligible."""
+    if reference_audio is None:
+        reference_audio = np.zeros(SAMPLE_RATE, np.float32)
+    mel = styletts2_ref_mel(reference_audio, n_mels)
+    frames = mel.shape[1]
+    mb = _bucket(frames, _MEL_BUCKETS)
+    used = min(frames, mb)
+    mel_pad = np.repeat(mel[None, :, used - 1 : used], mb, axis=2).astype(np.float32)
+    mel_pad[0, :, :used] = mel[:, :mb]
+    return mel_pad, used
+
+
 class StyleTTS2Manager:
     def __init__(
         self,
@@ -334,26 +356,13 @@ class StyleTTS2Manager:
         )
 
         # style: ref_encoder + ADPM2 diffusion sampling
-        if reference_audio is not None:
-            mel = styletts2_ref_mel(reference_audio, cfg.n_mels)
-        else:
-            mel = styletts2_ref_mel(np.zeros(SAMPLE_RATE, np.float32), cfg.n_mels)
-        frames = mel.shape[1]
-        mb = _bucket(frames, _MEL_BUCKETS)
-        # pad the reference mel by REPLICATING the last frame: the style
-        # encoder's convs smear a few boundary columns of padding into the
-        # masked pool at every scale, and zero (= nowhere near log-mel
-        # silence) shifts the style vector; an edge-continued signal keeps
-        # the bleed negligible vs the exact-length computation
-        mel_pad = np.repeat(mel[None, :, min(frames, mb) - 1 : min(frames, mb)],
-                            mb, axis=2).astype(np.float32)
-        mel_pad[0, :, : min(frames, mb)] = mel[:, :mb]
+        mel_pad, used = ref_mel_padded(reference_audio, cfg.n_mels)
         rng = np.random.RandomState(noise_seed)
         noise_init = rng.randn(1, 2 * cfg.style_dim).astype(np.float32)
         noises_aux = rng.randn(DIFFUSION_STEPS - 1, 1, 2 * cfg.style_dim).astype(np.float32)
         s_pred, ref_s = self._style_fn(
             self.params["style"], jnp.asarray(mel_pad),
-            jnp.asarray([min(frames, mb)], jnp.int32), bert_dur, lengths,
+            jnp.asarray([used], jnp.int32), bert_dur, lengths,
             jnp.asarray(noise_init), jnp.asarray(noises_aux),
         )
         ref128, s128 = blend_style(np.asarray(s_pred), np.asarray(ref_s), alpha, beta)

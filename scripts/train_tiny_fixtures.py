@@ -788,6 +788,48 @@ def eval_ctc(_: Path) -> float:
 
 # ------------------------------------------------------------------ tts
 
+# Shared discriminator-free vocoder loss recipe (Parallel WaveGAN aux loss):
+# multi-resolution STFT magnitudes compared LINEARLY (spectral convergence)
+# as well as in log — a log-mel-only loss lets silence be a local optimum
+# for narrowband tones — plus a phase-free moving-RMS envelope term that
+# forces energy ONTO words and silence into gaps. Used by the Kokoro and
+# PocketTTS fixture trainers.
+MRSTFT_RES = ((512, 120), (128, 32), (2048, 480))
+
+
+def stft_mag(x, n_fft, hop):
+    L = x.shape[-1]
+    nf = 1 + (L - n_fft) // hop
+    idx = np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[:, idx] * jnp.asarray(np.hanning(n_fft), x.dtype)
+    z = jnp.fft.rfft(frames, axis=-1)
+    # sqrt(|z|^2 + eps), NOT jnp.abs: the abs gradient is z/|z|, which
+    # is NaN on the exact-zero frames the length mask creates
+    return jnp.sqrt(z.real**2 + z.imag**2 + 1e-12)
+
+
+def mrstft_loss(pred, tgt):
+    total = 0.0
+    for n_fft, hop in MRSTFT_RES:
+        mp, mt = stft_mag(pred, n_fft, hop), stft_mag(tgt, n_fft, hop)
+        sc = jnp.linalg.norm(mt - mp) / (jnp.linalg.norm(mt) + 1e-6)
+        logl1 = jnp.mean(jnp.abs(jnp.log(mt + 1e-5) - jnp.log(mp + 1e-5)))
+        total = total + sc + logl1
+    return total / len(MRSTFT_RES)
+
+
+def envelope_loss(pred, tgt):
+    # phase-free 5 ms moving-RMS envelope
+    k = 120
+    kernel = jnp.full((1, 1, k), 1.0 / k)
+
+    def env(x):
+        p = jax.lax.conv_general_dilated(
+            (x * x)[:, None, :], kernel, (k,), "VALID")
+        return jnp.sqrt(p[:, 0, :] + 1e-8)
+
+    return jnp.mean(jnp.abs(env(pred) - env(tgt)))
+
 
 def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Path:
     """Trained tiny Kokoro fixture — the TTS side of the functional proof.
@@ -819,47 +861,12 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
     style_s = jnp.asarray(np.tile(style_row[128:], (batch, 1)))
     style_t = jnp.asarray(np.tile(style_row[:128], (batch, 1)))
 
-    # loss features: multi-resolution STFT magnitudes at the native 24 kHz.
-    # Phase stays free (the harmonic source's random initial phase must not
-    # be penalized), but magnitudes are compared LINEARLY (spectral
-    # convergence) as well as in log: a log-mel-only loss let silence be a
-    # local optimum — the tones are narrowband, so muting them costs ~3 of
-    # 80 mel bins while broadband attempts cost all 80, and the round-4
-    # checkpoint collapsed to exactly that (words at rms 0.0000). Linear
-    # magnitude L1 + SC is the standard discriminator-free vocoder recipe
-    # (Parallel WaveGAN aux loss) and weights the tone bins by their actual
-    # energy.
-    def stft_mag(x, n_fft, hop):
-        L = x.shape[-1]
-        nf = 1 + (L - n_fft) // hop
-        idx = np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]
-        frames = x[:, idx] * jnp.asarray(np.hanning(n_fft), x.dtype)
-        z = jnp.fft.rfft(frames, axis=-1)
-        # sqrt(|z|^2 + eps), NOT jnp.abs: the abs gradient is z/|z|, which
-        # is NaN on the exact-zero frames the length mask creates
-        return jnp.sqrt(z.real**2 + z.imag**2 + 1e-12)
-
-    MRSTFT_RES = ((512, 120), (128, 32), (2048, 480))
-
-    def mrstft_loss(pred, tgt):
-        total = 0.0
-        for n_fft, hop in MRSTFT_RES:
-            mp, mt = stft_mag(pred, n_fft, hop), stft_mag(tgt, n_fft, hop)
-            sc = jnp.linalg.norm(mt - mp) / (jnp.linalg.norm(mt) + 1e-6)
-            logl1 = jnp.mean(jnp.abs(jnp.log(mt + 1e-5) - jnp.log(mp + 1e-5)))
-            total = total + sc + logl1
-        return total / len(MRSTFT_RES)
-
-    def envelope_loss(pred, tgt):
-        # phase-free 5 ms moving-RMS envelope: forces energy ONTO words and
-        # silence into gaps regardless of phase alignment
-        k = 120
-        kernel = jnp.full((1, 1, k), 1.0 / k)
-        def env(x):
-            p = jax.lax.conv_general_dilated(
-                (x * x)[:, None, :], kernel, (k,), "VALID")
-            return jnp.sqrt(p[:, 0, :] + 1e-8)
-        return jnp.mean(jnp.abs(env(pred) - env(tgt)))
+    # loss: module-level MR-STFT recipe (see MRSTFT_RES above) — linear
+    # magnitude SC + log L1 + RMS envelope; phase stays free (the harmonic
+    # source's random initial phase must not be penalized). The round-4
+    # checkpoint collapsed to silence under a log-mel-only loss: the tones
+    # are narrowband, so muting them cost ~3 of 80 mel bins while broadband
+    # attempts cost all 80.
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
     ids0 = jnp.zeros((batch, T_pad), jnp.int32)
@@ -884,13 +891,16 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
     )
     opt_state = tx.init(params)
 
+    from fluidaudio_tpu.models.kokoro import stft_20
+
     def loss_fn(p, tokens, tok_lens, dur_tgt, dur_mask, frame_idx, n_frames,
                 target, f0_tgt, key):
         dur, d, t_en = text_prog.apply(p["text"], tokens, tok_lens, style_s)
         dur_loss = jnp.sum(((dur - dur_tgt) ** 2) * dur_mask) / jnp.sum(dur_mask)
-        audio, f0, _ = audio_prog.apply(
+        audio, f0, _, pmag, pph = audio_prog.apply(
             p["audio"], d, t_en, frame_idx, n_frames, style_s, style_t,
-            with_prosody=True, stop_f0_grad=True, rngs={"noise": key})
+            with_prosody=True, stop_f0_grad=True, with_spec=True,
+            rngs={"noise": key})
         # Direct F0 supervision (round-5 fix): the SourceModule's voiced gate
         # `f0 > 10 Hz` has zero gradient and the sine-phase gradient is
         # oscillatory, so a mel loss alone leaves F0 unvoiced and the vocoder
@@ -904,8 +914,32 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
                  < (n_frames * HOP)[:, None]).astype(audio.dtype)
         masked = audio * smask
         spec_loss = mrstft_loss(masked, target) + envelope_loss(masked, target)
-        return (spec_loss + 0.05 * dur_loss + f0_loss,
-                (spec_loss, dur_loss, f0_loss))
+
+        # Direct iSTFT-head supervision (round-5 fix for the tone
+        # quantization): within one acoustic frame every generator input
+        # except the harmonic source is piecewise-constant, so the audio
+        # spectral loss alone lets the phase head ignore the source and emit
+        # feature-periodic output (tones snapped to a 400 Hz grid) or
+        # collapse quiet. Supervise the head at ITS OWN resolution:
+        #   mag   — log-L1 against the target's 20-point STFT magnitudes;
+        #   phase — magnitude-weighted 1-cos on the FRAME-TO-FRAME phase
+        #           delta (instantaneous frequency), invariant to the
+        #           absolute phase offset between the harmonic source's
+        #           cumsum (over PREDICTED F0) and the construction target.
+        tmag, tph = stft_20(target, cfg.gen_n_fft, cfg.gen_hop)
+        nf_spec = pmag.shape[1]
+        fvalid = (jnp.arange(nf_spec)[None, :]
+                  < ((HOP // cfg.gen_hop) * n_frames + 1)[:, None]
+                  ).astype(pmag.dtype)
+        hmag_loss = jnp.sum(
+            jnp.abs(jnp.log(pmag + 1e-5) - jnp.log(tmag + 1e-5)).mean(-1)
+            * fvalid) / jnp.sum(fvalid)
+        w = tmag[:, 1:] * tmag[:, :-1] * fvalid[:, 1:, None]
+        dph = (pph[:, 1:] - pph[:, :-1]) - (tph[:, 1:] - tph[:, :-1])
+        dphase_loss = jnp.sum(w * (1.0 - jnp.cos(dph))) / (jnp.sum(w) + 1e-6)
+        head_loss = hmag_loss + 2.0 * dphase_loss
+        return (spec_loss + 0.05 * dur_loss + f0_loss + head_loss,
+                (spec_loss, dur_loss, f0_loss, hmag_loss, dphase_loss))
 
     @jax.jit
     def step_fn(p, o, tokens, tok_lens, dur_tgt, dur_mask, frame_idx,
@@ -979,7 +1013,8 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
         if i % 50 == 0 or i == steps - 1:
             print(f"tts step {i}: loss {float(loss):.4f} "
                   f"(spec {float(aux[0]):.4f} dur {float(aux[1]):.4f} "
-                  f"f0 {float(aux[2]):.4f}) ({time.time() - t0:.0f}s)",
+                  f"f0 {float(aux[2]):.4f} hmag {float(aux[3]):.4f} "
+                  f"dph {float(aux[4]):.4f}) ({time.time() - t0:.0f}s)",
                   flush=True)
         if i > 0 and i % 1000 == 0:
             save_ckpt()
@@ -996,6 +1031,276 @@ def eval_tts(_: Path) -> float:
     d = fx.eval_tts_fixture()
     print(f"tts eval roundtrip WER {d['roundtrip_wer_avg']*100:.2f}%, "
           f"duration MAE {d['dur_mae_frames']:.3f} frames")
+    return d["roundtrip_wer_avg"]
+
+
+# --------------------------------------------------------------- pocket tts
+
+
+def train_pocket(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Path:
+    """Trained tiny PocketTTS fixture — the streaming-AR TTS functional proof
+    (reference loop `PocketTtsSynthesizer.swift:498-707`). Two stages:
+
+      A (40% of steps): Mimi autoencoder. Encoder latents feed the STREAMING
+        per-frame decoder scan (the exact inference path, all conv/KV states
+        carried) and the waveform is fit with the shared MR-STFT + envelope
+        recipe, plus a unit-variance latent regularizer so the flow decoder
+        later operates on a sane scale.
+      B (60%): flow-LM + flow-matching velocity + EOS head, teacher-forced
+        over the REAL prefill layout [BOS | 125-frame voice prompt | text
+        chars | latents]: conditional flow matching (OT path, z_t =
+        (1-t)z0 + t x1, target velocity x1 - z0) on the FROZEN encoder's
+        latents conditioned on the LM hidden state; BCE on the EOS logit at
+        utterance end (inference threshold -4.0); small input-latent noise
+        so generation tolerates its own feedback. The voice prompt comes
+        from the manager's own `clone_voice` on the construction reference
+        clip, so eval recloning reproduces it bit-identically.
+    """
+    from fluidaudio_tpu.models.mimi import MimiDecoder, MimiEncoder
+    from fluidaudio_tpu.models.pocket_tts import (
+        VOICE_PROMPT_FRAMES,
+        FlowLm,
+        FlowVelocity,
+        init_kv,
+    )
+    from fluidaudio_tpu.train import fixtures as fx
+    from fluidaudio_tpu.tts.pocket_text import fallback_char_tokens, normalize_text
+
+    cfg = fx.pocket_tiny_config()
+    HOP = cfg.mimi.hop  # 600 samples = 25 ms @ 24 kHz
+    LAT = cfg.mimi.latent_dim
+    enc = MimiEncoder(cfg.mimi)
+    dec = MimiDecoder(cfg.mimi)
+    flowlm = FlowLm(cfg)
+    vel = FlowVelocity(cfg)
+
+    out = ASSETS / "pocket"
+    out.mkdir(parents=True, exist_ok=True)
+    steps_a = max(1, int(steps * 0.4))
+    steps_b = max(1, steps - steps_a)
+    rs = np.random.RandomState(seed + 1)
+
+    # ------------------------------------------------------------ stage A
+    F_A = 64
+    keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+    params_a = {
+        "enc": jax.jit(enc.init)(keys[0], jnp.zeros((batch, F_A * HOP))),
+        "dec": jax.jit(dec.init)(
+            keys[1], jnp.zeros((batch, LAT)), dec.init_state(batch)
+        ),
+    }
+
+    def decode_seq(p, latents):  # [B, F, LAT] -> [B, F*HOP] streaming scan
+        def step(state, z):
+            y, state = dec.apply(p, z, state)
+            return state, y
+
+        _, ys = jax.lax.scan(
+            step, dec.init_state(latents.shape[0]), jnp.swapaxes(latents, 0, 1)
+        )
+        return jnp.swapaxes(ys, 0, 1).reshape(latents.shape[0], -1)
+
+    def ae_loss(p, audio):
+        lat = enc.apply(p["enc"], audio)
+        recon = decode_seq(p["dec"], lat)
+        spec = mrstft_loss(recon, audio) + envelope_loss(recon, audio)
+        # Time-domain L2 (round-5 fix): unlike a vocoder, an AUTOENCODER's
+        # output phase is pinned by its input, so a waveform loss is
+        # legitimate — and necessary: with only phase-free spectral terms
+        # the first pocket run collapsed to silent latents (std 0.03, reg
+        # stuck at 1.0) because near-silence is a local optimum of MR-STFT
+        # on narrowband tones. The dense per-sample gradient breaks it.
+        wav = 100.0 * jnp.mean((recon - audio) ** 2)
+        reg = (jnp.mean(lat * lat) - 1.0) ** 2
+        return spec + wav + 0.05 * reg, (spec, wav, reg)
+
+    tx_a = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(lr, steps_a)),
+    )
+    opt_a = tx_a.init(params_a)
+
+    @jax.jit
+    def step_a(p, o, audio):
+        (loss, aux), g = jax.value_and_grad(ae_loss, has_aux=True)(p, audio)
+        up, o2 = tx_a.update(g, o, p)
+        return optax.apply_updates(p, up), o2, loss, aux
+
+    t0 = time.time()
+    for i in range(steps_a):
+        audio = np.zeros((batch, F_A * HOP), np.float32)
+        for r in range(batch):
+            ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(1, 4)))
+            audio[r] = fx.tts_target_audio(ids, F_A)
+        params_a, opt_a, loss, aux = step_a(params_a, opt_a, jnp.asarray(audio))
+        if i % 50 == 0 or i == steps_a - 1:
+            print(f"pocket A step {i}: loss {float(loss):.4f} "
+                  f"(spec {float(aux[0]):.4f} wav {float(aux[1]):.4f} "
+                  f"reg {float(aux[2]):.4f}) "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    def save_npz(name, tree):
+        # atomic write-then-rename; tmp names must END in .npz (np.savez
+        # appends the suffix otherwise)
+        tmp = out / f".{name}.tmp.npz"
+        save_params(tmp, jax.device_get(tree))
+        tmp.replace(out / f"{name}.npz")
+
+    save_npz("mimi", params_a["dec"])
+    save_npz("mimi_enc", params_a["enc"])
+    print(f"pocket stage A checkpoint -> {out}", flush=True)
+
+    # voice prompt via the REAL clone path (fixed 10 s encoder window,
+    # usable-frame tiling) so eval's re-clone is bit-identical
+    from fluidaudio_tpu.tts.pocket_manager import PocketTtsManager
+
+    mgr0 = PocketTtsManager(config=cfg, checkpoint_dir=out)
+    mgr0.clone_voice(fx.pocket_voice_reference(), "default", voices_dir=out)
+    prompt = jnp.asarray(mgr0.voices["default"])  # [125, LAT]
+
+    # ------------------------------------------------------------ stage B
+    T_PAD, F_PAD = 44, 136
+    S_PAD = 1 + VOICE_PROMPT_FRAMES + T_PAD + F_PAD
+    text_start = 1 + VOICE_PROMPT_FRAMES
+
+    params_b = {
+        "flowlm": jax.jit(flowlm.init)(
+            keys[2], jnp.zeros((1, cfg.d_model)), jnp.zeros((1,), jnp.int32),
+            init_kv(cfg, 1),
+        ),
+        "vel": jax.jit(vel.init)(
+            keys[3], jnp.zeros((1, LAT)), jnp.zeros((1, cfg.d_model)),
+            jnp.zeros((1, 1)),
+        ),
+    }
+    tx_b = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(lr, steps_b)),
+    )
+    opt_b = tx_b.init(params_b)
+    enc_apply = jax.jit(enc.apply)
+    p_enc_frozen = params_a["enc"]
+
+    def lm_loss(p, tokens, tok_lens, latents, n_frames, t_u, z0, in_noise):
+        B = tokens.shape[0]
+        lm = p["flowlm"]
+        text_emb = flowlm.apply(lm, tokens, method=FlowLm.embed_text)
+        # small latent input noise: generation feeds back its OWN flow
+        # output, which is close to but not exactly the encoder latent
+        lat_emb = flowlm.apply(
+            lm, latents + 0.05 * in_noise, method=FlowLm.embed_latent
+        )
+        prompt_emb = flowlm.apply(lm, prompt, method=FlowLm.embed_latent)
+        bos = flowlm.apply(lm, method=FlowLm.bos_embedding)
+
+        s = jnp.arange(S_PAD)
+        lat_start = text_start + tok_lens  # [B]
+        is_text = (s[None] >= text_start) & (s[None] < lat_start[:, None])
+        text_idx = jnp.clip(s[None] - text_start, 0, T_PAD - 1)
+        lat_idx = jnp.clip(s[None] - lat_start[:, None], 0, F_PAD - 1)
+        te = jnp.take_along_axis(text_emb, text_idx[..., None], axis=1)
+        le = jnp.take_along_axis(lat_emb, lat_idx[..., None], axis=1)
+        seq = jnp.where(is_text[..., None], te, le)
+        pe = prompt_emb[jnp.clip(s - 1, 0, VOICE_PROMPT_FRAMES - 1)]
+        is_prompt = (s >= 1) & (s < text_start)
+        seq = jnp.where(is_prompt[None, :, None], pe[None], seq)
+        seq = jnp.where((s == 0)[None, :, None], bos[None, None], seq)
+
+        def stepf(carry, x):
+            kv, pos = carry
+            hidden, eos, kv = flowlm.apply(
+                lm, x, jnp.full((B,), pos, jnp.int32), kv, method=FlowLm.step
+            )
+            return (kv, pos + 1), (hidden, eos)
+
+        _, (hiddens, eoss) = jax.lax.scan(
+            stepf, (init_kv(cfg, B), 0), jnp.swapaxes(seq, 0, 1)
+        )
+        hiddens = jnp.swapaxes(hiddens, 0, 1)  # [B, S, D]
+        eoss = jnp.swapaxes(eoss, 0, 1)  # [B, S]
+
+        # conditional flow matching: cond for frame i = hidden one position
+        # before the frame's slot (exactly what generation feeds the flow)
+        ci = jnp.clip(
+            lat_start[:, None] - 1 + jnp.arange(F_PAD)[None, :], 0, S_PAD - 1
+        )
+        cond = jnp.take_along_axis(hiddens, ci[..., None], axis=1)
+        fmask = (jnp.arange(F_PAD)[None] < n_frames[:, None]).astype(jnp.float32)
+        t = t_u[..., None]
+        zt = (1.0 - t) * z0 + t * latents
+        vhat = vel.apply(
+            p["vel"], zt.reshape(-1, LAT), cond.reshape(-1, cfg.d_model),
+            t_u.reshape(-1, 1),
+        ).reshape(B, F_PAD, LAT)
+        cfm = jnp.sum(((vhat - (latents - z0)) ** 2).mean(-1) * fmask) / jnp.sum(fmask)
+
+        # EOS: fires (logit > -4.0) at the step consuming the LAST latent;
+        # train a few trailing silence-latent steps positive too so a
+        # near-miss still stops one frame late rather than never
+        eos_pos = lat_start + n_frames - 1
+        in_gen = (s[None] >= lat_start[:, None]) & (s[None] <= eos_pos[:, None] + 3)
+        labels = (s[None] >= eos_pos[:, None]).astype(jnp.float32)
+        bce = optax.sigmoid_binary_cross_entropy(eoss, labels)
+        w = jnp.where(labels > 0, 20.0, 1.0) * in_gen.astype(jnp.float32)
+        eos_loss = jnp.sum(bce * w) / jnp.sum(w)
+        return cfm + 0.5 * eos_loss, (cfm, eos_loss)
+
+    @jax.jit
+    def step_b(p, o, tokens, tok_lens, latents, n_frames, t_u, z0, in_noise):
+        (loss, aux), g = jax.value_and_grad(lm_loss, has_aux=True)(
+            p, tokens, tok_lens, latents, n_frames, t_u, z0, in_noise
+        )
+        up, o2 = tx_b.update(g, o, p)
+        return optax.apply_updates(p, up), o2, loss, aux
+
+    def save_b():
+        save_npz("flowlm", params_b["flowlm"])
+        save_npz("flow", {"params": {"velocity": params_b["vel"]["params"]}})
+
+    key = jax.random.PRNGKey(seed + 2)
+    t0 = time.time()
+    for i in range(steps_b):
+        tokens = np.zeros((batch, T_PAD), np.int32)
+        tok_lens = np.zeros((batch,), np.int32)
+        n_frames = np.zeros((batch,), np.int32)
+        audio = np.zeros((batch, F_PAD * HOP), np.float32)
+        for r in range(batch):
+            n = int(rs.randint(1, 9))
+            ids = rs.randint(0, tc.N_WORDS, size=n)
+            norm, _ = normalize_text(tc.transcript_text(ids))
+            toks = fallback_char_tokens(norm, cfg.vocab_size)
+            tokens[r, : len(toks)] = toks
+            tok_lens[r] = len(toks)
+            n_frames[r] = int(fx.tts_durations(n).sum())
+            audio[r] = fx.tts_target_audio(ids, F_PAD)
+        latents = enc_apply(p_enc_frozen, jnp.asarray(audio))
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        t_u = jax.random.uniform(k1, (batch, F_PAD))
+        z0 = jax.random.normal(k2, (batch, F_PAD, LAT))
+        in_noise = jax.random.normal(k3, (batch, F_PAD, LAT))
+        params_b, opt_b, loss, aux = step_b(
+            params_b, opt_b, jnp.asarray(tokens), jnp.asarray(tok_lens),
+            latents, jnp.asarray(n_frames), t_u, z0, in_noise,
+        )
+        if i % 50 == 0 or i == steps_b - 1:
+            print(f"pocket B step {i}: loss {float(loss):.4f} "
+                  f"(cfm {float(aux[0]):.4f} eos {float(aux[1]):.4f}) "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if i > 0 and i % 1000 == 0:
+            save_b()
+            print(f"pocket B checkpoint @ step {i} -> {out}", flush=True)
+
+    save_b()
+    print(f"pocket checkpoint -> {out}")
+    return out
+
+
+def eval_pocket(_: Path) -> float:
+    from fluidaudio_tpu.train import fixtures as fx
+
+    d = fx.eval_pocket_fixture()
+    print(f"pocket eval roundtrip WER {d['roundtrip_wer_avg']*100:.2f}%, "
+          f"clone-voice WER {d['clone_roundtrip_wer']*100:.2f}%")
     return d["roundtrip_wer_avg"]
 
 
@@ -1435,7 +1740,7 @@ def eval_eou(_: Path) -> float:
 
 def main() -> int:
     families = ["asr", "vad", "sortformer", "sensevoice", "paraformer",
-                "cohere", "eou", "lseend", "offline", "nemotron", "ctc", "tts"]
+                "cohere", "eou", "lseend", "offline", "nemotron", "ctc", "tts", "pocket"]
     ap = argparse.ArgumentParser()
     ap.add_argument("family", nargs="?", default="all",
                     choices=families + ["all", "core"])
@@ -1452,19 +1757,19 @@ def main() -> int:
     defaults = {"asr": 700, "vad": 3000, "sortformer": 500,
                 "sensevoice": 1500, "paraformer": 1500, "cohere": 1500,
                 "eou": 1800, "lseend": 1200, "offline": 800,
-                "nemotron": 2400, "ctc": 600, "tts": 3000}
+                "nemotron": 2400, "ctc": 600, "tts": 3000, "pocket": 4000}
     train_fns = {"asr": train_asr, "vad": train_vad,
                  "sortformer": train_sortformer, "sensevoice": train_sensevoice,
                  "paraformer": train_paraformer, "cohere": train_cohere,
                  "eou": train_eou, "lseend": train_lseend,
                  "offline": train_offline, "nemotron": train_nemotron,
-                 "ctc": train_ctc, "tts": train_tts}
+                 "ctc": train_ctc, "tts": train_tts, "pocket": train_pocket}
     eval_fns = {"asr": eval_asr, "vad": eval_vad,
                 "sortformer": eval_sortformer, "sensevoice": eval_sensevoice,
                 "paraformer": eval_paraformer, "cohere": eval_cohere,
                 "eou": eval_eou, "lseend": eval_lseend,
                 "offline": eval_offline, "nemotron": eval_nemotron,
-                "ctc": eval_ctc, "tts": eval_tts}
+                "ctc": eval_ctc, "tts": eval_tts, "pocket": eval_pocket}
     print(f"backend: {jax.default_backend()}")
     for fam in fams:
         steps = args.steps or defaults[fam]

@@ -296,23 +296,15 @@ class TestTrainedOfflineDiarizer:
         assert fx.eval_offline_diarizer_fixture() <= fx.DIAR_DER_GATE
 
     def test_speaker_count_and_exactly_constraint(self):
-        from fluidaudio_tpu.diarizer.offline.manager import OfflineDiarizerManager
-        from fluidaudio_tpu.diarizer.offline.types import OfflineDiarizerConfig
-
-        seg_cfg, emb_cfg = fx.offline_tiny_configs()
         rs = np.random.RandomState(31415)
         mix, ref, _ = tc.diarizer_mixture(rs, 45.0, overlap_prob=0.0)
 
-        mgr = OfflineDiarizerManager(
-            checkpoint_dir=fx.trained_assets_dir() / "offline",
-            seg_config=seg_cfg, emb_config=emb_cfg)
+        mgr = fx.offline_diarizer_manager()
         assert mgr.process(mix).speaker_count == 2
 
         # withSpeakers(exactly:) parity: constraint must hold on output
-        forced = OfflineDiarizerManager(
-            OfflineDiarizerConfig().with_speakers(exactly=2),
-            checkpoint_dir=fx.trained_assets_dir() / "offline",
-            seg_config=seg_cfg, emb_config=emb_cfg)
+        forced = fx.offline_diarizer_manager(
+            fx.offline_diarizer_config().with_speakers(exactly=2))
         assert forced.process(mix).speaker_count == 2
 
 
@@ -586,3 +578,43 @@ class TestTrainedTts:
             spec = np.abs(np.fft.rfft(body * np.hanning(body.size)))
             f_peak = np.argmax(spec) * 24000 / body.size
             assert abs(f_peak - tc.word_freq(w)) < 40.0, (w, f_peak)
+
+
+class TestTrainedPocketTts:
+    """PocketTTS side of the functional proof: the trained tiny fixture runs
+    the FULL streaming-AR loop (`PocketTtsSynthesizer.swift:498-707` analog:
+    normalize/chunk -> char tokens -> KV prefill [BOS | 125-frame voice
+    prompt | text] -> per-frame flow-LM step with EOS threshold -4.0 ->
+    8-step Euler flow decode -> streaming Mimi decode with carried states)
+    and the result is verified CLOSED-LOOP by the trained ASR fixture."""
+
+    pytestmark = pytest.mark.skipif(
+        not fx.fixtures_available("pocket", "asr"),
+        reason="trained pocket fixture not committed",
+    )
+
+    @pytest.mark.quick
+    def test_roundtrip_wer(self):
+        d = fx.eval_pocket_fixture()
+        assert d["roundtrip_wer_avg"] <= fx.POCKET_ROUNDTRIP_WER_GATE, d
+        assert d["clone_roundtrip_wer"] <= fx.POCKET_ROUNDTRIP_WER_GATE, d
+
+    def test_eos_terminates_generation(self):
+        """EOS must fire: a 2-word utterance stops well before max_frames
+        (the trained deadline, not the scan budget)."""
+        tts = fx.load_pocket_manager()
+        r = tts.synthesize(tc.transcript_text(np.asarray([3, 11])))
+        assert r.frames < tts.cfg.max_frames, r.frames
+        # 2 words = 36 construction frames (+3 short-text pad after EOS);
+        # allow slack but require the right order of magnitude
+        assert 20 <= r.frames <= 80, r.frames
+
+    def test_stream_matches_output_scale(self):
+        """The incremental stream path yields the same number of frames
+        (+-1 block) and tonal audio for a single word."""
+        tts = fx.load_pocket_manager()
+        blocks = list(tts.stream(tc.word_text(5), seed=0))
+        audio = np.concatenate(blocks)
+        assert audio.size % 600 == 0 and audio.size > 0
+        body = audio[np.abs(audio) > 0.02]
+        assert body.size > 3000  # some voiced content
