@@ -596,7 +596,7 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
     # drift-pin battery. Default = everything.
     all_families = ("asr", "vad", "sortformer", "sensevoice", "paraformer",
                     "cohere", "eou", "lseend", "nemotron", "ctc", "tts",
-                    "pocket", "offline", "online", "pins")
+                    "pocket", "styletts2", "offline", "online", "pins")
     if getattr(args, "families", None):
         want = {f.strip() for f in args.families.split(",") if f.strip()}
         unknown = want - set(all_families)
@@ -755,6 +755,25 @@ def cmd_synthetic_guardrail(args: argparse.Namespace) -> int:
                 f"trained PocketTTS clone-voice WER "
                 f"{out['trained_pocket_clone_wer_pct']}% > "
                 f"{fx.POCKET_ROUNDTRIP_WER_GATE * 100}%")
+
+    # StyleTTS2: trained diffusion-TTS fixture (EDM/ADPM2 style sampling +
+    # AdaIN HiFi-GAN), closed-loop verified by the trained ASR fixture
+    if "styletts2" in want and fx.fixtures_available("styletts2", "asr"):
+        st = fx.eval_styletts2_fixture()
+        out["trained_styletts2_roundtrip_wer_pct"] = round(
+            st["roundtrip_wer_avg"] * 100, 2)
+        out["trained_styletts2_dur_mae_frames"] = round(
+            st["dur_mae_frames"], 3)
+        if st["roundtrip_wer_avg"] > fx.STYLETTS2_ROUNDTRIP_WER_GATE:
+            gate_failures.append(
+                f"trained StyleTTS2 roundtrip WER "
+                f"{out['trained_styletts2_roundtrip_wer_pct']}% > "
+                f"{fx.STYLETTS2_ROUNDTRIP_WER_GATE * 100}%")
+        if st["dur_mae_frames"] >= 0.5:
+            gate_failures.append(
+                f"trained StyleTTS2 duration MAE "
+                f"{out['trained_styletts2_dur_mae_frames']}"
+                f" frames >= 0.5 (rounding-unsafe)")
 
     # offline multi-stage pipeline (seg -> emb -> PLDA -> AHC -> VBx)
     if "offline" in want and fx.fixtures_available("offline"):

@@ -654,7 +654,7 @@ class KokoroAudioProgram(nn.Module):
     @nn.compact
     def __call__(self, d, t_en, frame_idx, n_frames, style_s, style_timbre,
                  with_prosody: bool = False, stop_f0_grad: bool = False,
-                 with_spec: bool = False):
+                 with_spec: bool = False, teacher_f0=None):
         B, F = frame_idx.shape
         mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(d.dtype)
         en = jnp.take_along_axis(d, frame_idx[..., None], axis=1) * mask
@@ -665,8 +665,18 @@ class KokoroAudioProgram(nn.Module):
         # oscillatory with magnitude growing in t, and it FIGHTS the direct
         # F0 supervision (observed: f0 MSE diverged after ~600 steps).
         # FastSpeech2-style decoupling — pitch trains only from its own MSE,
-        # the decoder trains treating F0 as given.
-        f0_dec = jax.lax.stop_gradient(f0) if stop_f0_grad else f0
+        # the decoder trains treating F0 as given. `teacher_f0` (training
+        # only) feeds the GROUND-TRUTH pitch track to the decoder instead of
+        # the prediction: the harmonic source's phase is a cumsum of f0, so
+        # even a 0.2% prediction error drifts multiple cycles across a word
+        # and makes waveform/absolute-phase targets unreachable; with the
+        # true track the source phase is exactly the target's. Standard
+        # FastSpeech2 teacher forcing; inference (teacher_f0=None) uses the
+        # converged prediction and is untouched.
+        if teacher_f0 is not None:
+            f0_dec = teacher_f0
+        else:
+            f0_dec = jax.lax.stop_gradient(f0) if stop_f0_grad else f0
         audio = Decoder(self.cfg, deterministic=self.deterministic,
                         with_spec=with_spec, name="decoder")(
             asr, f0_dec, n_, style_timbre, n_frames

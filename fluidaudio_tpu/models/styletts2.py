@@ -541,7 +541,8 @@ class StyleTts2AcousticProgram(nn.Module):
 
     @nn.compact
     def __call__(self, d, t_en, frame_idx, n_frames, s, ref,
-                 with_prosody: bool = False, stop_f0_grad: bool = False):
+                 with_prosody: bool = False, stop_f0_grad: bool = False,
+                 teacher_f0=None):
         B, F = frame_idx.shape
         mask = (jnp.arange(F)[None, :] < n_frames[:, None])[..., None].astype(d.dtype)
         en = jnp.take_along_axis(d, frame_idx[..., None], axis=1) * mask
@@ -551,8 +552,15 @@ class StyleTts2AcousticProgram(nn.Module):
         asr = jnp.concatenate([asr[:, :1], asr[:, :-1]], axis=1)
         f0, n_ = ProsodyF0N(self.cfg, name="prosody")(en, s, n_frames)
         # FastSpeech2-style decoupling for the fixture trainer: pitch trains
-        # only from its own MSE; the decoder treats F0 as given
-        f0_dec = jax.lax.stop_gradient(f0) if stop_f0_grad else f0
+        # only from its own MSE; the decoder treats F0 as given. teacher_f0
+        # (training only) replaces the prediction with the ground-truth
+        # track so the harmonic source's cumsum phase exactly matches the
+        # waveform target (see kokoro.KokoroAudioProgram for the full
+        # rationale); inference passes None and is untouched.
+        if teacher_f0 is not None:
+            f0_dec = teacher_f0
+        else:
+            f0_dec = jax.lax.stop_gradient(f0) if stop_f0_grad else f0
         audio = HifiDecoder(self.cfg, deterministic=self.deterministic,
                             name="decoder")(asr, f0_dec, n_, ref, n_frames)
         if with_prosody:

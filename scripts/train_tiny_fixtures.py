@@ -900,7 +900,7 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
         audio, f0, _, pmag, pph = audio_prog.apply(
             p["audio"], d, t_en, frame_idx, n_frames, style_s, style_t,
             with_prosody=True, stop_f0_grad=True, with_spec=True,
-            rngs={"noise": key})
+            teacher_f0=f0_tgt, rngs={"noise": key})
         # Direct F0 supervision (round-5 fix): the SourceModule's voiced gate
         # `f0 > 10 Hz` has zero gradient and the sine-phase gradient is
         # oscillatory, so a mel loss alone leaves F0 unvoiced and the vocoder
@@ -914,6 +914,14 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
                  < (n_frames * HOP)[:, None]).astype(audio.dtype)
         masked = audio * smask
         spec_loss = mrstft_loss(masked, target) + envelope_loss(masked, target)
+        # Time-domain L2 (round-5): valid here because the phase origin is
+        # PINNED — the SourceModule zeroes the fundamental's initial phase
+        # in both train and inference, F0 is zero through silence (no
+        # accumulation), and the construction target's sine also starts at
+        # phase 0 at word onset. The dense per-sample gradient is what
+        # finally pins the high-tone words the spectral losses left snapped
+        # to feature rates (w11 -> 1600 Hz) or split across head bins (w15).
+        wav_loss = 50.0 * jnp.sum(((masked - target) ** 2)) / jnp.sum(smask)
 
         # Direct iSTFT-head supervision (round-5 fix for the tone
         # quantization): within one acoustic frame every generator input
@@ -937,9 +945,16 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
         w = tmag[:, 1:] * tmag[:, :-1] * fvalid[:, 1:, None]
         dph = (pph[:, 1:] - pph[:, :-1]) - (tph[:, 1:] - tph[:, :-1])
         dphase_loss = jnp.sum(w * (1.0 - jnp.cos(dph))) / (jnp.sum(w) + 1e-6)
-        head_loss = hmag_loss + 2.0 * dphase_loss
-        return (spec_loss + 0.05 * dur_loss + f0_loss + head_loss,
-                (spec_loss, dur_loss, f0_loss, hmag_loss, dphase_loss))
+        # absolute-phase term (same pinned-origin argument as wav_loss):
+        # delta-phase alone leaves a free per-bin offset, and a wrong offset
+        # between the two active bins of a between-bin tone cancels in the
+        # iSTFT overlap-add
+        wa = tmag * fvalid[..., None]
+        aphase_loss = jnp.sum(wa * (1.0 - jnp.cos(pph - tph))) / (jnp.sum(wa) + 1e-6)
+        head_loss = hmag_loss + 2.0 * dphase_loss + 2.0 * aphase_loss
+        return (spec_loss + wav_loss + 0.05 * dur_loss + f0_loss + head_loss,
+                (spec_loss, dur_loss, f0_loss, hmag_loss,
+                 dphase_loss + aphase_loss, wav_loss))
 
     @jax.jit
     def step_fn(p, o, tokens, tok_lens, dur_tgt, dur_mask, frame_idx,
@@ -1014,8 +1029,8 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
             print(f"tts step {i}: loss {float(loss):.4f} "
                   f"(spec {float(aux[0]):.4f} dur {float(aux[1]):.4f} "
                   f"f0 {float(aux[2]):.4f} hmag {float(aux[3]):.4f} "
-                  f"dph {float(aux[4]):.4f}) ({time.time() - t0:.0f}s)",
-                  flush=True)
+                  f"ph {float(aux[4]):.4f} wav {float(aux[5]):.4f}) "
+                  f"({time.time() - t0:.0f}s)", flush=True)
         if i > 0 and i % 1000 == 0:
             save_ckpt()
             print(f"tts checkpoint @ step {i} -> {out}", flush=True)
@@ -1301,6 +1316,239 @@ def eval_pocket(_: Path) -> float:
     d = fx.eval_pocket_fixture()
     print(f"pocket eval roundtrip WER {d['roundtrip_wer_avg']*100:.2f}%, "
           f"clone-voice WER {d['clone_roundtrip_wer']*100:.2f}%")
+    return d["roundtrip_wer_avg"]
+
+
+# -------------------------------------------------------------- styletts2
+
+
+def train_styletts2(steps: int, batch: int = 4, lr: float = 1e-3,
+                    seed: int = 0) -> Path:
+    """Trained tiny StyleTTS2 fixture — the diffusion-TTS side of the
+    functional proof. Trains ALL FOUR manager programs jointly on the tone
+    corpus through the real TextCleaner/phonemizer conventions:
+
+      text+predict+acoustic — duration MSE on `sum(sigmoid(bins))` (the
+        `round_durations` contract), direct F0 supervision (Hz/500 via
+        `cfg.f0_scale`, FastSpeech2 decoupling), MR-STFT + envelope +
+        time-domain L2 on the HiFi-GAN output. The waveform loss is valid
+        because the deterministic harmonic source's phase is pinned: F0=0
+        through silence (no cumsum drift) and both source and construction
+        target start each word at phase 0.
+      style — the StarGANv2 ref encoders consume the FIXED reference clip
+        through the manager's own `ref_mel_padded` convention; the EDM
+        transformer denoiser trains with the standard EDM objective
+        (sigma log-uniform over the Karras range, lambda(sigma) weight)
+        toward the (stop-grad) encoder style, plus a scale regularizer
+        keeping mean-square style energy at SIGMA_DATA^2 so the ADPM2
+        sampler's preconditioning assumptions hold at inference.
+
+    Eval runs the PUBLIC manager (diffusion sampling + alpha/beta blending
+    included) and closes the loop through the trained ASR fixture
+    (`StyleTTS2Synthesizer.swift:33-133` contract)."""
+    from fluidaudio_tpu.models.styletts2 import (
+        HOP as ST_HOP,
+        SIGMA_DATA,
+        SIGMA_MAX,
+        StyleDenoiser,
+        StyleEncoder2d,
+        StyleTts2AcousticProgram,
+        StyleTts2PredictProgram,
+        StyleTts2TextProgram,
+    )
+    from fluidaudio_tpu.train import fixtures as fx
+    from fluidaudio_tpu.tts.styletts2_manager import (
+        ref_mel_padded, text_cleaner_encode,
+    )
+
+    cfg = fx.styletts2_tiny_config()
+    text_prog = StyleTts2TextProgram(cfg)
+    predict_prog = StyleTts2PredictProgram(cfg)
+    acoustic_prog = StyleTts2AcousticProgram(cfg, deterministic=True)
+    style_enc = StyleEncoder2d(cfg)
+    denoiser = StyleDenoiser(cfg)
+
+    sym_ids = [text_cleaner_encode(s, prepend_pad=False)[0]
+               for s in fx.TTS_WORD_SYMBOLS]
+    space_id = text_cleaner_encode(" ", prepend_pad=False)[0]
+
+    T_pad, F_pad, max_words = 16, 160, 8
+    half = cfg.style_dim
+
+    # the fixed style reference through the manager's own mel convention
+    mel_pad, mel_used = ref_mel_padded(fx.styletts2_ref_clip(), cfg.n_mels)
+    mel_b = jnp.asarray(np.repeat(mel_pad, batch, axis=0))
+    mel_frames_b = jnp.full((batch,), mel_used, jnp.int32)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+    ids0 = jnp.zeros((batch, T_pad), jnp.int32)
+    len0 = jnp.full((batch,), T_pad, jnp.int32)
+    bert0 = jnp.zeros((batch, T_pad, cfg.albert_hidden))
+    from fluidaudio_tpu.models.styletts2 import (
+        DIFFUSION_STEPS, StyleTts2StyleProgram,
+    )
+
+    style_prog = StyleTts2StyleProgram(cfg)
+    params = {
+        "text": jax.jit(text_prog.init)(keys[0], ids0, len0),
+        "style": jax.jit(style_prog.init)(
+            keys[1], mel_b, mel_frames_b, bert0, len0,
+            jnp.zeros((batch, 2 * half)),
+            jnp.zeros((DIFFUSION_STEPS - 1, batch, 2 * half)),
+        ),
+        "predict": jax.jit(predict_prog.init)(
+            keys[2], jnp.zeros((batch, T_pad, cfg.d_model)),
+            jnp.zeros((batch, half)), len0,
+        ),
+        "acoustic": jax.jit(acoustic_prog.init)(
+            keys[3],
+            jnp.zeros((batch, T_pad, cfg.d_model + half)),
+            jnp.zeros((batch, T_pad, cfg.d_model)),
+            jnp.zeros((batch, F_pad), jnp.int32),
+            jnp.full((batch,), F_pad, jnp.int32),
+            jnp.zeros((batch, half)), jnp.zeros((batch, half)),
+        ),
+    }
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(lr, steps)),
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(p, tokens, tok_lens, dur_tgt, dur_mask, frame_idx, n_frames,
+                target, f0_tgt, sig, zn):
+        bert_dur, d_en, t_en = text_prog.apply(p["text"], tokens, tok_lens)
+
+        sp = {"params": p["style"]["params"]}
+        acou = style_enc.apply(
+            {"params": sp["params"]["style_encoder"]}, mel_b, mel_frames_b)
+        pros = style_enc.apply(
+            {"params": sp["params"]["predictor_encoder"]}, mel_b, mel_frames_b)
+        ref_s = jnp.concatenate([acou, pros], axis=-1)  # [B, 2*style_dim]
+        ref128, s128 = ref_s[:, :half], ref_s[:, half:]
+
+        d, dur_logits = predict_prog.apply(p["predict"], d_en, s128, tok_lens)
+        dur_pred = jnp.sum(jax.nn.sigmoid(dur_logits), axis=-1)
+        dur_loss = jnp.sum(((dur_pred - dur_tgt) ** 2) * dur_mask) / jnp.sum(dur_mask)
+
+        audio, f0, _ = acoustic_prog.apply(
+            p["acoustic"], d, t_en, frame_idx, n_frames, s128, ref128,
+            with_prosody=True, stop_f0_grad=True, teacher_f0=f0_tgt)
+        fmask = (jnp.arange(2 * F_pad)[None, :]
+                 < (2 * n_frames)[:, None]).astype(f0.dtype)
+        f0_loss = jnp.sum((((f0 - f0_tgt) / 500.0) ** 2) * fmask) / jnp.sum(fmask)
+
+        # generator emits 2F*prod(rates)+1 samples (reflection pad);
+        # compare on the exact F_pad*600 target grid
+        audio = audio[:, : F_pad * ST_HOP]
+        smask = (jnp.arange(F_pad * ST_HOP)[None, :]
+                 < (n_frames * ST_HOP)[:, None]).astype(audio.dtype)
+        masked = audio * smask
+        spec_loss = mrstft_loss(masked, target) + envelope_loss(masked, target)
+        wav_loss = 50.0 * jnp.sum((masked - target) ** 2) / jnp.sum(smask)
+
+        # EDM denoising objective toward the (frozen) encoder style
+        tgt_style = jax.lax.stop_gradient(ref_s)
+        noisy = tgt_style + sig[:, None] * zn
+        emb_mask = jnp.arange(T_pad)[None, :] < tok_lens[:, None]
+        den = denoiser.apply(
+            {"params": sp["params"]["diffusion"]}, noisy, sig,
+            jax.lax.stop_gradient(bert_dur), emb_mask, tgt_style)
+        lam = (sig**2 + SIGMA_DATA**2) / ((sig * SIGMA_DATA) ** 2)
+        edm_loss = jnp.mean(lam * jnp.mean((den - tgt_style) ** 2, axis=-1))
+        # keep the style scale where the sampler's preconditioning assumes
+        sreg = 10.0 * (jnp.mean(ref_s**2) - SIGMA_DATA**2) ** 2
+        return (spec_loss + wav_loss + 0.05 * dur_loss + f0_loss
+                + edm_loss + sreg,
+                (spec_loss, dur_loss, f0_loss, edm_loss, wav_loss))
+
+    @jax.jit
+    def step_fn(p, o, tokens, tok_lens, dur_tgt, dur_mask, frame_idx,
+                n_frames, target, f0_tgt, sig, zn):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, tokens, tok_lens, dur_tgt, dur_mask, frame_idx, n_frames,
+            target, f0_tgt, sig, zn)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss, aux
+
+    out = ASSETS / "styletts2"
+    out.mkdir(parents=True, exist_ok=True)
+
+    def save_ckpt():
+        for name in ("text", "style", "predict", "acoustic"):
+            tmp = out / f".{name}.tmp.npz"
+            save_params(tmp, jax.device_get(params[name]))
+            tmp.replace(out / f"{name}.npz")
+
+    rs = np.random.RandomState(seed + 1)
+    key = jax.random.PRNGKey(seed + 2)
+    t0 = time.time()
+    for i in range(steps):
+        tokens = np.zeros((batch, T_pad), np.int32)
+        tok_lens = np.zeros((batch,), np.int32)
+        dur_tgt = np.zeros((batch, T_pad), np.float32)
+        dur_mask = np.zeros((batch, T_pad), np.float32)
+        frame_idx = np.zeros((batch, F_pad), np.int32)
+        n_frames = np.zeros((batch,), np.int32)
+        target = np.zeros((batch, F_pad * 600), np.float32)
+        f0_tgt = np.zeros((batch, 2 * F_pad), np.float32)
+        for r in range(batch):
+            n = int(rs.randint(1, max_words + 1))
+            ids = rs.randint(0, tc.N_WORDS, size=n)
+            # [pad, sym, space, sym, ..., sym] — the TextCleaner encoding of
+            # the phonemized tone words, NO trailing pad (encode() appends
+            # none; durations likewise end at the final word)
+            seq = [0]
+            for k_, w in enumerate(ids):
+                seq.append(sym_ids[int(w)])
+                if k_ + 1 < n:
+                    seq.append(space_id)
+            tokens[r, : len(seq)] = seq
+            tok_lens[r] = len(seq)
+            durs = fx.tts_durations(n)[: len(seq)]
+            dur_tgt[r, : len(seq)] = durs
+            dur_mask[r, : len(seq)] = 1.0
+            total = int(durs.sum())
+            frame_idx[r, :total] = np.repeat(
+                np.arange(len(seq), dtype=np.int32), durs.astype(np.int64))
+            n_frames[r] = total
+            target[r] = fx.tts_target_audio(ids, F_pad)[: F_pad * 600]
+            f0_frame = np.zeros(F_pad, np.float32)
+            tok_f0 = np.zeros(len(seq), np.float32)
+            tok_f0[1::2] = [tc.word_freq(int(w)) for w in ids]
+            f0_frame[:total] = tok_f0[frame_idx[r, :total]]
+            f0_tgt[r] = np.repeat(f0_frame, 2)
+        key, k_sig, k_zn = jax.random.split(key, 3)
+        sig = jnp.exp(jax.random.uniform(
+            k_sig, (batch,), minval=float(np.log(1e-3)),
+            maxval=float(np.log(SIGMA_MAX))))
+        zn = jax.random.normal(k_zn, (batch, 2 * half))
+        params, opt_state, loss, aux = step_fn(
+            params, opt_state, jnp.asarray(tokens), jnp.asarray(tok_lens),
+            jnp.asarray(dur_tgt), jnp.asarray(dur_mask),
+            jnp.asarray(frame_idx), jnp.asarray(n_frames),
+            jnp.asarray(target), jnp.asarray(f0_tgt), sig, zn)
+        if i % 50 == 0 or i == steps - 1:
+            print(f"styletts2 step {i}: loss {float(loss):.4f} "
+                  f"(spec {float(aux[0]):.4f} dur {float(aux[1]):.4f} "
+                  f"f0 {float(aux[2]):.4f} edm {float(aux[3]):.4f} "
+                  f"wav {float(aux[4]):.4f}) ({time.time() - t0:.0f}s)",
+                  flush=True)
+        if i > 0 and i % 1000 == 0:
+            save_ckpt()
+            print(f"styletts2 checkpoint @ step {i} -> {out}", flush=True)
+
+    save_ckpt()
+    print(f"styletts2 checkpoint -> {out}")
+    return out
+
+
+def eval_styletts2(_: Path) -> float:
+    from fluidaudio_tpu.train import fixtures as fx
+
+    d = fx.eval_styletts2_fixture()
+    print(f"styletts2 eval roundtrip WER {d['roundtrip_wer_avg']*100:.2f}%, "
+          f"duration MAE {d['dur_mae_frames']:.3f} frames")
     return d["roundtrip_wer_avg"]
 
 
@@ -1740,7 +1988,8 @@ def eval_eou(_: Path) -> float:
 
 def main() -> int:
     families = ["asr", "vad", "sortformer", "sensevoice", "paraformer",
-                "cohere", "eou", "lseend", "offline", "nemotron", "ctc", "tts", "pocket"]
+                "cohere", "eou", "lseend", "offline", "nemotron", "ctc",
+                "tts", "pocket", "styletts2"]
     ap = argparse.ArgumentParser()
     ap.add_argument("family", nargs="?", default="all",
                     choices=families + ["all", "core"])
@@ -1757,19 +2006,22 @@ def main() -> int:
     defaults = {"asr": 700, "vad": 3000, "sortformer": 500,
                 "sensevoice": 1500, "paraformer": 1500, "cohere": 1500,
                 "eou": 1800, "lseend": 1200, "offline": 800,
-                "nemotron": 2400, "ctc": 600, "tts": 3000, "pocket": 4000}
+                "nemotron": 2400, "ctc": 600, "tts": 3000, "pocket": 4000,
+                "styletts2": 4000}
     train_fns = {"asr": train_asr, "vad": train_vad,
                  "sortformer": train_sortformer, "sensevoice": train_sensevoice,
                  "paraformer": train_paraformer, "cohere": train_cohere,
                  "eou": train_eou, "lseend": train_lseend,
                  "offline": train_offline, "nemotron": train_nemotron,
-                 "ctc": train_ctc, "tts": train_tts, "pocket": train_pocket}
+                 "ctc": train_ctc, "tts": train_tts, "pocket": train_pocket,
+                 "styletts2": train_styletts2}
     eval_fns = {"asr": eval_asr, "vad": eval_vad,
                 "sortformer": eval_sortformer, "sensevoice": eval_sensevoice,
                 "paraformer": eval_paraformer, "cohere": eval_cohere,
                 "eou": eval_eou, "lseend": eval_lseend,
                 "offline": eval_offline, "nemotron": eval_nemotron,
-                "ctc": eval_ctc, "tts": eval_tts, "pocket": eval_pocket}
+                "ctc": eval_ctc, "tts": eval_tts, "pocket": eval_pocket,
+                "styletts2": eval_styletts2}
     print(f"backend: {jax.default_backend()}")
     for fam in fams:
         steps = args.steps or defaults[fam]
