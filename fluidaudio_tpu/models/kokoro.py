@@ -81,6 +81,14 @@ class KokoroConfig:
     gen_n_fft: int = 20
     gen_hop: int = 5
     max_frames: int = MAX_FRAMES
+    # inference frame-grid buckets (None = powers-of-two fractions of
+    # max_frames). The generator's AdaIN instance-norm statistics are
+    # computed over the WHOLE padded grid (matching the torch reference,
+    # which always runs exact-length graphs and has no masking), so a
+    # checkpoint is only valid on the grid regime it was trained with:
+    # trained-from-scratch fixtures train on one fixed grid and must pin
+    # that same grid here, e.g. (160,).
+    frame_buckets: tuple[int, ...] | None = None
     dtype: str = "float32"
     # output scale of the prosody F0 head, in Hz per unit of raw head
     # output. The shipping kokoro-v1_0 weights emit Hz directly (1.0);

@@ -399,6 +399,15 @@ def kokoro_tiny_config():
         decoder_hidden=64, asr_res_ch=16, upsample_initial=64,
         resblock_kernels=(3, 7), resblock_dilations=((1, 3), (1, 3)),
         max_frames=384,
+        # the trainer fits on a FIXED 160-frame grid; the generator's
+        # instance-norm stats see the padded grid (see
+        # KokoroConfig.frame_buckets), so inference must use the same grid —
+        # a 48-frame zero-padding bucket shifts every AdaIN statistic and
+        # detunes/attenuates the output (observed: 3-word utterances, whose
+        # 48 frames exactly filled the smallest derived bucket, came out
+        # ~+200 Hz off with collapsed word amplitudes while 2- and 5-word
+        # utterances were clean)
+        frame_buckets=(160,),
         # fixture corpus tones span 240 Hz..4.2 kHz; see KokoroConfig.f0_scale
         f0_scale=500.0, phase_scale=float(np.pi),
         # iSTFT-head geometry for the TONE corpus: keep prod(rates)*gen_hop
@@ -453,6 +462,80 @@ def tts_target_audio(word_ids: np.ndarray, total_frames: int) -> np.ndarray:
     return out
 
 
+def _linear_resize_np(x: np.ndarray, out_len: int) -> np.ndarray:
+    """numpy mirror of models.kokoro.linear_resize (align_corners=False)."""
+    in_len = x.shape[0]
+    scale = in_len / out_len
+    pos = (np.arange(out_len) + 0.5) * scale - 0.5
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, in_len - 1)
+    hi = np.clip(lo + 1, 0, in_len - 1)
+    frac = np.clip(pos - lo, 0.0, 1.0).astype(np.float32)
+    return x[lo] + (x[hi] - x[lo]) * frac
+
+
+def tts_source_phase(f0_2f: np.ndarray, variant: str = "kokoro") -> np.ndarray:
+    """Fundamental phase track EXACTLY as the harmonic source accumulates it.
+
+    The vocoder fixtures supervise the waveform/absolute head phase against
+    a constructed target; that is only reachable if the target's phase
+    follows the SourceModule's own convention — a cumsum over the F0 track
+    that never resets (so each word inherits the accumulated phase of every
+    word before it) and freezes through silence (f0=0 adds nothing).
+
+    variant="kokoro": models.kokoro.SourceModule — instantaneous frequency
+    downsampled to the 2F frame rate (linear_resize), cumsum at frame rate,
+    re-upsampled linearly (x300).
+    variant="styletts2": models.styletts2.HifiSourceModule — plain
+    per-sample cumsum with the %1 cycle bound.
+
+    f0_2f: [2F] Hz track at the prosody head's 2x frame rate (300-sample
+    steps at 24 kHz). Returns phase [2F*300] in radians (float32, matching
+    the on-device accumulation).
+    """
+    f0_up = np.repeat(f0_2f.astype(np.float32), 300)
+    rad = (f0_up / 24_000.0) % 1.0
+    if variant == "styletts2":
+        ph = np.cumsum(rad.astype(np.float32), dtype=np.float32) % 1.0
+        return ph * np.float32(2.0 * np.pi)
+    L = f0_up.size
+    rad_f = _linear_resize_np(rad, L // 300)
+    ph = np.cumsum(rad_f, dtype=np.float32) * np.float32(2.0 * np.pi)
+    return _linear_resize_np(ph * np.float32(300.0), L)
+
+
+def tts_target_audio_aligned(
+    word_ids: np.ndarray, total_frames: int, variant: str = "kokoro",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Training-only construction target with SOURCE-aligned phase.
+
+    Same word/gap frame layout and 10 ms amplitude ramps as
+    `tts_target_audio`, but the tone phase is `tts_source_phase` of the
+    ground-truth F0 track — so with teacher-forced F0 the ideal vocoder
+    output IS this waveform and time-domain / absolute-phase losses have a
+    reachable zero. Returns (audio [total_frames*600], f0_2f [2*total_frames])
+    — train against BOTH from the same arrays (teacher F0 must be the very
+    track the phase was built from). Eval corpora keep `tts_target_audio`
+    (phase-free ASR loop; zero-phase-per-word is fine there)."""
+    from fluidaudio_tpu.models.kokoro import HOP, SAMPLE_RATE
+
+    f0_2f = np.zeros(2 * total_frames, np.float32)
+    env = np.zeros(total_frames * HOP, np.float32)
+    ramp = int(0.010 * SAMPLE_RATE)
+    edge = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp)
+    for k, w in enumerate(word_ids):
+        start_f = TTS_PAD_FRAMES + k * (TTS_WORD_FRAMES + TTS_GAP_FRAMES)
+        end_f = start_f + TTS_WORD_FRAMES
+        if end_f > total_frames:
+            break
+        f0_2f[2 * start_f : 2 * end_f] = tc.word_freq(int(w))
+        s, e = start_f * HOP, end_f * HOP
+        env[s:e] = 0.35
+        env[s : s + ramp] = 0.35 * edge
+        env[e - ramp : e] = 0.35 * edge[::-1]
+    phase = tts_source_phase(f0_2f, variant)[: env.size]
+    return (env * np.sin(phase)).astype(np.float32), f0_2f
+
+
 def load_tts_manager():
     from fluidaudio_tpu.tts.kokoro_manager import KokoroManager
 
@@ -475,7 +558,10 @@ def eval_tts_fixture(seed: int = 8642, n_utts: int = 3) -> dict[str, float]:
     from fluidaudio_tpu.asr.config import ASRConfig
     from fluidaudio_tpu.asr.manager import AsrManager
     from fluidaudio_tpu.models.zoo import AsrModels
-    from fluidaudio_tpu.tts.roundtrip import tts_asr_roundtrip
+    from fluidaudio_tpu.tts.roundtrip import (
+        TINY_CORPUS_CHANNEL,
+        tts_asr_roundtrip,
+    )
 
     tts = load_tts_manager()
     asr = AsrManager(
@@ -491,7 +577,8 @@ def eval_tts_fixture(seed: int = 8642, n_utts: int = 3) -> dict[str, float]:
         # the PUBLIC roundtrip harness: synthesize -> resample 24->16 kHz ->
         # transcribe -> normalized WER (peak-normalized synth level is fine:
         # the ASR mel is per_feature-normalized, so gain cancels)
-        rates.append(tts_asr_roundtrip(tts, asr, text).wer)
+        rates.append(tts_asr_roundtrip(
+            tts, asr, text, channel=TINY_CORPUS_CHANNEL).wer)
 
         # duration head accuracy on the same phoneme sequence
         import jax.numpy as jnp
@@ -858,7 +945,10 @@ def eval_pocket_fixture(seed: int = 7531, n_utts: int = 3) -> dict[str, float]:
     from fluidaudio_tpu.asr.config import ASRConfig
     from fluidaudio_tpu.asr.manager import AsrManager
     from fluidaudio_tpu.models.zoo import AsrModels
-    from fluidaudio_tpu.tts.roundtrip import tts_asr_roundtrip
+    from fluidaudio_tpu.tts.roundtrip import (
+        TINY_CORPUS_CHANNEL,
+        tts_asr_roundtrip,
+    )
 
     tts = load_pocket_manager()
     asr = AsrManager(
@@ -870,10 +960,13 @@ def eval_pocket_fixture(seed: int = 7531, n_utts: int = 3) -> dict[str, float]:
     rates = []
     for _ in range(n_utts):
         ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 7)))
-        rates.append(tts_asr_roundtrip(tts, asr, tc.transcript_text(ids)).wer)
+        rates.append(tts_asr_roundtrip(
+            tts, asr, tc.transcript_text(ids),
+            channel=TINY_CORPUS_CHANNEL).wer)
     tts.clone_voice(pocket_voice_reference(), "cloned")
     clone_wer = tts_asr_roundtrip(
-        tts, asr, tc.transcript_text(np.asarray([1, 8])), voice="cloned"
+        tts, asr, tc.transcript_text(np.asarray([1, 8])), voice="cloned",
+        channel=TINY_CORPUS_CHANNEL,
     ).wer
     return {"roundtrip_wer_avg": float(np.mean(rates)),
             "clone_roundtrip_wer": float(clone_wer)}
@@ -945,7 +1038,10 @@ def eval_styletts2_fixture(seed: int = 6174, n_utts: int = 3) -> dict[str, float
     from fluidaudio_tpu.asr.manager import AsrManager
     from fluidaudio_tpu.models.styletts2 import round_durations
     from fluidaudio_tpu.models.zoo import AsrModels
-    from fluidaudio_tpu.tts.roundtrip import tts_asr_roundtrip
+    from fluidaudio_tpu.tts.roundtrip import (
+        TINY_CORPUS_CHANNEL,
+        tts_asr_roundtrip,
+    )
 
     tts = load_styletts2_manager()
     asr = AsrManager(
@@ -960,7 +1056,8 @@ def eval_styletts2_fixture(seed: int = 6174, n_utts: int = 3) -> dict[str, float
         ids = rs.randint(0, tc.N_WORDS, size=int(rs.randint(2, 8)))
         text = tc.transcript_text(ids)
         rates.append(tts_asr_roundtrip(
-            tts, asr, text, reference_audio=ref, noise_seed=u).wer)
+            tts, asr, text, reference_audio=ref, noise_seed=u,
+            channel=TINY_CORPUS_CHANNEL).wer)
 
         # duration head accuracy through the real predict program
         import jax.numpy as jnp

@@ -424,7 +424,9 @@ class KokoroManager:
         max_f = self.cfg.max_frames
         frame_idx, total_frames = expand_durations(duration, max_f)
         bf = self._bucket(
-            total_frames, tuple(max_f // 8 * k for k in (1, 2, 4, 8))
+            total_frames,
+            self.cfg.frame_buckets
+            or tuple(max_f // 8 * k for k in (1, 2, 4, 8)),
         )
         t0 = time.perf_counter()
         audio = self._audio_fn(

@@ -1010,15 +1010,13 @@ def train_tts(steps: int, batch: int = 4, lr: float = 1e-3, seed: int = 0) -> Pa
             frame_idx[r, :total] = np.repeat(
                 np.arange(len(seq), dtype=np.int32), durs.astype(np.int64))
             n_frames[r] = total
-            target[r] = fx.tts_target_audio(ids, F_pad)[: F_pad * HOP]
-            # per-frame pitch target: odd token positions are the word
-            # symbols ([pad, sym, space, sym, ..., pad] layout), voiced at
-            # the construction tone; everything else silent (0 Hz)
-            f0_frame = np.zeros(F_pad, np.float32)
-            tok_f0 = np.zeros(len(seq), np.float32)
-            tok_f0[1:-1:2] = [tc.word_freq(int(w)) for w in ids]
-            f0_frame[:total] = tok_f0[frame_idx[r, :total]]
-            f0_tgt[r] = np.repeat(f0_frame, 2)
+            # SOURCE-aligned target: phase follows the harmonic source's own
+            # cumsum convention, so with teacher-forced F0 the waveform and
+            # absolute-phase losses have a reachable zero (the plain
+            # zero-phase-per-word target is unreachable past the first word
+            # — the source never resets phase between words)
+            target[r], f0_tgt[r] = fx.tts_target_audio_aligned(
+                ids, F_pad, "kokoro")
         key, sub = jax.random.split(key)
         params, opt_state, loss, aux = step_fn(
             params, opt_state, jnp.asarray(tokens), jnp.asarray(tok_lens),
@@ -1512,12 +1510,10 @@ def train_styletts2(steps: int, batch: int = 4, lr: float = 1e-3,
             frame_idx[r, :total] = np.repeat(
                 np.arange(len(seq), dtype=np.int32), durs.astype(np.int64))
             n_frames[r] = total
-            target[r] = fx.tts_target_audio(ids, F_pad)[: F_pad * 600]
-            f0_frame = np.zeros(F_pad, np.float32)
-            tok_f0 = np.zeros(len(seq), np.float32)
-            tok_f0[1::2] = [tc.word_freq(int(w)) for w in ids]
-            f0_frame[:total] = tok_f0[frame_idx[r, :total]]
-            f0_tgt[r] = np.repeat(f0_frame, 2)
+            # source-aligned phase (per-sample cumsum variant) — see the
+            # Kokoro trainer comment; makes wav_loss reachable
+            target[r], f0_tgt[r] = fx.tts_target_audio_aligned(
+                ids, F_pad, "styletts2")
         key, k_sig, k_zn = jax.random.split(key, 3)
         sig = jnp.exp(jax.random.uniform(
             k_sig, (batch,), minval=float(np.log(1e-3)),
